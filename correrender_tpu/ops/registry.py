@@ -1,0 +1,150 @@
+"""Correlation-measure registry and unified dispatch.
+
+Mirrors the reference's measure enum and string ids
+(src/Calculators/CorrelationDefines.hpp:41-75) so state files and the
+scene catalog remain compatible:
+
+  pearson, spearman, kendall, mi_binned, mi_kraskov,
+  binned_mi_correlation_coefficient, kmi_correlation_coefficient
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+
+from correrender_tpu.ops.pearson import pearson
+from correrender_tpu.ops.spearman import spearman
+from correrender_tpu.ops.kendall import kendall
+from correrender_tpu.ops.mi_binned import (
+    mutual_information_binned,
+    binned_mi_correlation_coefficient,
+)
+from correrender_tpu.ops.mi_ksg import (
+    mutual_information_kraskov,
+    kmi_correlation_coefficient,
+)
+
+
+class CorrelationMeasure(enum.Enum):
+    PEARSON = "pearson"
+    SPEARMAN = "spearman"
+    KENDALL = "kendall"
+    MUTUAL_INFORMATION_BINNED = "mi_binned"
+    MUTUAL_INFORMATION_KRASKOV = "mi_kraskov"
+    BINNED_MI_CORRELATION_COEFFICIENT = "binned_mi_correlation_coefficient"
+    KMI_CORRELATION_COEFFICIENT = "kmi_correlation_coefficient"
+
+
+MEASURE_IDS = {m: m.value for m in CorrelationMeasure}
+MEASURE_NAMES = {
+    CorrelationMeasure.PEARSON: "Pearson",
+    CorrelationMeasure.SPEARMAN: "Spearman",
+    CorrelationMeasure.KENDALL: "Kendall",
+    CorrelationMeasure.MUTUAL_INFORMATION_BINNED: "Mutual Information (Binned)",
+    CorrelationMeasure.MUTUAL_INFORMATION_KRASKOV: "Mutual Information (Kraskov)",
+    CorrelationMeasure.BINNED_MI_CORRELATION_COEFFICIENT: "Binned MI Correlation Coefficient",
+    CorrelationMeasure.KMI_CORRELATION_COEFFICIENT: "KMI Correlation Coefficient",
+}
+
+
+def measure_from_id(measure_id) -> CorrelationMeasure:
+    if isinstance(measure_id, CorrelationMeasure):
+        return measure_id
+    return CorrelationMeasure(str(measure_id))
+
+
+def is_measure_binned_mi(m: CorrelationMeasure) -> bool:
+    return m in (
+        CorrelationMeasure.MUTUAL_INFORMATION_BINNED,
+        CorrelationMeasure.BINNED_MI_CORRELATION_COEFFICIENT,
+    )
+
+
+def is_measure_kraskov_mi(m: CorrelationMeasure) -> bool:
+    return m in (
+        CorrelationMeasure.MUTUAL_INFORMATION_KRASKOV,
+        CorrelationMeasure.KMI_CORRELATION_COEFFICIENT,
+    )
+
+
+def is_measure_mi(m: CorrelationMeasure) -> bool:
+    return is_measure_binned_mi(m) or is_measure_kraskov_mi(m)
+
+
+def is_measure_correlation_coefficient_mi(m: CorrelationMeasure) -> bool:
+    return m in (
+        CorrelationMeasure.BINNED_MI_CORRELATION_COEFFICIENT,
+        CorrelationMeasure.KMI_CORRELATION_COEFFICIENT,
+    )
+
+
+def correlate(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    measure: CorrelationMeasure | str = CorrelationMeasure.PEARSON,
+    *,
+    num_bins: int = 80,
+    k: int = 3,
+    kraskov_estimator: int = 1,
+    mi_bounds=None,
+    dtype=jnp.float32,
+    absolute: bool = False,
+) -> jnp.ndarray:
+    """Unified correlation dispatch along the last axis.
+
+    Args:
+      x, y: ``(..., n)`` member series (leading axes broadcast).
+      measure: a :class:`CorrelationMeasure` or its string id.
+      num_bins: bins for the binned-MI measures.
+      k: neighbour count for the Kraskov measures.
+      kraskov_estimator: 1 or 2.
+      mi_bounds: optional ``(min, max)`` global bounds used to normalize
+        inputs to [0,1] for the binned-MI measures (the reference
+        normalizes by the global field min/max,
+        CorrelationCalculator.cpp:820-845). If None, per-series bounds
+        are used.
+      dtype: accumulator dtype.
+      absolute: return |value| (the calculator's "absolute value" mode).
+    """
+    m = measure_from_id(measure)
+    if m == CorrelationMeasure.PEARSON:
+        out = pearson(x, y, dtype=dtype)
+    elif m == CorrelationMeasure.SPEARMAN:
+        out = spearman(x, y, dtype=dtype)
+    elif m == CorrelationMeasure.KENDALL:
+        out = kendall(x, y, dtype=dtype)
+    elif is_measure_binned_mi(m):
+        if mi_bounds is not None:
+            (xmin, xmax), (ymin, ymax) = _split_bounds(mi_bounds)
+            xn = (x - xmin) / (xmax - xmin)
+            yn = (y - ymin) / (ymax - ymin)
+        else:
+            xn = _normalize01(x)
+            yn = _normalize01(y)
+        out = mutual_information_binned(xn, yn, num_bins=num_bins, dtype=dtype)
+        if m == CorrelationMeasure.BINNED_MI_CORRELATION_COEFFICIENT:
+            out = binned_mi_correlation_coefficient(out)
+    elif is_measure_kraskov_mi(m):
+        out = mutual_information_kraskov(x, y, k=k, estimator=kraskov_estimator)
+        if m == CorrelationMeasure.KMI_CORRELATION_COEFFICIENT:
+            out = kmi_correlation_coefficient(out)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown measure {measure!r}")
+    if absolute:
+        out = jnp.abs(out)
+    return out
+
+
+def _normalize01(v):
+    vmin = jnp.min(v, axis=-1, keepdims=True)
+    vmax = jnp.max(v, axis=-1, keepdims=True)
+    return (v - vmin) / jnp.maximum(vmax - vmin, 1e-30)
+
+
+def _split_bounds(mi_bounds):
+    if len(mi_bounds) == 2 and jnp.ndim(mi_bounds[0]) == 0:
+        # Single (min, max) applied to both series.
+        return (mi_bounds, mi_bounds)
+    return mi_bounds
