@@ -1,0 +1,133 @@
+"""Calculator base class and type registry.
+
+Type ids mirror the reference's ``CALCULATOR_TYPE_IDS``
+(src/Calculators/Calculator.hpp:58-77) so JSON state files stay
+compatible. The neural paths (torch / tiny-cuda-nn / quick-mlp / vmlp)
+all collapse onto the single JAX "correlation_vmlp"-equivalent neural
+calculator (models/), with the legacy ids aliased to it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from correrender_tpu.core.fields import FieldType
+
+#: Reference Calculator.hpp:66-71 (state-file compatibility).
+CALCULATOR_TYPE_IDS = [
+    "velocity",
+    "vector_magnitude",
+    "vorticity",
+    "helicity",
+    "binary_operator",
+    "noise_reduction",
+    "ensemble_mean",
+    "ensemble_spread",
+    "set_predicate",
+    "residual_color",
+    "correlation",
+    "correlation_torch",
+    "correlation_tiny_cuda_nn",
+    "correlation_quick_mlp",
+    "correlation_vmlp",
+    "dkl_calculator",
+]
+
+CALCULATOR_NAMES = {
+    "velocity": "Velocity Calculator",
+    "vector_magnitude": "Vector Magnitude Calculator",
+    "vorticity": "Vorticity Calculator",
+    "helicity": "Helicity Calculator",
+    "binary_operator": "Binary Operator",
+    "noise_reduction": "Noise Reduction",
+    "ensemble_mean": "Ensemble Mean",
+    "ensemble_spread": "Ensemble Spread",
+    "set_predicate": "Set Predicate",
+    "residual_color": "Residual Color Calculator",
+    "correlation": "Correlation Calculator",
+    "correlation_torch": "PyTorch Similarity Calculator",
+    "correlation_tiny_cuda_nn": "tiny-cuda-nn Similarity Calculator",
+    "correlation_quick_mlp": "QuickMLP Similarity Calculator",
+    "correlation_vmlp": "VMLP Similarity Calculator",
+    "dkl_calculator": "KL-Divergence Calculator",
+}
+
+_TYPE_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_calculator_type(type_id: str):
+    """Class decorator registering a calculator under a type id."""
+
+    def wrap(cls):
+        _TYPE_REGISTRY[type_id] = cls
+        cls.type_id = type_id
+        return cls
+
+    return wrap
+
+
+def calculator_from_settings(type_id: str, settings: dict):
+    """Instantiate a calculator from a state-file settings map.
+
+    Mirrors the factory dispatch in ``MainAppState.cpp:163-197``.
+    """
+    # Neural legacy ids all map to the unified JAX neural calculator.
+    if type_id in (
+        "correlation_torch",
+        "correlation_tiny_cuda_nn",
+        "correlation_quick_mlp",
+        "correlation_vmlp",
+    ):
+        type_id = "correlation_vmlp"
+    cls = _TYPE_REGISTRY.get(type_id)
+    if cls is None:
+        raise KeyError(
+            f"unknown calculator type {type_id!r}; known: "
+            f"{sorted(_TYPE_REGISTRY)}"
+        )
+    return cls.from_settings(settings)
+
+
+class Calculator:
+    """Base for derived-field calculators.
+
+    Subclasses set :attr:`output_name` / :attr:`output_type` and
+    implement :meth:`compute(time, member) -> (Z, Y, X)` using fields
+    pulled from the bound :class:`VolumeData`. There is no
+    CPU/VULKAN/CUDA device split (reference ``FilterDevice``) — every
+    calculator is one jittable function and XLA targets the device.
+    """
+
+    type_id = "invalid"
+    output_type = FieldType.SCALAR
+
+    def __init__(self, output_name: str | None = None):
+        self._output_name = output_name
+        self.volume_data = None
+
+    @property
+    def output_name(self) -> str:
+        return self._output_name or self.default_output_name()
+
+    def default_output_name(self) -> str:
+        return CALCULATOR_NAMES.get(self.type_id, self.type_id)
+
+    def bind(self, volume_data):
+        self.volume_data = volume_data
+
+    def compute(self, time: int, member: int):
+        raise NotImplementedError
+
+    # -- settings (SettingsMap analogue, InternalState.hpp:44-126) -------
+
+    @classmethod
+    def from_settings(cls, settings: dict):
+        obj = cls(**cls.settings_to_kwargs(settings))
+        return obj
+
+    @classmethod
+    def settings_to_kwargs(cls, settings: dict) -> dict:
+        return dict(settings)
+
+    def get_settings(self) -> dict:
+        return {}

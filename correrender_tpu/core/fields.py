@@ -1,0 +1,218 @@
+"""The central volume data model.
+
+TPU-native re-design of the reference's ``VolumeData`` hub
+(src/Volume/VolumeData.{hpp,cpp}): a 5D scalar-field ensemble addressed
+as ``field(name, time, member) -> (Z, Y, X)`` jnp array, with
+
+* grid metadata (dims, spacing, normalized render AABB —
+  VolumeData.cpp:322-330 semantics: the box spans ±0.25·dims/maxdim);
+* a named-field registry fed by loaders *and* calculators (calculator
+  outputs are virtual fields pulled lazily on access, mirroring the
+  reference's cache-miss dispatch VolumeData.cpp:1202-1314);
+* an LRU cache with a device-memory budget (reference FieldCache.hpp).
+
+Unlike the reference there is no host/device cache duality — arrays
+live wherever XLA puts them; ``donate``/sharding hints are attached at
+the parallel layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.core.cache import LRUFieldCache
+
+
+class FieldType(enum.Enum):
+    """Mirrors the reference's FieldType (scalar / vector / color)."""
+
+    SCALAR = "scalar"
+    VECTOR = "vector"
+    COLOR = "color"
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMetadata:
+    """Grid dimensions, spacing and derived boxes."""
+
+    xs: int
+    ys: int
+    zs: int
+    ts: int = 1
+    es: int = 1
+    dx: float = 1.0
+    dy: float = 1.0
+    dz: float = 1.0
+
+    @property
+    def shape_zyx(self):
+        return (self.zs, self.ys, self.xs)
+
+    @property
+    def num_voxels(self):
+        return self.xs * self.ys * self.zs
+
+    def world_box(self):
+        """Data-space AABB [(0,0,0), ((xs-1)dx, (ys-1)dy, (zs-1)dz)]."""
+        return (
+            np.zeros(3, np.float32),
+            np.array(
+                [
+                    (self.xs - 1) * self.dx,
+                    (self.ys - 1) * self.dy,
+                    (self.zs - 1) * self.dz,
+                ],
+                np.float32,
+            ),
+        )
+
+    def render_box(self):
+        """Normalized render AABB: ±0.25 · dims / max(dims).
+
+        Reference: VolumeData.cpp:322-330.
+        """
+        _, wmax = self.world_box()
+        dims = np.maximum(wmax, 1e-30)
+        normalized = dims / dims.max()
+        return (-0.25 * normalized).astype(np.float32), (
+            0.25 * normalized
+        ).astype(np.float32)
+
+
+class VolumeData:
+    """Field registry + lazy cache over a fixed grid.
+
+    Field providers are callables ``(time, member) -> np/jnp (Z,Y,X)``;
+    loaders register file-backed providers, calculators register
+    compute-backed ones. Access is uniform via :meth:`get_field` — the
+    caller cannot tell (and need not care) whether a field is loaded or
+    derived, exactly like the reference's virtual calculator fields.
+    """
+
+    def __init__(self, grid: GridMetadata, cache_bytes: Optional[int] = None):
+        self.grid = grid
+        # name -> (FieldType, provider, units)
+        self._providers: dict[str, tuple] = {}
+        self._calculators: dict[str, object] = {}
+        self.cache = LRUFieldCache(max_bytes=cache_bytes)
+        self.current_time = 0
+        self.current_member = 0
+
+    # -- registry ---------------------------------------------------------
+
+    def add_field(
+        self,
+        name: str,
+        provider: Callable[[int, int], jnp.ndarray],
+        field_type: FieldType = FieldType.SCALAR,
+    ):
+        self._providers[name] = (field_type, provider)
+
+    def add_calculator(self, calculator):
+        """Register a calculator; its output becomes a virtual field.
+
+        Mirrors ``VolumeData::addCalculator`` (VolumeData.cpp:1046).
+        """
+        name = calculator.output_name
+        self._calculators[name] = calculator
+        calculator.bind(self)
+        self.add_field(
+            name,
+            lambda t, e, _c=calculator: _c.compute(t, e),
+            calculator.output_type,
+        )
+
+    def remove_calculator(self, name: str):
+        self._calculators.pop(name, None)
+        self._providers.pop(name, None)
+        self.cache.invalidate_field(name)
+
+    @property
+    def field_names(self):
+        return list(self._providers)
+
+    @property
+    def calculators(self):
+        return dict(self._calculators)
+
+    def field_exists(self, name: str) -> bool:
+        return name in self._providers
+
+    # -- access -----------------------------------------------------------
+
+    def get_field(self, name: str, time: int = 0, member: int = 0):
+        """Lazily fetch one ``(Z, Y, X)`` field slab (cached)."""
+        key = (name, time, member)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        if name not in self._providers:
+            raise KeyError(
+                f"field {name!r} not found; available: {self.field_names}"
+            )
+        ftype, provider = self._providers[name]
+        arr = jnp.asarray(provider(time, member), jnp.float32)
+        # Vector/color fields carry a trailing component axis.
+        if arr.shape[:3] != self.grid.shape_zyx:
+            raise ValueError(
+                f"provider for {name!r} returned {arr.shape}, expected "
+                f"leading dims {self.grid.shape_zyx}"
+            )
+        self.cache.put(key, arr)
+        return arr
+
+    def get_member_stack(self, name: str, time: int = 0, members=None):
+        """Stack the ensemble axis last: ``(Z, Y, X, E)``.
+
+        The canonical layout for correlation reductions (member axis is
+        the fastest-varying reduction axis; see ops/).
+        """
+        members = range(self.grid.es) if members is None else members
+        slabs = [self.get_field(name, time, e) for e in members]
+        return jnp.stack(slabs, axis=-1)
+
+    def get_time_stack(self, name: str, member: int = 0, times=None):
+        """Stack the time axis last: ``(Z, Y, X, T)`` (time-correlation mode)."""
+        times = range(self.grid.ts) if times is None else times
+        slabs = [self.get_field(name, t, member) for t in times]
+        return jnp.stack(slabs, axis=-1)
+
+    def get_correlation_member_count(self, ensemble_mode: bool = True) -> int:
+        """cs = ensemble size or time-step count (CorrelationCalculator.hpp:89)."""
+        return self.grid.es if ensemble_mode else self.grid.ts
+
+    def get_min_max(self, name: str, time: int = 0, member: int = 0):
+        """Cached per-slab min/max (reference FieldMinMaxCache)."""
+        key = (name, time, member)
+        mm = self.cache.get_min_max(key)
+        if mm is None:
+            arr = self.get_field(name, time, member)
+            mm = (
+                float(jnp.nanmin(arr)),
+                float(jnp.nanmax(arr)),
+            )
+            self.cache.put_min_max(key, mm)
+        return mm
+
+    def get_global_min_max(self, name: str, ensemble_mode: bool = True,
+                           time: int = 0):
+        """Min/max across all members (or timesteps) — used to normalize
+        binned-MI inputs (CorrelationCalculator.cpp:820-845)."""
+        cs = self.get_correlation_member_count(ensemble_mode)
+        lo, hi = np.inf, -np.inf
+        for c in range(cs):
+            t, e = (time, c) if ensemble_mode else (c, 0)
+            mn, mx = self.get_min_max(name, t, e)
+            lo, hi = min(lo, mn), max(hi, mx)
+        return lo, hi
+
+    def mark_dirty(self, name: str):
+        """Invalidate cached slabs of a (calculator) field; next access
+        recomputes — the functional analogue of the reference's dirty
+        flag protocol (Calculator::setDirty)."""
+        self.cache.invalidate_field(name)

@@ -1,0 +1,273 @@
+"""Hierarchical-edge-bundling chord diagram (the TVCG-2024 paper core).
+
+Reference: src/Renderers/Diagram/HEBChart.* — octree leaves of the
+downsampled volume on a circle, the strongest block-pair correlations
+drawn as B-spline chords bundled through the octree hierarchy, with an
+outer std-dev ring. This implementation computes correlations with the
+vectorized samplers (diagrams/sampling.py) and renders SVG
+(diagrams/svg.py replaces NanoVG/Skia/VKVG).
+
+Key TPU-native change: leaf-pair correlation for the "mean" method is
+one batched (L, L) estimator call instead of the reference's per-pair
+loop / GPU request buffers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from correrender_tpu import ops
+from correrender_tpu.diagrams.octree import Octree, downsample_fields
+from correrender_tpu.diagrams.sampling import sample_block_pair_max
+from correrender_tpu.diagrams.svg import SvgCanvas
+from correrender_tpu.render.tf import TransferFunction
+
+
+def _bspline(points: np.ndarray, samples: int = 32) -> np.ndarray:
+    """Uniform cubic B-spline through control points (open, clamped).
+
+    Reference draws chords with BSpline.cpp; same curve family.
+    """
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    if n == 2:
+        t = np.linspace(0, 1, samples)[:, None]
+        return pts[0] * (1 - t) + pts[1] * t
+    # Clamp ends by repeating endpoints.
+    ctrl = np.concatenate([pts[:1], pts[:1], pts, pts[-1:], pts[-1:]])
+    out = []
+    segs = len(ctrl) - 3
+    for s in np.linspace(0, segs - 1e-9, samples):
+        i = int(s)
+        t = s - i
+        p0, p1, p2, p3 = ctrl[i : i + 4]
+        b0 = (1 - t) ** 3 / 6
+        b1 = (3 * t**3 - 6 * t**2 + 4) / 6
+        b2 = (-3 * t**3 + 3 * t**2 + 3 * t + 1) / 6
+        b3 = t**3 / 6
+        out.append(b0 * p0 + b1 * p1 + b2 * p2 + b3 * p3)
+    return np.asarray(out)
+
+
+class HEBChart:
+    """Chord diagram over an octree of the downsampled volume."""
+
+    def __init__(
+        self,
+        stack: np.ndarray,
+        downsample_factor: int = 8,
+        measure: str = "pearson",
+        sampling_method: str = "mean",
+        num_samples: int = 64,
+        max_chords: int = 100,
+        threshold: float = 0.0,
+        **measure_kw,
+    ):
+        self.stack = np.asarray(stack)
+        self.factor = downsample_factor
+        self.measure = measure
+        self.sampling_method = sampling_method
+        self.num_samples = num_samples
+        self.max_chords = max_chords
+        self.threshold = threshold
+        self.measure_kw = measure_kw
+
+        self.means = downsample_fields(self.stack, self.factor)
+        zs, ys, xs, _ = self.means.shape
+        self.octree = Octree(xs, ys, zs, leaf_size=1)
+        self.leaves = self.octree.leaves
+        self.num_leaves = len(self.leaves)
+        self.chords: list[tuple[int, int, float]] = []
+        self.leaf_stddev = self._leaf_stddev()
+
+    def _leaf_stddev(self) -> np.ndarray:
+        """Per-leaf mean ensemble std-dev (the outer ring data)."""
+        std = np.nanstd(self.means, axis=-1)  # (zs, ys, xs)
+        return np.array(
+            [
+                std[
+                    r.z_min : r.z_max + 1,
+                    r.y_min : r.y_max + 1,
+                    r.x_min : r.x_max + 1,
+                ].mean()
+                for r in self.leaves
+            ]
+        )
+
+    # -- correlation ------------------------------------------------------
+
+    def compute_correlations(self):
+        """Fill ``self.chords`` with the top |corr| leaf pairs.
+
+        Mirrors HEBChart::computeCorrelations dispatch
+        (HEBChartCorrelation.cpp:405-421): mean / sampling estimators.
+        """
+        L = self.num_leaves
+        if self.sampling_method == "mean":
+            series = np.stack(
+                [
+                    self.means[
+                        int(round(r.center[2])),
+                        int(round(r.center[1])),
+                        int(round(r.center[0])),
+                    ]
+                    for r in self.leaves
+                ]
+            )  # (L, n)
+            vals = np.asarray(
+                ops.correlate(
+                    jnp.asarray(series)[:, None, :],
+                    jnp.asarray(series)[None, :, :],
+                    self.measure,
+                    absolute=True,
+                    **self.measure_kw,
+                )
+            )
+            iu, ju = np.triu_indices(L, k=1)
+            flat = vals[iu, ju]
+        else:
+            iu, ju = np.triu_indices(L, k=1)
+            flat = np.array(
+                [
+                    sample_block_pair_max(
+                        self.stack,
+                        self._upscale(self.leaves[i]),
+                        self._upscale(self.leaves[j]),
+                        self.measure,
+                        method=self.sampling_method,
+                        num_samples=self.num_samples,
+                        stack_means=self.means,
+                        **self.measure_kw,
+                    )
+                    for i, j in zip(iu, ju)
+                ]
+            )
+        ok = np.isfinite(flat) & (flat >= self.threshold)
+        order = np.argsort(-np.where(ok, flat, -np.inf))
+        keep = order[: self.max_chords]
+        self.chords = [
+            (int(iu[k]), int(ju[k]), float(flat[k])) for k in keep if ok[k]
+        ]
+        return self.chords
+
+    def _upscale(self, region):
+        """Downsampled-leaf region → full-resolution voxel region."""
+        from correrender_tpu.diagrams.octree import GridRegion
+
+        f = self.factor
+        zs, ys, xs = self.stack.shape[:3]
+        return GridRegion(
+            region.x_min * f,
+            region.y_min * f,
+            region.z_min * f,
+            min((region.x_max + 1) * f - 1, xs - 1),
+            min((region.y_max + 1) * f - 1, ys - 1),
+            min((region.z_max + 1) * f - 1, zs - 1),
+        )
+
+    # -- layout & render --------------------------------------------------
+
+    def _node_positions(self, radius: float, center: float):
+        """Radial positions of all octree nodes (leaves on the circle,
+        internal nodes at fractional radius by depth)."""
+        leaf_nodes = [
+            i for i, n in enumerate(self.octree.nodes) if not n.children
+        ]
+        leaf_angle = {
+            node_idx: 2 * math.pi * k / self.num_leaves
+            for k, node_idx in enumerate(leaf_nodes)
+        }
+        max_depth = max(n.depth for n in self.octree.nodes) or 1
+        pos = {}
+
+        def angle_of(idx):
+            node = self.octree.nodes[idx]
+            if not node.children:
+                return leaf_angle[idx]
+            return _circular_mean([angle_of(c) for c in node.children])
+
+        for idx, node in enumerate(self.octree.nodes):
+            a = angle_of(idx)
+            r = radius * (node.depth / max_depth) if node.children else radius
+            pos[idx] = (
+                center + r * math.cos(a),
+                center + r * math.sin(a),
+            )
+        return pos, leaf_nodes, leaf_angle
+
+    def render_svg(
+        self, path: str | None = None, size: int = 800, beta: float = 0.75
+    ) -> str:
+        """Draw the chart; returns the SVG text (and writes ``path``)."""
+        canvas = SvgCanvas(size, size)
+        center = size / 2
+        radius = size * 0.38
+        pos, leaf_nodes, leaf_angle = self._node_positions(radius, center)
+        leaf_index_of_node = {n: k for k, n in enumerate(leaf_nodes)}
+
+        # Std-dev outer ring.
+        smax = self.leaf_stddev.max() or 1.0
+        ring_tf = TransferFunction.from_colormap("viridis", domain=(0, 1))
+        lut = np.asarray(ring_tf.lut)
+        arc = 2 * math.pi / self.num_leaves
+        for k in range(self.num_leaves):
+            a0 = leaf_angle[leaf_nodes[k]] - arc * 0.45
+            a1 = leaf_angle[leaf_nodes[k]] + arc * 0.45
+            t = self.leaf_stddev[k] / smax
+            color = lut[int(t * 255)][:3]
+            canvas.arc_ring(
+                center, center, radius * 1.04, radius * 1.10, a0, a1,
+                fill=tuple(color),
+            )
+
+        # Chords, weakest first so the strongest draw on top.
+        cmap = TransferFunction.from_colormap("coolwarm", domain=(0, 1))
+        clut = np.asarray(cmap.lut)
+        for i, j, value in sorted(self.chords, key=lambda c: c[2]):
+            path_nodes = self._bundle_path(leaf_nodes[i], leaf_nodes[j])
+            pts = np.array([pos[n] for n in path_nodes])
+            # β-bundling: blend control points toward the straight line.
+            t = np.linspace(0, 1, len(pts))[:, None]
+            straight = pts[0] * (1 - t) + pts[-1] * t
+            ctrl = beta * pts + (1 - beta) * straight
+            curve = _bspline(ctrl, samples=48)
+            color = clut[int(min(value, 1.0) * 255)][:3]
+            canvas.path(
+                curve, color=tuple(color),
+                width=0.5 + 2.0 * value, opacity=0.35 + 0.6 * value,
+            )
+
+        # Leaf dots.
+        for k, n in enumerate(leaf_nodes):
+            canvas.circle(pos[n][0], pos[n][1], 2.2, fill=(0.2, 0.2, 0.25))
+
+        if path:
+            canvas.save(path)
+        return canvas.to_svg()
+
+    def _bundle_path(self, node_a: int, node_b: int) -> list[int]:
+        """Node path a → LCA → b through the octree."""
+        def ancestors(idx):
+            out = [idx]
+            while self.octree.nodes[idx].parent_idx >= 0:
+                idx = self.octree.nodes[idx].parent_idx
+                out.append(idx)
+            return out
+
+        up_a = ancestors(node_a)
+        up_b = ancestors(node_b)
+        set_a = set(up_a)
+        lca = next(n for n in up_b if n in set_a)
+        path = up_a[: up_a.index(lca) + 1]
+        down_b = up_b[: up_b.index(lca)]
+        return path + down_b[::-1]
+
+
+def _circular_mean(angles) -> float:
+    s = sum(math.sin(a) for a in angles)
+    c = sum(math.cos(a) for a in angles)
+    return math.atan2(s, c)

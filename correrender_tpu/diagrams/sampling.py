@@ -1,0 +1,158 @@
+"""Block-pair maximum-correlation samplers for the HEB chart.
+
+Reference: src/Renderers/Diagram/Sampling.{hpp,cpp} — estimating
+``max_{(i,j) ∈ A×B} |corr(i, j)|`` for a pair of octree regions
+without evaluating all |A|·|B| voxel pairs. Methods (Sampling.hpp:34-40):
+Mean (on downscaled block means), Random-Uniform, Quasirandom Halton,
+Quasirandom Plastic, and Bayesian Optimization (bayopt.py).
+
+All samplers evaluate their probe batches through one vectorized
+estimator call — the TPU replacement for the reference's per-pair GPU
+request buffers (CorrelationMain.glsl request mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from correrender_tpu import ops
+
+
+def halton(index: np.ndarray, base: int) -> np.ndarray:
+    """Halton low-discrepancy sequence values for 1-based indices."""
+    result = np.zeros(index.shape, np.float64)
+    f = 1.0 / base
+    i = index.astype(np.int64).copy()
+    while np.any(i > 0):
+        result += f * (i % base)
+        i //= base
+        f /= base
+    return result
+
+
+def plastic_sequence(n: int, dim: int) -> np.ndarray:
+    """R_d quasirandom ('plastic') sequence in [0,1)^dim."""
+    # Generalized golden ratio: x^(dim+1) = x + 1.
+    phi = 2.0
+    for _ in range(30):
+        phi = (1 + phi) ** (1.0 / (dim + 1))
+    alpha = np.array([1.0 / phi ** (k + 1) for k in range(dim)])
+    idx = np.arange(1, n + 1)[:, None]
+    return (0.5 + idx * alpha[None, :]) % 1.0
+
+
+def _region_points(region, u: np.ndarray) -> np.ndarray:
+    """Map unit-cube samples to integer voxel coords of a region."""
+    lo = np.array([region.x_min, region.y_min, region.z_min])
+    hi = np.array([region.x_max, region.y_max, region.z_max])
+    return np.minimum(
+        (lo + u * (hi - lo + 1)).astype(np.int64), hi
+    )
+
+
+def _pairs_to_series(stack, region_a, region_b, ua, ub):
+    pa = _region_points(region_a, ua)
+    pb = _region_points(region_b, ub)
+    sa = stack[pa[:, 2], pa[:, 1], pa[:, 0]]  # (S, n)
+    sb = stack[pb[:, 2], pb[:, 1], pb[:, 0]]
+    return sa, sb
+
+
+def _eval_max(sa, sb, measure, **kw):
+    vals = np.asarray(
+        ops.correlate(jnp.asarray(sa), jnp.asarray(sb), measure,
+                      absolute=True, **kw)
+    )
+    vals = vals[np.isfinite(vals)]
+    return float(vals.max()) if len(vals) else float("nan")
+
+
+def sample_mean(stack_means, region_a, region_b, measure, **kw):
+    """Mean method: correlation of the two downscaled block-mean series
+    (computeCorrelationsMean, HEBChartCorrelation.cpp:457)."""
+    ca = [int(round(c)) for c in region_a.center]
+    cb = [int(round(c)) for c in region_b.center]
+    sa = stack_means[ca[2], ca[1], ca[0]][None]
+    sb = stack_means[cb[2], cb[1], cb[0]][None]
+    return _eval_max(sa, sb, measure, **kw)
+
+
+def sample_random(stack, region_a, region_b, measure, num_samples=100,
+                  seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    ua = rng.random((num_samples, 3))
+    ub = rng.random((num_samples, 3))
+    sa, sb = _pairs_to_series(stack, region_a, region_b, ua, ub)
+    return _eval_max(sa, sb, measure, **kw)
+
+
+def sample_halton(stack, region_a, region_b, measure, num_samples=100, **kw):
+    idx = np.arange(1, num_samples + 1)
+    ua = np.stack([halton(idx, b) for b in (2, 3, 5)], axis=-1)
+    ub = np.stack([halton(idx, b) for b in (7, 11, 13)], axis=-1)
+    sa, sb = _pairs_to_series(stack, region_a, region_b, ua, ub)
+    return _eval_max(sa, sb, measure, **kw)
+
+
+def sample_plastic(stack, region_a, region_b, measure, num_samples=100, **kw):
+    u = plastic_sequence(num_samples, 6)
+    sa, sb = _pairs_to_series(stack, region_a, region_b, u[:, :3], u[:, 3:])
+    return _eval_max(sa, sb, measure, **kw)
+
+
+def sample_bayopt(stack, region_a, region_b, measure, num_samples=100,
+                  num_init=20, seed=0, **kw):
+    from correrender_tpu.diagrams.bayopt import bayesian_opt_max
+
+    return bayesian_opt_max(
+        stack, region_a, region_b, measure,
+        num_init=min(num_init, num_samples),
+        num_iters=max(num_samples - num_init, 0),
+        seed=seed, **kw,
+    )
+
+
+SAMPLING_METHODS = {
+    "mean": sample_mean,
+    "random": sample_random,
+    "halton": sample_halton,
+    "plastic": sample_plastic,
+    "bayesian": sample_bayopt,
+}
+
+
+def sample_block_pair_max(
+    stack, region_a, region_b, measure="pearson", method="plastic",
+    stack_means=None, **kw,
+):
+    """Estimate max |corr| between two regions with the chosen method."""
+    if method == "mean":
+        if stack_means is None:
+            raise ValueError("mean method needs stack_means")
+        return sample_mean(stack_means, region_a, region_b, measure, **kw)
+    return SAMPLING_METHODS[method](stack, region_a, region_b, measure, **kw)
+
+
+def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",
+                              **kw):
+    """Ground truth: evaluate ALL voxel pairs (test harness use only)."""
+    def region_series(r):
+        sub = stack[
+            r.z_min : r.z_max + 1,
+            r.y_min : r.y_max + 1,
+            r.x_min : r.x_max + 1,
+        ]
+        return sub.reshape(-1, sub.shape[-1])
+
+    sa = region_series(region_a)
+    sb = region_series(region_b)
+    vals = np.asarray(
+        ops.correlate(
+            jnp.asarray(sa)[:, None, :], jnp.asarray(sb)[None, :, :],
+            measure, absolute=True, **kw,
+        )
+    )
+    vals = vals[np.isfinite(vals)]
+    return float(vals.max())

@@ -1,0 +1,74 @@
+"""Scatter-plot diagram of two scalar fields.
+
+Reference: src/Renderers/Diagram/Scatter/* — per-voxel (field A,
+field B) value pairs as a 2D scatter/density chart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from correrender_tpu.diagrams.svg import SvgCanvas
+from correrender_tpu.render.tf import TransferFunction
+
+
+def scatter_points(field_a: np.ndarray, field_b: np.ndarray,
+                   max_points: int = 4096, seed: int = 0):
+    """Finite (a, b) value pairs, subsampled for plotting."""
+    a = np.asarray(field_a).ravel()
+    b = np.asarray(field_b).ravel()
+    ok = np.isfinite(a) & np.isfinite(b)
+    a, b = a[ok], b[ok]
+    if len(a) > max_points:
+        idx = np.random.default_rng(seed).choice(
+            len(a), max_points, replace=False
+        )
+        a, b = a[idx], b[idx]
+    return a, b
+
+
+def render_scatter_svg(
+    field_a,
+    field_b,
+    labels=("field A", "field B"),
+    path=None,
+    size: int = 600,
+    colors=None,
+    point_radius: float = 2.0,
+) -> str:
+    """Scatter-plot SVG; ``colors`` is an optional per-point cluster id
+    array (colored via a categorical wheel, −1 = gray noise)."""
+    a, b = (np.asarray(field_a).ravel(), np.asarray(field_b).ravel())
+    margin = 50
+    span = size - 2 * margin
+    canvas = SvgCanvas(size, size)
+
+    def norm(v):
+        lo, hi = np.nanmin(v), np.nanmax(v)
+        return (v - lo) / (hi - lo + 1e-30)
+
+    xs = margin + norm(a) * span
+    ys = size - margin - norm(b) * span
+    wheel = np.array(
+        [
+            (0.85, 0.37, 0.01), (0.11, 0.62, 0.47), (0.46, 0.44, 0.70),
+            (0.91, 0.16, 0.54), (0.40, 0.65, 0.12), (0.90, 0.67, 0.01),
+            (0.65, 0.46, 0.11), (0.4, 0.4, 0.4),
+        ]
+    )
+    for i in range(len(xs)):
+        if colors is not None:
+            c = int(colors[i])
+            fill = (0.6, 0.6, 0.6) if c < 0 else tuple(wheel[c % len(wheel)])
+        else:
+            fill = (0.2, 0.4, 0.8)
+        canvas.circle(xs[i], ys[i], point_radius, fill=fill, opacity=0.7)
+    # Axes.
+    canvas.line(margin, size - margin, size - margin, size - margin,
+                color=(0, 0, 0))
+    canvas.line(margin, size - margin, margin, margin, color=(0, 0, 0))
+    canvas.text(size / 2, size - margin / 3, labels[0], size=13)
+    canvas.text(margin / 3, size / 2, labels[1], size=13, rotate=-90)
+    if path:
+        canvas.save(path)
+    return canvas.to_svg()

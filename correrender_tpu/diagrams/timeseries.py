@@ -1,0 +1,94 @@
+"""Time-series correlation heatmap (works without volume data).
+
+Reference: src/Renderers/Diagram/TimeSeriesCorrelation/* — loads a
+(samples × time [× window]) series set and renders the pairwise (or
+time-lag) correlation heatmap; its own NetCDF loader
+(TimeSeriesLoader.cpp:112-197) and optional neural estimator (covered
+by models/ here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from correrender_tpu import ops
+from correrender_tpu.render.tf import TransferFunction
+
+
+def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
+    """Load a (samples, time) series matrix from NetCDF3/4."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF":
+        import scipy.io
+
+        nc = scipy.io.netcdf_file(path, "r", mmap=False)
+        candidates = {
+            k: v for k, v in nc.variables.items() if v.data.ndim >= 2
+        }
+        name = variable or next(iter(candidates))
+        return np.asarray(candidates[name].data, np.float32)
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        name = variable or next(
+            k for k, v in f.items() if getattr(v, "ndim", 0) >= 2
+        )
+        return np.asarray(f[name][...], np.float32)
+
+
+def time_series_correlation(
+    series: np.ndarray,
+    measure: str = "pearson",
+    window: int | None = None,
+    **measure_kw,
+) -> np.ndarray:
+    """Pairwise correlation of (S, T) series → (S, S) heatmap.
+
+    With ``window``, computes the time-lag correlation map instead:
+    out[i, lag] = corr(series[i, :T-window], shifted window at lag).
+    """
+    s = np.asarray(series, np.float32)
+    if window is None:
+        x = jnp.asarray(s)
+        return np.asarray(
+            ops.correlate(
+                x[:, None, :], x[None, :, :], measure, **measure_kw
+            )
+        )
+    num_lags = s.shape[1] - window + 1
+    base = jnp.asarray(s[:, :window])
+    lags = jnp.stack(
+        [jnp.asarray(s[:, k : k + window]) for k in range(num_lags)], axis=1
+    )  # (S, L, window)
+    return np.asarray(
+        ops.correlate(base[:, None, :], lags, measure, **measure_kw)
+    )
+
+
+def render_heatmap_svg(matrix: np.ndarray, path=None, size: int = 600,
+                       colormap: str = "coolwarm", domain=(-1.0, 1.0)) -> str:
+    from correrender_tpu.diagrams.svg import SvgCanvas
+
+    tf = TransferFunction.from_colormap(colormap, domain=(0, 1))
+    lut = np.asarray(tf.lut)
+    rows, cols = matrix.shape
+    cell_w = size / cols
+    cell_h = size / rows
+    canvas = SvgCanvas(size, size)
+    lo, hi = domain
+    for i in range(rows):
+        for j in range(cols):
+            v = matrix[i, j]
+            if not np.isfinite(v):
+                color = (0.5, 0.5, 0.5)
+            else:
+                t = float(np.clip((v - lo) / (hi - lo), 0, 1))
+                color = tuple(lut[int(t * 255)][:3])
+            canvas.rect(j * cell_w, i * cell_h, cell_w + 0.5, cell_h + 0.5,
+                        fill=color)
+    if path:
+        canvas.save(path)
+    return canvas.to_svg()

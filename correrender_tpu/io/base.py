@@ -1,0 +1,183 @@
+"""Loader protocol and registry.
+
+Mirrors the reference's ``VolumeLoader`` contract
+(src/Loaders/VolumeLoader.hpp:40-52): ``open()`` reads metadata only
+(grid dims, field names, time/member counts); voxel data is pulled
+lazily per (field, time, member). Loaders for per-member file series
+reuse the first file's metadata (VolumeLoader.hpp:49-51).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+_LOADER_REGISTRY: dict[str, type] = {}
+
+
+def register_loader(cls):
+    """Class decorator: register under ``cls.extensions``."""
+    for ext in cls.extensions:
+        _LOADER_REGISTRY[ext.lower()] = cls
+    return cls
+
+
+def loader_for_path(path: str):
+    """Instantiate the right loader for a file path."""
+    base = path.rstrip("/")
+    ext = os.path.splitext(base)[1].lstrip(".").lower()
+    if not ext and base.endswith(".zarr"):
+        ext = "zarr"
+    cls = _LOADER_REGISTRY.get(ext)
+    if cls is None:
+        raise ValueError(
+            f"no loader for extension {ext!r} (path {path!r}); "
+            f"known: {sorted(_LOADER_REGISTRY)}"
+        )
+    return cls()
+
+
+class VolumeLoader:
+    """Base loader: subclasses fill the metadata attributes in open()."""
+
+    extensions: tuple = ()
+
+    def __init__(self):
+        self.path: Optional[str] = None
+        self.xs = self.ys = self.zs = 0
+        self.ts = 1
+        self.es = 1
+        self.dx = self.dy = self.dz = 1.0
+        self.field_names: list[str] = []
+        self.lat = None
+        self.lon = None
+        self.height = None
+
+    # -- protocol --------------------------------------------------------
+
+    def open(self, path: str, dataset_info=None) -> "VolumeLoader":
+        raise NotImplementedError
+
+    def load_field(self, name: str, time: int = 0, member: int = 0) -> np.ndarray:
+        """Return one (Z, Y, X) float32 slab."""
+        raise NotImplementedError
+
+    # -- helpers ---------------------------------------------------------
+
+    def apply_transforms(self, arr: np.ndarray, dataset_info=None) -> np.ndarray:
+        """Catalog-driven transforms: scale, subsampling, subselection,
+        format cast (DataSetList.cpp:60-305)."""
+        if dataset_info is None:
+            return arr
+        info = dataset_info
+        if info.domain_subselection is not None:
+            (x0, y0, z0), (x1, y1, z1) = info.domain_subselection
+            arr = arr[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
+        f = info.subsampling_factor
+        if f and f > 1:
+            arr = arr[::f, ::f, ::f]
+        if info.scale is not None:
+            arr = arr * np.float32(info.scale)
+        if info.format_cast is not None:
+            arr = arr.astype(info.format_cast).astype(np.float32)
+        return arr
+
+    def grid_metadata(self, dataset_info=None):
+        from correrender_tpu.core.fields import GridMetadata
+
+        xs, ys, zs = self.xs, self.ys, self.zs
+        dx, dy, dz = self.dx, self.dy, self.dz
+        if dataset_info is not None:
+            f = dataset_info.subsampling_factor
+            if dataset_info.domain_subselection is not None:
+                (x0, y0, z0), (x1, y1, z1) = dataset_info.domain_subselection
+                xs, ys, zs = x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1
+            if f and f > 1:
+                xs, ys, zs = -(-xs // f), -(-ys // f), -(-zs // f)
+                dx, dy, dz = dx * f, dy * f, dz * f
+        return GridMetadata(
+            xs=xs, ys=ys, zs=zs, ts=self.ts, es=self.es,
+            dx=dx, dy=dy, dz=dz,
+        )
+
+
+def load_volume(paths, dataset_info=None, cache_bytes=None):
+    """Open file(s) and wire them into a :class:`VolumeData`.
+
+    Mirrors ``VolumeData::setInputFiles`` (VolumeData.cpp:645-747):
+    a single path yields one loader; a list of paths is a per-member
+    (or per-timestep) file series with metadata reuse; u/v/w fields
+    auto-register the velocity calculators.
+    """
+    from correrender_tpu.core.fields import VolumeData
+
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [str(paths)]
+    paths = [str(p) for p in paths]
+
+    loaders = []
+    first = None
+    for p in paths:
+        ld = loader_for_path(p)
+        ld.open(p, dataset_info)
+        if first is None:
+            first = ld
+        loaders.append(ld)
+
+    es = first.es
+    ts = first.ts
+    if len(paths) > 1:
+        # File series: one file per member (time_steps from catalog).
+        if dataset_info is not None and dataset_info.time_steps:
+            ts = dataset_info.time_steps
+        es = len(paths) // max(ts, 1) if first.es == 1 else first.es * len(paths)
+
+    grid = first.grid_metadata(dataset_info)
+    grid = type(grid)(
+        xs=grid.xs, ys=grid.ys, zs=grid.zs, ts=ts, es=es,
+        dx=grid.dx, dy=grid.dy, dz=grid.dz,
+    )
+    vd = VolumeData(grid, cache_bytes=cache_bytes)
+    vd.loaders = loaders
+    vd.lat, vd.lon, vd.height = first.lat, first.lon, first.height
+
+    def make_provider(name):
+        def provider(t, e, _name=name):
+            if len(loaders) > 1:
+                ld = loaders[e] if ts == 1 else loaders[e * ts + t]
+                arr = ld.load_field(_name, 0, 0)
+            else:
+                arr = first.load_field(_name, t, e)
+            arr = first.apply_transforms(arr, dataset_info)
+            return np.ascontiguousarray(arr, np.float32)
+
+        return provider
+
+    for name in first.field_names:
+        vd.add_field(name, make_provider(name))
+
+    _auto_register_velocity(vd)
+    return vd
+
+
+def _auto_register_velocity(vd):
+    """u/v/w (or U/V/W) present → register velocity-derived calculators
+    (VolumeData.cpp:715-747)."""
+    names = set(vd.field_names)
+    for u, v, w in (("u", "v", "w"), ("U", "V", "W")):
+        if {u, v, w} <= names:
+            from correrender_tpu.calculators.velocity import (
+                HelicityCalculator,
+                VelocityMagnitudeCalculator,
+                VorticityCalculator,
+            )
+
+            for cls in (
+                VelocityMagnitudeCalculator,
+                VorticityCalculator,
+                HelicityCalculator,
+            ):
+                vd.add_calculator(cls(u=u, v=v, w=w))
+            return

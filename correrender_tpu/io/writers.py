@@ -1,0 +1,110 @@
+"""Volume/field writers: NetCDF3, .cvol, mesh .obj/.stl.
+
+Reference: src/Export/ (NetCdfWriter, CvolWriter, WriteMesh) reached
+through ``VolumeData::saveFieldToFile`` (VolumeData.cpp:2454). Derived
+fields exported here reload through the loaders — the framework's
+compute-checkpoint mechanism (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def write_netcdf(path: str, field: np.ndarray, name: str = "data",
+                 lat=None, lon=None, height=None):
+    """Write (Z, Y, X) / (T, Z, Y, X) / (E, T, Z, Y, X) float32 as
+    NetCDF3 classic (readable by the reference's netCDF loader)."""
+    import scipy.io
+
+    field = np.asarray(field, np.float32)
+    nc = scipy.io.netcdf_file(path, "w")
+    try:
+        dim_names_all = ("member", "time", "lev", "lat", "lon")
+        dim_names = dim_names_all[-field.ndim:]
+        for dname, size in zip(dim_names, field.shape):
+            nc.createDimension(dname, size)
+        for cname, values in (("lat", lat), ("lon", lon), ("lev", height)):
+            if values is not None and cname in dim_names:
+                var = nc.createVariable(cname, "f", (cname,))
+                var[:] = np.asarray(values, np.float32)
+        var = nc.createVariable(name, "f", dim_names)
+        var[:] = field
+    finally:
+        nc.close()
+
+
+_CVOL_HEADER = struct.Struct("<4s3q3dIQ")
+_CVOL_IDS = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
+             np.dtype(np.float32): 2}
+
+
+def write_cvol(path: str, field: np.ndarray, voxel_size=(1.0, 1.0, 1.0)):
+    """Write (Z, Y, X) volume in the group-internal .cvol format
+    (header layout from reference CvolLoader.hpp:34-46)."""
+    field = np.asarray(field)
+    if field.dtype not in _CVOL_IDS:
+        field = field.astype(np.float32)
+    zs, ys, xs = field.shape
+    header = _CVOL_HEADER.pack(
+        b"cvol", xs, ys, zs,
+        voxel_size[0], voxel_size[1], voxel_size[2],
+        _CVOL_IDS[field.dtype], 0,
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        field.tofile(f)
+
+
+def write_obj(path: str, vertices: np.ndarray, triangles: np.ndarray,
+              normals: np.ndarray | None = None):
+    """Wavefront OBJ triangle mesh (reference: Export/WriteMesh.cpp)."""
+    with open(path, "w") as f:
+        f.write("# correrender_tpu isosurface mesh\n")
+        for v in vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        if normals is not None:
+            for n in normals:
+                f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+        for t in triangles:
+            a, b, c = int(t[0]) + 1, int(t[1]) + 1, int(t[2]) + 1
+            if normals is not None:
+                f.write(f"f {a}//{a} {b}//{b} {c}//{c}\n")
+            else:
+                f.write(f"f {a} {b} {c}\n")
+
+
+def write_stl(path: str, vertices: np.ndarray, triangles: np.ndarray):
+    """Binary STL triangle mesh."""
+    vertices = np.asarray(vertices, np.float32)
+    triangles = np.asarray(triangles, np.int64)
+    tri_pts = vertices[triangles]  # (T, 3, 3)
+    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(norm > 0, n / np.maximum(norm, 1e-30), 0.0).astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(triangles)))
+        for i in range(len(triangles)):
+            f.write(n[i].tobytes())
+            f.write(tri_pts[i].astype(np.float32).tobytes())
+            f.write(struct.pack("<H", 0))
+
+
+def save_field(volume_data, field_name: str, path: str,
+               time: int = 0, member: int = 0):
+    """Export one field slab by extension (.nc / .cvol), the analogue of
+    VolumeData::saveFieldToFile."""
+    arr = np.asarray(volume_data.get_field(field_name, time, member))
+    if path.endswith(".nc"):
+        write_netcdf(path, arr, name=field_name.replace(" ", "_"),
+                     lat=getattr(volume_data, "lat", None),
+                     lon=getattr(volume_data, "lon", None),
+                     height=getattr(volume_data, "height", None))
+    elif path.endswith(".cvol"):
+        g = volume_data.grid
+        write_cvol(path, arr, (g.dx, g.dy, g.dz))
+    else:
+        raise ValueError(f"unsupported export extension for {path!r}")

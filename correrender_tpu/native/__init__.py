@@ -1,0 +1,52 @@
+"""Native (C++) runtime components, built on demand with the system
+toolchain and loaded via ctypes.
+
+The reference implements its host-side hot paths in C++
+(src/Calculators/Correlation.cpp, the IsosurfaceCpp submodule, loaders);
+here native code covers the same roles where host-side performance
+matters: the CPU baseline measurement, marching-cubes mesh extraction,
+and binary volume-file codecs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CACHE: dict[str, ctypes.CDLL] = {}
+
+
+def build_and_load(name: str, extra_flags=()) -> ctypes.CDLL:
+    """Compile ``<name>.cpp`` into a shared library (cached) and load it."""
+    if name in _CACHE:
+        return _CACHE[name]
+    src = os.path.join(_DIR, f"{name}.cpp")
+    lib = os.path.join(_DIR, f"lib{name}.so")
+    if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            *extra_flags, "-o", lib, src,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+    dll = ctypes.CDLL(lib)
+    _CACHE[name] = dll
+    return dll
+
+
+def cpu_baseline():
+    """The CPU Pearson-throughput baseline library."""
+    dll = build_and_load("cpu_baseline")
+    dll.pearson_throughput_cpu.restype = ctypes.c_double
+    dll.pearson_throughput_cpu.argtypes = [ctypes.c_int64, ctypes.c_int]
+    dll.pearson_field_cpu.restype = None
+    dll.pearson_field_cpu.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    return dll

@@ -45,7 +45,12 @@ _KEY_QUERY = jax.random.key(864730169)
 
 
 def _add_noise(v: jnp.ndarray, key) -> jnp.ndarray:
-    noise = jax.random.uniform(key, v.shape, jnp.float32)
+    # The reference re-seeds its generators per voxel, so the noise
+    # vector is a function of the member index only — identical for
+    # every voxel (MutualInformation.cpp:410-424). Mirror that: draw
+    # (n,) once and broadcast, which also keeps sharded and dense
+    # evaluations bit-identical.
+    noise = jax.random.uniform(key, (v.shape[-1],), jnp.float32)
     return v + noise * NOISE_AMPLITUDE
 
 

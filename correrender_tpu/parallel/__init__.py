@@ -1,0 +1,26 @@
+"""Multi-chip parallelism: meshes, shardings, distributed estimators.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.11);
+this layer is new TPU-native design. Two mesh axes:
+
+* ``"space"`` — voxel-parallel: the volume's Z axis is block-sharded;
+  per-voxel estimators need no communication (halo exchange only for
+  spatial stencils / trilinear sampling at shard edges).
+* ``"members"`` — member-parallel for huge ensembles: moment-based
+  measures (Pearson) reduce partial sums with ``psum``; rank/kNN
+  measures ``all_gather`` the member axis per voxel block.
+"""
+
+from correrender_tpu.parallel.mesh import (
+    make_mesh,
+    shard_member_stack,
+    volume_sharding,
+)
+from correrender_tpu.parallel.pearson_sharded import pearson_member_sharded
+
+__all__ = [
+    "make_mesh",
+    "shard_member_stack",
+    "volume_sharding",
+    "pearson_member_sharded",
+]

@@ -1,0 +1,111 @@
+"""Distributed Pearson correlation via psum moment accumulation.
+
+New TPU-native design (no reference analogue — SURVEY.md §5.7): with
+the member axis sharded over the ``members`` mesh axis, each device
+accumulates partial raw moments of its member slice; a single ``psum``
+over the mesh axis combines them:
+
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)(n·Σyy − Σy²))
+
+Five scalars per voxel cross the ICI instead of the member series —
+the moral equivalent of ring attention's blockwise reduction for the
+"long axis" of this workload (the ensemble axis; SURVEY.md §5.7).
+
+Rank/kNN measures instead ``all_gather`` the member axis per voxel
+block (members ≤ a few thousand — cheap relative to the O(n²) math).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from correrender_tpu.ops.registry import CorrelationMeasure, measure_from_id
+
+
+def pearson_member_sharded(
+    stack: jnp.ndarray,
+    ref: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Pearson field with (Z, Y, X, E) sharded (space, -, -, members).
+
+    Args:
+      stack: member stack, sharded or shardable over ``mesh``.
+      ref: ``(E,)`` reference series (sharded over ``members``).
+      mesh: 2D ("space", "members") mesh.
+
+    Returns:
+      ``(Z, Y, X)`` field sharded over "space", replicated over
+      "members".
+    """
+    n = stack.shape[-1]
+
+    def local_moments(stack_blk, ref_blk):
+        # stack_blk: (Zb, Y, X, Eb); ref_blk: (Eb,)
+        x = ref_blk.astype(jnp.float32)
+        y = stack_blk.astype(jnp.float32)
+        sum_x = jnp.sum(x)
+        sum_xx = jnp.sum(x * x)
+        sum_y = jnp.sum(y, axis=-1)
+        sum_yy = jnp.sum(y * y, axis=-1)
+        sum_xy = jnp.einsum("zyxe,e->zyx", y, x)
+        # Combine partials across the member shards.
+        sum_x = jax.lax.psum(sum_x, "members")
+        sum_xx = jax.lax.psum(sum_xx, "members")
+        sum_y = jax.lax.psum(sum_y, "members")
+        sum_yy = jax.lax.psum(sum_yy, "members")
+        sum_xy = jax.lax.psum(sum_xy, "members")
+        nn = jnp.float32(n)
+        num = nn * sum_xy - sum_x * sum_y
+        den = jnp.sqrt(
+            (nn * sum_xx - sum_x * sum_x) * (nn * sum_yy - sum_y * sum_y)
+        )
+        return num / den
+
+    fn = shard_map(
+        local_moments,
+        mesh=mesh,
+        in_specs=(P("space", None, None, "members"), P("members")),
+        out_specs=P("space", None, None),
+    )
+    return fn(stack, ref)
+
+
+def correlate_member_sharded(
+    stack: jnp.ndarray,
+    ref: jnp.ndarray,
+    mesh: Mesh,
+    measure="pearson",
+    **kwargs,
+) -> jnp.ndarray:
+    """General sharded correlation.
+
+    Pearson uses the psum moment path; all other measures all_gather
+    the member axis inside each space shard and run the dense
+    estimator locally (member series are small; the O(n²)/sort math
+    dominates).
+    """
+    m = measure_from_id(measure)
+    if m == CorrelationMeasure.PEARSON:
+        return pearson_member_sharded(stack, ref, mesh)
+
+    from correrender_tpu.calculators.correlation import correlate_field
+
+    def local(stack_blk, ref_blk):
+        full_stack = jax.lax.all_gather(
+            stack_blk, "members", axis=-1, tiled=True
+        )
+        full_ref = jax.lax.all_gather(ref_blk, "members", axis=0, tiled=True)
+        return correlate_field(full_stack, full_ref, m, **kwargs)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("space", None, None, "members"), P("members")),
+        out_specs=P("space", None, None),
+        check_rep=False,
+    )
+    return fn(stack, ref)

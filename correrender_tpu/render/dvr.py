@@ -1,0 +1,167 @@
+"""Direct volume rendering: jittable ray-marcher.
+
+Faithful to the reference's DVR compute shader semantics
+(Data/Shaders/Renderers/DVR/DvrShader.glsl:70-140):
+
+* per-pixel rays from the inverse view/projection matrices;
+* AABB entry/exit via the slab test; camera inside the box starts the
+  march at the origin;
+* fixed world step = voxel_relative_step · min(voxel extent)
+  (DvrRenderer.cpp:363-369, default 0.1);
+* per step: trilinear sample → transfer function →
+  ``alpha = 1 − exp(−tf_alpha · Δt · attenuation)`` → front-to-back
+  OVER blending in premultiplied alpha (Blending.glsl:37-42);
+* early termination at accumulated alpha > 0.99 (here: saturation
+  masking — XLA prefers a fixed trip count over divergent exits);
+* background blend, then un-premultiply on store.
+
+TPU-native notes: the marcher is written image-at-a-time — each
+``fori_loop`` iteration advances *all* rays one step and does one
+batched trilinear gather, keeping the VPU full. It is differentiable
+(used by the DiffDVR transfer-function optimizer via ``jax.grad``,
+replacing the reference's hand-written adjoint pass
+Data/Shaders/TF/DvrAdjoint.glsl).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.render.sampling import sample_trilinear, ray_box_intersect
+
+
+def num_steps_for(box_min, box_max, step_size_world: float) -> int:
+    """Static step count covering the box diagonal."""
+    diag = float(np.linalg.norm(np.asarray(box_max) - np.asarray(box_min)))
+    return max(int(math.ceil(diag / step_size_world)) + 1, 2)
+
+
+def world_step_size(grid_shape_zyx, box_min, box_max, voxel_step: float) -> float:
+    """stepSize_world = voxel_step · min voxel extent (DvrRenderer.cpp:363-369)."""
+    zs, ys, xs = grid_shape_zyx
+    dims = np.asarray(box_max, np.float32) - np.asarray(box_min, np.float32)
+    voxel = np.array([dims[0] / xs, dims[1] / ys, dims[2] / zs])
+    return float(voxel.min() * voxel_step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps",),
+)
+def dvr_composite(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    directions: jnp.ndarray,
+    box_min: jnp.ndarray,
+    box_max: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    tf_domain: jnp.ndarray,
+    step_size: jnp.ndarray,
+    attenuation: jnp.ndarray,
+    background: jnp.ndarray,
+    num_steps: int,
+) -> jnp.ndarray:
+    """Core compositing loop. Returns straight-alpha RGBA (H, W, 4)."""
+    t_near, t_far, hit = ray_box_intersect(origin, directions, box_min, box_max)
+    # Camera inside the box: start at the origin (tNear<0 → t=0).
+    t_start = jnp.maximum(t_near, 0.0)
+    march_len = t_far - t_start
+
+    res = tf_lut.shape[0]
+    vmin, vmax = tf_domain[0], tf_domain[1]
+    extent = box_max - box_min
+
+    def body(i, acc):
+        rgb, a = acc
+        t = t_start + i * step_size
+        p = origin + directions * t[..., None]
+        tex = (p - box_min) / extent
+        scalar = sample_trilinear(volume, tex)
+        # Transfer-function lookup (1D LUT, linear filter).
+        u = jnp.clip((scalar - vmin) / (vmax - vmin), 0.0, 1.0) * (res - 1)
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res - 2)
+        frac = (u - i0.astype(jnp.float32))[..., None]
+        rgba = tf_lut[i0] * (1.0 - frac) + tf_lut[i0 + 1] * frac
+        # NaN scalars contribute nothing (NaN handling mode "ignore").
+        rgba = jnp.where(jnp.isnan(scalar)[..., None], 0.0, rgba)
+        alpha = 1.0 - jnp.exp(-rgba[..., 3] * step_size * attenuation)
+        # Masked steps: outside the march interval or missed the box.
+        active = hit & ((i * step_size) < march_len)
+        alpha = jnp.where(active, alpha, 0.0)
+        # Front-to-back OVER, premultiplied accumulation.
+        w = (1.0 - a) * alpha
+        rgb = rgb + w[..., None] * rgba[..., :3]
+        a = a + w
+        return rgb, a
+
+    h, w = directions.shape[:2]
+    rgb0 = jnp.zeros((h, w, 3), jnp.float32)
+    a0 = jnp.zeros((h, w), jnp.float32)
+    rgb, a = jax.lax.fori_loop(0, num_steps, body, (rgb0, a0))
+
+    # Blend with background (straight alpha), then un-premultiply.
+    bg = jnp.broadcast_to(background, (h, w, 4))
+    rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
+    a = a + (1.0 - a) * bg[..., 3]
+    safe_a = jnp.maximum(a, 1e-6)
+    return jnp.concatenate([rgb / safe_a[..., None], a[..., None]], axis=-1)
+
+
+def dvr_render(
+    volume: jnp.ndarray,
+    camera,
+    transfer_function,
+    image_size=(512, 512),
+    box=None,
+    voxel_step: float = 0.1,
+    attenuation: float = 100.0,
+    background=(0.0, 0.0, 0.0, 1.0),
+) -> jnp.ndarray:
+    """Render a scalar volume with DVR.
+
+    Args:
+      volume: ``(Z, Y, X)`` scalar field.
+      camera: :class:`correrender_tpu.render.camera.Camera`.
+      transfer_function: :class:`...render.tf.TransferFunction`.
+      image_size: ``(width, height)``.
+      box: optional ``(box_min, box_max)`` render AABB; defaults to the
+        normalized ±0.25 box of the volume dims (VolumeData.cpp:322-330).
+      voxel_step: step size in voxel units (reference default 0.1).
+      attenuation: attenuation coefficient (reference default 100).
+      background: RGBA background color.
+
+    Returns:
+      ``(H, W, 4)`` straight-alpha RGBA image.
+    """
+    zs, ys, xs = volume.shape
+    if box is None:
+        dims = np.array(
+            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
+        )
+        normalized = dims / dims.max()
+        box = (-0.25 * normalized, 0.25 * normalized)
+    box_min, box_max = np.asarray(box[0], np.float32), np.asarray(
+        box[1], np.float32
+    )
+    step = world_step_size(volume.shape, box_min, box_max, voxel_step)
+    steps = num_steps_for(box_min, box_max, step)
+    width, height = image_size
+    origin, directions = camera.rays(width, height)
+    return dvr_composite(
+        volume,
+        origin,
+        directions,
+        jnp.asarray(box_min),
+        jnp.asarray(box_max),
+        transfer_function.lut,
+        jnp.asarray(transfer_function.domain, jnp.float32),
+        jnp.float32(step),
+        jnp.float32(attenuation),
+        jnp.asarray(background, jnp.float32),
+        steps,
+    )

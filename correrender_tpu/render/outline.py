@@ -1,0 +1,84 @@
+"""Domain-outline renderer: the AABB wireframe.
+
+Reference: src/Renderers/DomainOutlineRenderer.* — a rasterized box
+outline. Here the 12 box edges are projected to screen space and drawn
+with an analytic distance-to-segment falloff (anti-aliased, vectorized
+over pixels — no triangle rasterizer needed).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _project(points, view, proj, width, height):
+    """World → pixel coordinates (+depth)."""
+    p4 = np.concatenate([points, np.ones((len(points), 1))], axis=-1)
+    clip = (proj @ (view @ p4.T)).T
+    ndc = clip[:, :3] / clip[:, 3:4]
+    px = (ndc[:, 0] * 0.5 + 0.5) * width
+    py = (0.5 - ndc[:, 1] * 0.5) * height
+    return np.stack([px, py], axis=-1), clip[:, 3]
+
+
+_EDGES = [
+    (0, 1), (1, 3), (3, 2), (2, 0),
+    (4, 5), (5, 7), (7, 6), (6, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+
+
+def outline_render(
+    camera,
+    box,
+    image_size=(512, 512),
+    color=(1.0, 1.0, 1.0, 1.0),
+    line_width: float = 1.5,
+    base_image=None,
+) -> jnp.ndarray:
+    """Draw the box wireframe, optionally over ``base_image``."""
+    box_min, box_max = np.asarray(box[0]), np.asarray(box[1])
+    corners = np.array(
+        [
+            [
+                box_min[0] if i & 1 == 0 else box_max[0],
+                box_min[1] if i & 2 == 0 else box_max[1],
+                box_min[2] if i & 4 == 0 else box_max[2],
+            ]
+            for i in range(8)
+        ],
+        np.float32,
+    )
+    width, height = image_size
+    view = camera.view_matrix()
+    proj = np.linalg.inv(camera.inverse_projection_matrix(width / height))
+    pts, w_clip = _project(corners, view, proj, width, height)
+
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    pix = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+
+    coverage = jnp.zeros((height, width), jnp.float32)
+    for a, b in _EDGES:
+        if w_clip[a] <= 0 or w_clip[b] <= 0:
+            continue  # behind the camera — skip (no clipping for now)
+        pa = jnp.asarray(pts[a], jnp.float32)
+        pb = jnp.asarray(pts[b], jnp.float32)
+        ab = pb - pa
+        denom = jnp.maximum(jnp.dot(ab, ab), 1e-9)
+        t = jnp.clip(jnp.sum((pix - pa) * ab, axis=-1) / denom, 0.0, 1.0)
+        closest = pa + t[..., None] * ab
+        d = jnp.linalg.norm(pix - closest, axis=-1)
+        coverage = jnp.maximum(
+            coverage, jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
+        )
+
+    col = jnp.asarray(color, jnp.float32)
+    if base_image is None:
+        base_image = jnp.zeros((height, width, 4), jnp.float32)
+    cov = (coverage * col[3])[..., None]
+    rgb = cov * col[:3] + (1 - cov) * base_image[..., :3]
+    alpha = jnp.maximum(cov[..., 0], base_image[..., 3])
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -1,0 +1,103 @@
+"""Slice renderer: transfer-function-mapped planes through the volume.
+
+Reference: src/Renderers/SliceRenderer.* + Slice.glsl — an axis-aligned
+or oblique textured plane. Two modes here:
+
+* :func:`slice_image` — direct 2D extraction of an axis-aligned slice
+  (the common headless use);
+* :func:`slice_render_3d` — the plane embedded in the 3D scene via a
+  one-step ray/plane intersection, composited over a background image.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.render.sampling import sample_trilinear
+
+_AXES = {"x": 0, "y": 1, "z": 2}
+
+
+def slice_image(
+    volume: jnp.ndarray,
+    transfer_function,
+    axis: str = "z",
+    position: float = 0.5,
+    resolution=None,
+) -> jnp.ndarray:
+    """Extract an axis-aligned slice, TF-mapped to RGBA.
+
+    Args:
+      volume: ``(Z, Y, X)``.
+      axis: "x", "y" or "z" (slice normal).
+      position: normalized [0, 1] position along the axis.
+      resolution: optional (W, H) of the output; defaults to grid dims.
+    """
+    a = _AXES[axis]
+    zs, ys, xs = volume.shape
+    plane_dims = {
+        0: (ys, zs),  # x-normal: (y, z) plane
+        1: (xs, zs),
+        2: (xs, ys),
+    }[a]
+    w, h = resolution or plane_dims
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    gu, gv = jnp.meshgrid(u, v)
+    p = jnp.full_like(gu, position)
+    if a == 0:
+        coords = jnp.stack([p, gu, gv], axis=-1)
+    elif a == 1:
+        coords = jnp.stack([gu, p, gv], axis=-1)
+    else:
+        coords = jnp.stack([gu, gv, p], axis=-1)
+    scalars = sample_trilinear(volume, coords)
+    return transfer_function(scalars)
+
+
+def slice_render_3d(
+    volume: jnp.ndarray,
+    camera,
+    transfer_function,
+    axis: str = "z",
+    position: float = 0.5,
+    image_size=(512, 512),
+    box=None,
+    background=(0.0, 0.0, 0.0, 1.0),
+) -> jnp.ndarray:
+    """Render the slice plane into a 3D view (single intersection)."""
+    zs, ys, xs = volume.shape
+    if box is None:
+        dims = np.array(
+            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
+        )
+        normalized = dims / dims.max()
+        box = (-0.25 * normalized, 0.25 * normalized)
+    box_min = jnp.asarray(box[0], jnp.float32)
+    box_max = jnp.asarray(box[1], jnp.float32)
+    a = _AXES[axis]
+    plane_coord = box_min[a] + position * (box_max[a] - box_min[a])
+
+    width, height = image_size
+    origin, directions = camera.rays(width, height)
+    denom = directions[..., a]
+    t = (plane_coord - origin[a]) / jnp.where(
+        jnp.abs(denom) < 1e-9, 1e-9, denom
+    )
+    p = origin + directions * t[..., None]
+    tex = (p - box_min) / (box_max - box_min)
+    in_bounds = (
+        (t > 0)
+        & jnp.all(tex >= 0.0, axis=-1)
+        & jnp.all(tex <= 1.0, axis=-1)
+    )
+    scalars = sample_trilinear(volume, tex)
+    rgba = transfer_function(scalars)
+    bg = jnp.broadcast_to(
+        jnp.asarray(background, jnp.float32), rgba.shape
+    )
+    mask = (in_bounds.astype(jnp.float32) * rgba[..., 3])[..., None]
+    rgb = mask * rgba[..., :3] + (1 - mask) * bg[..., :3]
+    alpha = jnp.maximum(mask[..., 0], bg[..., 3])
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

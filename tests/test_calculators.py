@@ -1,0 +1,224 @@
+"""VolumeData / cache / calculator tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from correrender_tpu.core import GridMetadata, VolumeData
+from correrender_tpu.core.cache import LRUFieldCache
+from correrender_tpu import calculators as calc
+from correrender_tpu.utils import fixtures
+
+
+def make_volume(members=20, xs=8, ys=8, zs=4, seed=0):
+    data = fixtures.synth_box_ensemble(
+        xs=xs, ys=ys, zs=zs, members=members, seed=seed
+    )
+    grid = GridMetadata(xs=xs, ys=ys, zs=zs, ts=1, es=members)
+    vd = VolumeData(grid)
+    vd.add_field("data", lambda t, e: data[e])
+    return vd, data
+
+
+class TestCache:
+    def test_lru_eviction(self):
+        cache = LRUFieldCache(max_bytes=3 * 4 * 10)  # three 10-float slabs
+        for i in range(4):
+            cache.put(("f", 0, i), jnp.ones(10))
+        assert ("f", 0, 0) not in cache
+        assert ("f", 0, 3) in cache
+
+    def test_lru_order_updates_on_get(self):
+        cache = LRUFieldCache(max_bytes=2 * 4 * 10)
+        cache.put(("f", 0, 0), jnp.ones(10))
+        cache.put(("f", 0, 1), jnp.ones(10))
+        cache.get(("f", 0, 0))  # refresh
+        cache.put(("f", 0, 2), jnp.ones(10))
+        assert ("f", 0, 0) in cache
+        assert ("f", 0, 1) not in cache
+
+    def test_invalidate_field(self):
+        cache = LRUFieldCache()
+        cache.put(("a", 0, 0), jnp.ones(4))
+        cache.put(("b", 0, 0), jnp.ones(4))
+        cache.invalidate_field("a")
+        assert ("a", 0, 0) not in cache
+        assert ("b", 0, 0) in cache
+
+    def test_aux_token(self):
+        cache = LRUFieldCache(max_bytes=100 * 4)
+        with cache.reserve_auxiliary(200):
+            cache.put(("f", 0, 0), jnp.ones(60))
+            cache.put(("f", 0, 1), jnp.ones(60))
+            # Budget shrunk to 200 bytes → only one 240-byte slab kept...
+            assert len(cache) <= 1
+        assert cache._aux_reserved == 0
+
+
+class TestVolumeData:
+    def test_lazy_access_and_cache(self):
+        vd, data = make_volume()
+        calls = []
+        vd.add_field("counted", lambda t, e: (calls.append(e), data[e])[1])
+        vd.get_field("counted", 0, 3)
+        vd.get_field("counted", 0, 3)
+        assert calls == [3]
+
+    def test_member_stack_layout(self):
+        vd, data = make_volume(members=5)
+        stack = np.asarray(vd.get_member_stack("data"))
+        assert stack.shape == (4, 8, 8, 5)
+        np.testing.assert_allclose(stack[..., 2], data[2], rtol=1e-6)
+
+    def test_unknown_field_raises(self):
+        vd, _ = make_volume()
+        with pytest.raises(KeyError):
+            vd.get_field("nope")
+
+    def test_min_max(self):
+        vd, data = make_volume()
+        mn, mx = vd.get_min_max("data", 0, 0)
+        assert mn == pytest.approx(float(data[0].min()), rel=1e-6)
+        assert mx == pytest.approx(float(data[0].max()), rel=1e-6)
+
+    def test_render_box_normalized(self):
+        grid = GridMetadata(xs=100, ys=50, zs=25)
+        bmin, bmax = grid.render_box()
+        np.testing.assert_allclose(bmax[0], 0.25, atol=1e-6)
+        assert bmax[1] == pytest.approx(0.25 * 49 / 99, abs=1e-6)
+
+
+class TestCalculators:
+    def test_correlation_calculator_virtual_field(self):
+        vd, data = make_volume(members=40)
+        c = calc.CorrelationCalculator(
+            field_name="data", measure="pearson", reference_point=(2, 2, 2)
+        )
+        vd.add_calculator(c)
+        field = np.asarray(vd.get_field(c.output_name))
+        assert field.shape == (4, 8, 8)
+        assert field[2, 2, 2] == pytest.approx(1.0, abs=1e-5)
+
+    def test_reference_point_move_invalidates(self):
+        vd, _ = make_volume(members=30)
+        c = calc.CorrelationCalculator(field_name="data",
+                                       reference_point=(1, 1, 1))
+        vd.add_calculator(c)
+        f1 = np.asarray(vd.get_field(c.output_name))
+        c.set_reference_point(5, 5, 2)
+        f2 = np.asarray(vd.get_field(c.output_name))
+        assert not np.allclose(f1, f2)
+        assert f2[2, 5, 5] == pytest.approx(1.0, abs=1e-5)
+
+    def test_symmetric_mode(self):
+        vd, data = make_volume(members=30)
+        vd.add_field("data2", lambda t, e: -np.asarray(
+            fixtures.synth_box_ensemble(8, 8, 4, 30, seed=0)[e]))
+        c = calc.CorrelationCalculator(
+            field_name="data", field_name_ref="data2",
+            symmetric_fields=True, measure="pearson",
+        )
+        vd.add_calculator(c)
+        field = np.asarray(vd.get_field(c.output_name))
+        # data2 = -data → per-voxel correlation −1 everywhere.
+        np.testing.assert_allclose(field, -1.0, atol=1e-4)
+
+    def test_ensemble_mean_spread(self):
+        vd, data = make_volume(members=25)
+        mean_c = calc.EnsembleMeanCalculator("data")
+        spread_c = calc.EnsembleSpreadCalculator("data")
+        vd.add_calculator(mean_c)
+        vd.add_calculator(spread_c)
+        mean = np.asarray(vd.get_field(mean_c.output_name))
+        spread = np.asarray(vd.get_field(spread_c.output_name))
+        np.testing.assert_allclose(mean, data.mean(axis=0), atol=1e-5)
+        np.testing.assert_allclose(spread, data.std(axis=0), atol=1e-5)
+
+    def test_binary_operator(self):
+        vd, data = make_volume()
+        c = calc.BinaryOperatorCalculator("data", "data", "sum")
+        vd.add_calculator(c)
+        out = np.asarray(vd.get_field(c.output_name))
+        np.testing.assert_allclose(out, 2 * data[0], rtol=1e-6)
+
+    def test_noise_reduction_smooths(self):
+        rng = np.random.default_rng(0)
+        noisy = rng.normal(size=(8, 16, 16)).astype(np.float32)
+        grid = GridMetadata(xs=16, ys=16, zs=8)
+        vd = VolumeData(grid)
+        vd.add_field("f", lambda t, e: noisy)
+        c = calc.NoiseReductionCalculator("f", sigma=2.0)
+        vd.add_calculator(c)
+        out = np.asarray(vd.get_field(c.output_name))
+        assert out.std() < 0.5 * noisy.std()
+        assert out.shape == noisy.shape
+
+    def test_velocity_derived(self):
+        # u = y → du/dy = 1; vorticity z-component = dv/dx − du/dy = −1.
+        zs, ys, xs = 6, 6, 6
+        z, y, x = np.meshgrid(
+            np.arange(zs, dtype=np.float32),
+            np.arange(ys, dtype=np.float32),
+            np.arange(xs, dtype=np.float32),
+            indexing="ij",
+        )
+        grid = GridMetadata(xs=xs, ys=ys, zs=zs)
+        vd = VolumeData(grid)
+        vd.add_field("u", lambda t, e: y)
+        vd.add_field("v", lambda t, e: np.zeros_like(y))
+        vd.add_field("w", lambda t, e: np.zeros_like(y))
+        mag = calc.VelocityMagnitudeCalculator()
+        vort = calc.VorticityCalculator()
+        vd.add_calculator(mag)
+        vd.add_calculator(vort)
+        m = np.asarray(vd.get_field(mag.output_name))
+        np.testing.assert_allclose(m, y, atol=1e-5)
+        vt = np.asarray(vd.get_field(vort.output_name))
+        np.testing.assert_allclose(vt[1:-1, 1:-1, 1:-1], 1.0, atol=1e-5)
+
+    def test_set_predicate_fraction(self):
+        vd, data = make_volume(members=10)
+        c = calc.SetPredicateCalculator(
+            "data", comparison="greater", aggregation="fraction",
+            threshold=0.0,
+        )
+        vd.add_calculator(c)
+        out = np.asarray(vd.get_field(c.output_name))
+        want = (data > 0).mean(axis=0)
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_dkl_calculator(self):
+        vd, _ = make_volume(members=60)
+        c = calc.DKLCalculator("data", estimator="knn", k=3)
+        vd.add_calculator(c)
+        out = np.asarray(vd.get_field(c.output_name))
+        assert out.shape == (4, 8, 8)
+        assert np.isfinite(out).all()
+        assert (out >= 0).all()
+
+    def test_settings_roundtrip(self):
+        c = calc.CorrelationCalculator(
+            field_name="data", measure="kendall",
+            reference_point=(3, 2, 1), num_bins=40, k=5, absolute=True,
+        )
+        s = c.get_settings()
+        c2 = calc.calculator_from_settings("correlation", s)
+        assert c2.measure == c.measure
+        assert c2.reference_point == (3, 2, 1)
+        assert c2.num_bins == 40
+        assert c2.k == 5
+        assert c2.absolute is True
+
+    def test_request_mode(self):
+        from correrender_tpu.calculators.correlation import (
+            correlate_requests,
+        )
+
+        vd, data = make_volume(members=30)
+        stack = vd.get_member_stack("data")
+        req_a = jnp.asarray([[0, 0, 0], [1, 2, 3]])
+        req_b = jnp.asarray([[0, 0, 0], [3, 2, 1]])
+        out = np.asarray(correlate_requests(stack, req_a, req_b, "pearson"))
+        assert out.shape == (2,)
+        assert out[0] == pytest.approx(1.0, abs=1e-5)

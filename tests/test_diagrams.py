@@ -1,0 +1,197 @@
+"""Diagram subsystem tests: octree, samplers, bayopt, HEB, matrix,
+t-SNE, DBSCAN, time-series, distribution similarity."""
+
+import numpy as np
+import pytest
+
+from correrender_tpu.diagrams.octree import (
+    Octree,
+    GridRegion,
+    downsample_fields,
+)
+from correrender_tpu.diagrams import sampling
+from correrender_tpu.diagrams.heb import HEBChart
+from correrender_tpu.diagrams.matrix import (
+    correlation_matrix,
+    render_matrix_svg,
+)
+from correrender_tpu.diagrams.tsne import tsne
+from correrender_tpu.diagrams.dbscan import dbscan
+from correrender_tpu.diagrams.timeseries import time_series_correlation
+from correrender_tpu.diagrams.distribution_similarity import (
+    build_features,
+    distribution_similarity,
+)
+from correrender_tpu.utils import fixtures
+
+
+@pytest.fixture(scope="module")
+def box_stack():
+    data = fixtures.synth_box_ensemble(xs=32, ys=32, zs=8, members=64)
+    return np.moveaxis(data, 0, -1)  # (8, 32, 32, 64)
+
+
+class TestOctree:
+    def test_leaf_cover_exact(self):
+        tree = Octree(4, 4, 2)
+        total = sum(r.size for r in tree.leaves)
+        assert total == 4 * 4 * 2
+        assert len(tree.leaves) == 32  # all unit leaves
+
+    def test_nonpow2(self):
+        tree = Octree(5, 3, 2)
+        assert sum(r.size for r in tree.leaves) == 30
+
+    def test_leaf_path_root(self):
+        tree = Octree(4, 4, 4)
+        path = tree.leaf_path(0)
+        assert path[0] == 0  # root first
+        assert not tree.nodes[path[-1]].children  # ends at leaf
+
+    def test_downsample(self):
+        stack = np.arange(4 * 4 * 4 * 2, dtype=np.float32).reshape(4, 4, 4, 2)
+        means = downsample_fields(stack, 2)
+        assert means.shape == (2, 2, 2, 2)
+        want = stack[:2, :2, :2].mean(axis=(0, 1, 2))
+        np.testing.assert_allclose(means[0, 0, 0], want)
+
+
+class TestSamplers:
+    def test_quasirandom_sequences_in_unit_cube(self):
+        h = sampling.halton(np.arange(1, 101), 3)
+        assert (h >= 0).all() and (h < 1).all()
+        p = sampling.plastic_sequence(100, 6)
+        assert p.shape == (100, 6)
+        assert (p >= 0).all() and (p < 1).all()
+
+    @pytest.mark.parametrize("method", ["random", "halton", "plastic"])
+    def test_samplers_find_high_correlation(self, box_stack, method):
+        # Two regions inside the same planted box: high max correlation.
+        ra = GridRegion(0, 0, 2, 7, 7, 5)
+        rb = GridRegion(8, 0, 2, 15, 7, 5)
+        est = sampling.sample_block_pair_max(
+            box_stack, ra, rb, "pearson", method=method, num_samples=64
+        )
+        truth = sampling.exhaustive_block_pair_max(
+            box_stack, ra, rb, "pearson"
+        )
+        assert est <= truth + 1e-5
+        assert est > 0.5 * truth
+
+    def test_bayopt_close_to_truth(self, box_stack):
+        ra = GridRegion(0, 0, 2, 7, 7, 5)
+        rb = GridRegion(8, 0, 2, 15, 7, 5)
+        est = sampling.sample_block_pair_max(
+            box_stack, ra, rb, "pearson", method="bayesian",
+            num_samples=40, num_init=16,
+        )
+        truth = sampling.exhaustive_block_pair_max(
+            box_stack, ra, rb, "pearson"
+        )
+        assert est <= truth + 1e-5
+        assert est > 0.6 * truth
+
+
+class TestHEB:
+    def test_chart_builds_and_renders(self, box_stack, tmp_path):
+        chart = HEBChart(box_stack, downsample_factor=8, max_chords=20)
+        chords = chart.compute_correlations()
+        assert 0 < len(chords) <= 20
+        # Values sorted descending and within [0, 1] for |pearson|.
+        vals = [c[2] for c in chords]
+        assert vals == sorted(vals, reverse=True)
+        assert all(0 <= v <= 1.0 + 1e-6 for v in vals)
+        svg = chart.render_svg(str(tmp_path / "heb.svg"))
+        assert "<svg" in svg and "path" in svg
+        assert (tmp_path / "heb.svg").exists()
+
+    def test_sampled_mode(self, box_stack):
+        chart = HEBChart(
+            box_stack, downsample_factor=16,
+            sampling_method="plastic", num_samples=16, max_chords=10,
+        )
+        chords = chart.compute_correlations()
+        assert len(chords) > 0
+
+
+class TestMatrix:
+    def test_correlation_matrix_diag(self):
+        rng = np.random.default_rng(0)
+        series = rng.normal(size=(5, 200)).astype(np.float32)
+        m = correlation_matrix(series)
+        np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+        assert np.allclose(m, m.T, atol=1e-6)
+
+    def test_render(self, tmp_path):
+        m = np.array([[1.0, -0.5], [-0.5, 1.0]])
+        svg = render_matrix_svg(m, labels=["a", "b"],
+                                path=str(tmp_path / "m.svg"))
+        assert "<rect" in svg
+
+
+class TestTsne:
+    def test_separates_two_blobs(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 0.3, size=(60, 10))
+        b = rng.normal(5, 0.3, size=(60, 10))
+        emb = tsne(np.concatenate([a, b]), perplexity=15, num_iters=500)
+        assert emb.shape == (120, 2)
+        da = emb[:60].mean(axis=0)
+        db = emb[60:].mean(axis=0)
+        spread = max(emb[:60].std(), emb[60:].std())
+        assert np.linalg.norm(da - db) > 2 * spread
+        # 1-NN label purity: embedding must keep the blobs separable.
+        labels = np.array([0] * 60 + [1] * 60)
+        d = np.linalg.norm(emb[:, None] - emb[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        nn = np.argmin(d, axis=1)
+        assert (labels[nn] == labels).mean() > 0.95
+
+
+class TestDbscan:
+    def test_two_clusters_and_noise(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 0.1, size=(40, 2))
+        b = rng.normal(4, 0.1, size=(40, 2))
+        noise = np.array([[10.0, -10.0]])
+        labels = dbscan(np.concatenate([a, b, noise]), eps=0.5,
+                        min_samples=5)
+        assert labels[-1] == -1
+        assert len(set(labels[:40])) == 1
+        assert len(set(labels[40:80])) == 1
+        assert labels[0] != labels[40]
+
+
+class TestTimeSeries:
+    def test_pairwise(self):
+        rng = np.random.default_rng(2)
+        t = np.linspace(0, 8 * np.pi, 200)
+        series = np.stack([np.sin(t), np.sin(t), np.cos(t)]).astype(
+            np.float32
+        ) + 0.01 * rng.normal(size=(3, 200)).astype(np.float32)
+        m = time_series_correlation(series)
+        assert m[0, 1] > 0.99
+        assert abs(m[0, 2]) < 0.2
+
+    def test_lagged(self):
+        t = np.linspace(0, 8 * np.pi, 220)
+        s = np.stack([np.sin(t)]).astype(np.float32)
+        m = time_series_correlation(s, window=120)
+        assert m.shape == (1, 101)
+        assert m[0, 0] > 0.99
+
+
+class TestDistributionSimilarity:
+    def test_feature_modes(self, box_stack):
+        for mode in ("cell_member_values", "member_cell_values",
+                     "cell_neighborhood_correlations"):
+            feats, ids = build_features(box_stack, mode, max_points=100)
+            assert feats.ndim == 2 and len(feats) > 10
+            assert np.isfinite(feats).all()
+
+    def test_pipeline(self, box_stack):
+        emb, labels, ids = distribution_similarity(
+            box_stack, max_points=150, perplexity=10
+        )
+        assert emb.shape[1] == 2
+        assert len(labels) == len(emb) == len(ids)

@@ -1,0 +1,290 @@
+"""Loader/writer round-trip and catalog tests."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from correrender_tpu.io import (
+    load_volume,
+    loader_for_path,
+    load_catalog,
+    writers,
+)
+from correrender_tpu.io.catalog import open_dataset
+
+
+@pytest.fixture
+def vol_zyx():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(4, 6, 8)).astype(np.float32)  # (Z, Y, X)
+
+
+class TestNetCdf:
+    def test_netcdf3_roundtrip(self, tmp_path, vol_zyx):
+        path = str(tmp_path / "f.nc")
+        writers.write_netcdf(path, vol_zyx, name="temp")
+        vd = load_volume(path)
+        assert vd.grid.shape_zyx == (4, 6, 8)
+        got = np.asarray(vd.get_field("temp"))
+        np.testing.assert_allclose(got, vol_zyx, rtol=1e-6)
+
+    def test_netcdf3_ensemble_5d(self, tmp_path):
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(3, 2, 4, 5, 6)).astype(np.float32)
+        path = str(tmp_path / "ens.nc")
+        writers.write_netcdf(path, data, name="q")
+        vd = load_volume(path)
+        assert vd.grid.es == 3 and vd.grid.ts == 2
+        got = np.asarray(vd.get_field("q", time=1, member=2))
+        np.testing.assert_allclose(got, data[2, 1], rtol=1e-6)
+
+    def test_netcdf4_hdf5_container(self, tmp_path, vol_zyx):
+        import h5py
+
+        path = str(tmp_path / "f4.nc")
+        with h5py.File(path, "w") as f:
+            ds = f.create_dataset("press", data=vol_zyx[None])  # (t,z,y,x)
+            ds.dims[0].label = "time"
+            ds.dims[1].label = "lev"
+            ds.dims[2].label = "lat"
+            ds.dims[3].label = "lon"
+        vd = load_volume(path)
+        assert vd.grid.shape_zyx == (4, 6, 8)
+        np.testing.assert_allclose(
+            np.asarray(vd.get_field("press")), vol_zyx, rtol=1e-6
+        )
+
+    def test_uvw_autoregisters_velocity(self, tmp_path):
+        import scipy.io
+
+        path = str(tmp_path / "wind.nc")
+        nc = scipy.io.netcdf_file(path, "w")
+        for d, s in (("lev", 3), ("lat", 4), ("lon", 5)):
+            nc.createDimension(d, s)
+        for name in ("u", "v", "w"):
+            var = nc.createVariable(name, "f", ("lev", "lat", "lon"))
+            var[:] = np.ones((3, 4, 5), np.float32)
+        nc.close()
+        vd = load_volume(path)
+        assert any("Magnitude" in n for n in vd.field_names)
+
+
+class TestCvol:
+    def test_roundtrip(self, tmp_path, vol_zyx):
+        path = str(tmp_path / "v.cvol")
+        writers.write_cvol(path, vol_zyx, (0.5, 1.0, 2.0))
+        ld = loader_for_path(path).open(path)
+        assert (ld.xs, ld.ys, ld.zs) == (8, 6, 4)
+        assert ld.dx == pytest.approx(0.5)
+        got = ld.load_field(ld.field_names[0])
+        np.testing.assert_allclose(got, vol_zyx, rtol=1e-6)
+
+    def test_uint8_normalized(self, tmp_path):
+        data = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+        path = str(tmp_path / "b.cvol")
+        writers.write_cvol(path, data)
+        got = loader_for_path(path).open(path).load_field("b")
+        np.testing.assert_allclose(got, data / 255.0, atol=1e-6)
+
+
+class TestDatRaw:
+    def test_dat_raw(self, tmp_path, vol_zyx):
+        raw = tmp_path / "vol.raw"
+        vol_zyx.tofile(str(raw))
+        dat = tmp_path / "vol.dat"
+        dat.write_text(
+            "ObjectFileName: vol.raw\n"
+            "Resolution: 8 6 4\n"
+            "SliceThickness: 1.0 1.0 2.0\n"
+            "Format: FLOAT\n"
+        )
+        vd = load_volume(str(dat))
+        got = np.asarray(vd.get_field(vd.field_names[0]))
+        np.testing.assert_allclose(got, vol_zyx, rtol=1e-6)
+
+    def test_mhd(self, tmp_path, vol_zyx):
+        raw = tmp_path / "m.raw"
+        vol_zyx.tofile(str(raw))
+        mhd = tmp_path / "m.mhd"
+        mhd.write_text(
+            "ObjectType = Image\nNDims = 3\nDimSize = 8 6 4\n"
+            "ElementType = MET_FLOAT\nElementSpacing = 1 1 1\n"
+            "ElementDataFile = m.raw\n"
+        )
+        ld = loader_for_path(str(mhd)).open(str(mhd))
+        np.testing.assert_allclose(
+            ld.load_field(ld.field_names[0]), vol_zyx, rtol=1e-6
+        )
+
+
+class TestVtk:
+    def test_vti_ascii(self, tmp_path, vol_zyx):
+        flat = " ".join(str(v) for v in vol_zyx.ravel())
+        vti = tmp_path / "f.vti"
+        vti.write_text(
+            '<VTKFile type="ImageData" version="1.0">'
+            '<ImageData WholeExtent="0 7 0 5 0 3" Spacing="1 1 1">'
+            "<Piece><PointData>"
+            f'<DataArray type="Float32" Name="s" format="ascii">{flat}'
+            "</DataArray></PointData></Piece></ImageData></VTKFile>"
+        )
+        ld = loader_for_path(str(vti)).open(str(vti))
+        np.testing.assert_allclose(ld.load_field("s"), vol_zyx, atol=1e-5)
+
+    def test_legacy_vtk_binary(self, tmp_path, vol_zyx):
+        header = (
+            "# vtk DataFile Version 3.0\ntest\nBINARY\n"
+            "DATASET STRUCTURED_POINTS\nDIMENSIONS 8 6 4\n"
+            "SPACING 1 1 1\nORIGIN 0 0 0\n"
+            "POINT_DATA 192\nSCALARS s float 1\nLOOKUP_TABLE default\n"
+        )
+        path = tmp_path / "l.vtk"
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(vol_zyx.astype(">f4").tobytes())
+        ld = loader_for_path(str(path)).open(str(path))
+        np.testing.assert_allclose(ld.load_field("s"), vol_zyx, rtol=1e-6)
+
+
+class TestZarr:
+    def _write_zarr(self, root, name, data, chunks, compressor=None):
+        adir = root / name
+        adir.mkdir(parents=True)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(data.shape),
+            "chunks": list(chunks),
+            "dtype": data.dtype.str,
+            "compressor": {"id": compressor} if compressor else None,
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+        }
+        (adir / ".zarray").write_text(json.dumps(meta))
+        grid = [range(-(-s // c)) for s, c in zip(data.shape, chunks)]
+        import itertools
+
+        for idx in itertools.product(*grid):
+            sl = tuple(
+                slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks)
+            )
+            chunk = data[sl]
+            # Pad partial chunks to full chunk shape.
+            pad = [(0, c - s) for c, s in zip(chunks, chunk.shape)]
+            chunk = np.pad(chunk, pad)
+            raw = chunk.tobytes()
+            if compressor == "zlib":
+                raw = zlib.compress(raw)
+            (adir / ".".join(str(i) for i in idx)).write_bytes(raw)
+
+    def test_zarr_roundtrip(self, tmp_path, vol_zyx):
+        root = tmp_path / "store.zarr"
+        self._write_zarr(root, "temp", vol_zyx, (2, 3, 4), "zlib")
+        vd = load_volume(str(root))
+        got = np.asarray(vd.get_field("temp"))
+        np.testing.assert_allclose(got, vol_zyx, rtol=1e-6)
+
+    def test_zarr_4d_partial_chunks(self, tmp_path):
+        rng = np.random.default_rng(2)
+        data = rng.normal(size=(3, 5, 5, 7)).astype(np.float32)
+        root = tmp_path / "s4.zarr"
+        self._write_zarr(root, "q", data, (2, 2, 3, 4))
+        ld = loader_for_path(str(root)).open(str(root))
+        np.testing.assert_allclose(ld.load_field("q", time=2), data[2],
+                                   rtol=1e-6)
+
+
+class TestNifti:
+    def test_nifti_roundtrip(self, tmp_path, vol_zyx):
+        header = bytearray(352)
+        struct.pack_into("<i", header, 0, 348)
+        struct.pack_into("<8h", header, 40, 3, 8, 6, 4, 1, 1, 1, 1)
+        struct.pack_into("<h", header, 70, 16)  # float32
+        struct.pack_into("<8f", header, 76, 1, 1, 1, 2, 1, 1, 1, 1)
+        struct.pack_into("<f", header, 108, 352.0)  # vox_offset
+        struct.pack_into("<f", header, 112, 1.0)  # scl_slope
+        path = tmp_path / "t.nii"
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(vol_zyx.tobytes())
+        ld = loader_for_path(str(path)).open(str(path))
+        assert ld.dz == pytest.approx(2.0)
+        np.testing.assert_allclose(
+            ld.load_field("intensity"), vol_zyx, rtol=1e-6
+        )
+
+
+class TestCatalog:
+    def test_catalog_hierarchy_and_expansion(self, tmp_path, vol_zyx):
+        for i in range(3):
+            writers.write_netcdf(str(tmp_path / f"m_{i}.nc"), vol_zyx)
+        catalog = {
+            "datasets": [
+                {
+                    "type": "node",
+                    "name": "synthetic",
+                    "children": [
+                        {
+                            "name": "boxes",
+                            "filename": "m_%d.nc",
+                            "ensemble_range": "0 3",
+                            "scale": 2.0,
+                        }
+                    ],
+                }
+            ]
+        }
+        cpath = tmp_path / "datasets.json"
+        cpath.write_text(json.dumps(catalog))
+        entries = load_catalog(str(cpath))
+        assert len(entries) == 1
+        info = entries[0]
+        assert info.name == "synthetic/boxes"
+        assert len(info.filenames) == 3
+        vd = open_dataset(info)
+        assert vd.grid.es == 3
+        got = np.asarray(vd.get_field("data", member=1))
+        np.testing.assert_allclose(got, 2.0 * vol_zyx, rtol=1e-6)
+
+    def test_subsampling_and_subselection(self, tmp_path):
+        data = np.arange(8 * 8 * 8, dtype=np.float32).reshape(8, 8, 8)
+        writers.write_netcdf(str(tmp_path / "g.nc"), data)
+        catalog = {
+            "datasets": [
+                {
+                    "name": "g",
+                    "filename": "g.nc",
+                    "subsampling_factor": 2,
+                }
+            ]
+        }
+        cpath = tmp_path / "datasets.json"
+        cpath.write_text(json.dumps(catalog))
+        vd = open_dataset(load_catalog(str(cpath))[0])
+        assert vd.grid.shape_zyx == (4, 4, 4)
+        got = np.asarray(vd.get_field("data"))
+        np.testing.assert_allclose(got, data[::2, ::2, ::2])
+
+
+class TestMeshWriters:
+    def test_obj_and_stl(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        tris = np.array([[0, 1, 2]])
+        writers.write_obj(str(tmp_path / "m.obj"), verts, tris)
+        txt = (tmp_path / "m.obj").read_text()
+        assert txt.count("\nv ") + txt.startswith("v ") == 3 or "v 0" in txt
+        writers.write_stl(str(tmp_path / "m.stl"), verts, tris)
+        blob = (tmp_path / "m.stl").read_bytes()
+        assert struct.unpack("<I", blob[80:84])[0] == 1
+
+
+class TestGrib:
+    def test_gated_with_clear_error(self, tmp_path):
+        p = tmp_path / "x.grib"
+        p.write_bytes(b"GRIB")
+        with pytest.raises(NotImplementedError, match="cfgrib"):
+            loader_for_path(str(p)).open(str(p))

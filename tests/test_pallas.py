@@ -1,0 +1,74 @@
+"""Pallas kernels vs pure-JAX reference implementations (interpret mode
+on CPU; the same kernels compile on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from correrender_tpu import ops
+from correrender_tpu.ops.pallas import pearson_pallas, mi_ksg_pallas
+from correrender_tpu.utils import fixtures
+
+
+@pytest.fixture(scope="module")
+def small_stack():
+    data = fixtures.synth_box_ensemble(xs=8, ys=4, zs=2, members=100)
+    stack = jnp.asarray(np.moveaxis(data, 0, -1))  # (2, 4, 8, 100)
+    return stack, stack[1, 2, 3]
+
+
+class TestPearsonPallas:
+    def test_matches_jax(self, small_stack):
+        stack, ref = small_stack
+        got = np.asarray(pearson_pallas(stack, ref, tile_v=16))
+        want = np.asarray(ops.pearson(ref, stack))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_unaligned_sizes(self):
+        rng = np.random.default_rng(0)
+        stack = jnp.asarray(rng.normal(size=(37, 73)).astype(np.float32))
+        ref = jnp.asarray(rng.normal(size=73).astype(np.float32))
+        got = np.asarray(pearson_pallas(stack, ref, tile_v=16))
+        want = np.asarray(ops.pearson(ref, stack))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestKsgPallas:
+    @pytest.mark.parametrize("n", [100, 130])
+    def test_matches_jax_no_noise(self, n):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=n).astype(np.float32)
+        ys = np.stack(
+            [0.8 * x + 0.2 * rng.normal(size=n).astype(np.float32),
+             rng.normal(size=n).astype(np.float32)]
+        )
+        got = np.asarray(
+            mi_ksg_pallas(jnp.asarray(ys), jnp.asarray(x), k=3,
+                          use_noise=False)
+        )
+        want = np.asarray(
+            ops.mutual_information_kraskov(
+                jnp.asarray(x), jnp.asarray(ys), k=3, use_noise=False
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_matches_jax_with_noise(self, small_stack):
+        stack, ref = small_stack
+        got = np.asarray(mi_ksg_pallas(stack, ref, k=3))
+        want = np.asarray(
+            ops.mutual_information_kraskov(ref, stack, k=3)
+        )
+        # Interval-boundary counts can flip by one under fp reassociation
+        # ((vj >= vi−r) vs (vj−vi >= −r)); one flip shifts MI by ~ψ'(c)/n.
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_self_mi_is_large(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=100).astype(np.float32)
+        got = float(
+            mi_ksg_pallas(jnp.asarray(x)[None], jnp.asarray(x), k=3)[0]
+        )
+        max_mi = ops.maximum_mutual_information_kraskov(3, 100)
+        assert got > 0.8 * max_mi

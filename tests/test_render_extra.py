@@ -1,0 +1,126 @@
+"""Isosurface raycast/mesh, slice and outline renderer tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from correrender_tpu.render import Camera, TransferFunction
+from correrender_tpu.render.iso import iso_render
+from correrender_tpu.render.slice_renderer import slice_image, slice_render_3d
+from correrender_tpu.render.outline import outline_render
+from correrender_tpu.render.mesh import extract_isosurface, vertex_normals
+
+
+def sphere_volume(n=32, radius=0.35):
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, n), np.linspace(0, 1, n), np.linspace(0, 1, n),
+        indexing="ij",
+    )
+    return (
+        np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
+        .astype(np.float32)
+    ), radius
+
+
+class TestIsoRaycast:
+    def test_sphere_silhouette(self):
+        vol, r = sphere_volume()
+        cam = Camera(position=(0.0, 0.0, 0.9))
+        img = np.asarray(
+            iso_render(
+                jnp.asarray(vol), cam, r, image_size=(64, 64),
+                background=(0, 0, 0, 0),
+            )
+        )
+        h, w = img.shape[:2]
+        assert img[h // 2, w // 2, 3] == 1.0  # hit at center
+        assert img[2, 2, 3] == 0.0  # miss at corner
+        # Shading varies across the sphere (not flat).
+        hits = img[..., 3] > 0
+        assert img[..., 0][hits].std() > 0.01
+
+    def test_no_surface_shows_background(self):
+        vol = jnp.zeros((8, 8, 8))
+        cam = Camera(position=(0.0, 0.0, 0.9))
+        img = np.asarray(
+            iso_render(vol, cam, 0.5, background=(0, 0, 1, 1),
+                       image_size=(16, 16))
+        )
+        np.testing.assert_allclose(img[..., 2], 1.0)
+
+
+class TestSlice:
+    def test_slice_image_values(self):
+        vol = np.zeros((8, 8, 8), np.float32)
+        vol[4] = 1.0  # bright z-plane
+        tf = TransferFunction.from_colormap("gray", domain=(0.0, 1.0))
+        img = np.asarray(
+            slice_image(jnp.asarray(vol), tf, axis="z",
+                        position=(4 + 0.5) / 8)
+        )
+        assert img.shape == (8, 8, 4)
+        assert img[4, 4, 0] > 0.95  # white
+
+    def test_slice_3d_plane_visible(self):
+        vol = jnp.ones((8, 8, 8)) * 0.8
+        tf = TransferFunction.constant_opacity("gray", alpha=1.0)
+        cam = Camera(position=(0.3, 0.4, 0.9))
+        img = np.asarray(
+            slice_render_3d(vol, cam, tf, axis="z", position=0.5,
+                            image_size=(32, 32), background=(0, 0, 0, 0))
+        )
+        assert img[..., 3].max() == 1.0
+        assert img[..., 3].min() == 0.0
+
+
+class TestOutline:
+    def test_wireframe_drawn(self):
+        cam = Camera(position=(0.4, 0.3, 0.9))
+        box = (np.array([-0.25, -0.25, -0.25]), np.array([0.25, 0.25, 0.25]))
+        img = np.asarray(
+            outline_render(cam, box, image_size=(64, 64),
+                           color=(1, 0, 0, 1))
+        )
+        assert img[..., 0].max() > 0.9  # red lines present
+        assert (img[..., 0] > 0.5).mean() < 0.35  # but sparse
+
+
+class TestMesh:
+    def test_sphere_mesh(self):
+        vol, r = sphere_volume(24)
+        verts, tris = extract_isosurface(vol, r)
+        assert len(verts) > 100
+        assert len(tris) > 100
+        # All vertices near the sphere surface (voxel space, center 11.5).
+        center = np.array([11.5, 11.5, 11.5])
+        d = np.linalg.norm(verts - center, axis=-1)
+        np.testing.assert_allclose(d / 23.0, r, atol=0.05)
+
+    def test_normals_point_outward(self):
+        vol, r = sphere_volume(24)
+        verts, tris = extract_isosurface(vol, r)
+        normals = vertex_normals(verts, tris)
+        center = np.array([11.5, 11.5, 11.5])
+        outward = verts - center
+        outward /= np.linalg.norm(outward, axis=-1, keepdims=True)
+        dots = np.sum(normals * outward, axis=-1)
+        # Consistent orientation: most normals aligned one way.
+        assert abs(dots.mean()) > 0.8
+
+    def test_empty_iso(self):
+        vol = np.zeros((6, 6, 6), np.float32)
+        verts, tris = extract_isosurface(vol, 0.5)
+        assert len(verts) == 0 and len(tris) == 0
+
+    def test_obj_export_roundtrip(self, tmp_path):
+        from correrender_tpu.io import writers
+
+        vol, r = sphere_volume(16)
+        verts, tris = extract_isosurface(vol, r)
+        path = str(tmp_path / "sphere.obj")
+        writers.write_obj(path, verts, tris, vertex_normals(verts, tris))
+        lines = open(path).read().splitlines()
+        nv = sum(1 for l in lines if l.startswith("v "))
+        nf = sum(1 for l in lines if l.startswith("f "))
+        assert nv == len(verts) and nf == len(tris)
