@@ -1,0 +1,279 @@
+"""Headless command-line interface.
+
+Replaces the reference's app shell + CLI flags (src/Main.cpp:100-138:
+--perf, --sampling, --replicability) with explicit subcommands:
+
+  python -m correrender_tpu.app.cli render --dataset f.nc --measure pearson \\
+      --ref 10,20,5 --output out.png
+  python -m correrender_tpu.app.cli export --dataset f.nc --measure kendall \\
+      --ref 1,2,3 --output corr.nc
+  python -m correrender_tpu.app.cli heb --dataset f.nc --output chords.svg
+  python -m correrender_tpu.app.cli state --load scene.json --output view.png
+  python -m correrender_tpu.app.cli sampling --output sampling.csv
+  python -m correrender_tpu.app.cli perf --dataset f.nc --output perf.csv
+  python -m correrender_tpu.app.cli info --dataset f.nc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load(args):
+    from correrender_tpu.io import load_volume, load_catalog
+    from correrender_tpu.io.catalog import open_dataset
+
+    if args.catalog:
+        entries = load_catalog(args.catalog)
+        match = [e for e in entries if e.name == args.dataset]
+        if not match:
+            names = [e.name for e in entries]
+            raise SystemExit(
+                f"dataset {args.dataset!r} not in catalog; available: {names}"
+            )
+        return open_dataset(match[0])
+    return load_volume(args.dataset)
+
+
+def _save_png(img, path):
+    from PIL import Image
+
+    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _parse_ref(s):
+    return tuple(int(v) for v in s.split(","))
+
+
+def cmd_info(args):
+    vd = _load(args)
+    g = vd.grid
+    print(f"grid: {g.xs} x {g.ys} x {g.zs}  time steps: {g.ts}  "
+          f"members: {g.es}")
+    print(f"fields: {vd.field_names}")
+    for name in vd.field_names:
+        try:
+            lo, hi = vd.get_min_max(name)
+            print(f"  {name}: [{lo:.6g}, {hi:.6g}]")
+        except Exception as e:
+            print(f"  {name}: <error: {e}>")
+
+
+def cmd_render(args):
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.calculators.correlation import CorrelationCalculator
+    from correrender_tpu.render.camera import Camera
+
+    vd = _load(args)
+    scene = Scene(vd, views=[Camera(position=tuple(
+        float(v) for v in args.camera.split(",")))])
+    field = args.field or vd.field_names[0]
+    if args.measure:
+        calc = CorrelationCalculator(
+            field_name=field, measure=args.measure,
+            reference_point=_parse_ref(args.ref),
+            num_bins=args.mi_bins, k=args.kmi_neighbors,
+        )
+        field = scene.add_calculator(calc)
+    scene.add_renderer(args.renderer, field=field,
+                       **({"iso_value": args.iso_value}
+                          if args.renderer in ("iso_ray", "iso_raster")
+                          else {}))
+    if args.outline:
+        scene.add_renderer("domain_outline")
+    w, h = (int(v) for v in args.size.split("x"))
+    img = scene.render_view(0, image_size=(w, h),
+                            fast_dvr=not args.exact_dvr)
+    _save_png(img, args.output)
+    print(f"wrote {args.output}")
+
+
+def cmd_export(args):
+    from correrender_tpu.calculators.correlation import CorrelationCalculator
+    from correrender_tpu.io import writers
+
+    vd = _load(args)
+    field = args.field or vd.field_names[0]
+    if args.measure:
+        calc = CorrelationCalculator(
+            field_name=field, measure=args.measure,
+            reference_point=_parse_ref(args.ref),
+        )
+        vd.add_calculator(calc)
+        field = calc.output_name
+    writers.save_field(vd, field, args.output, time=args.time,
+                       member=args.member)
+    print(f"wrote {args.output}")
+
+
+def cmd_heb(args):
+    from correrender_tpu.diagrams.heb import HEBChart
+
+    vd = _load(args)
+    field = args.field or vd.field_names[0]
+    stack = np.asarray(vd.get_member_stack(field))
+    chart = HEBChart(
+        stack, downsample_factor=args.downsample,
+        measure=args.measure or "pearson",
+        sampling_method=args.sampling_method,
+        num_samples=args.num_samples, max_chords=args.max_chords,
+    )
+    chart.compute_correlations()
+    chart.render_svg(args.output)
+    print(f"wrote {args.output} ({len(chart.chords)} chords)")
+
+
+def cmd_state(args):
+    from correrender_tpu.app.state import Scene
+
+    scene = Scene.load_state(args.load)
+    w, h = (int(v) for v in args.size.split("x"))
+    for view in range(len(scene.views)):
+        img = scene.render_view(view, image_size=(w, h))
+        path = (
+            args.output
+            if len(scene.views) == 1
+            else args.output.replace(".png", f"_view{view}.png")
+        )
+        _save_png(img, path)
+        print(f"wrote {path}")
+
+
+def cmd_sampling(args):
+    from correrender_tpu.app.sampling_test import run_sampling_tests
+
+    rows = run_sampling_tests(
+        csv_path=args.output, synthetic=True,
+        num_pairs=args.num_pairs, block=args.block,
+    )
+    for row in rows:
+        print(row)
+    print(f"wrote {args.output}")
+
+
+def cmd_perf(args):
+    from correrender_tpu.app.perf import PerfState, run_perf_sweep
+    from correrender_tpu.app.state import Scene
+
+    vd = _load(args)
+    scene = Scene(vd)
+    sizes = [(1920, 1080), (1280, 720)] if args.full else [(640, 480)]
+    states = [
+        PerfState(f"{r}_{w}x{h}", renderer=r, image_size=(w, h),
+                  num_frames=args.frames)
+        for r in ("dvr", "iso_ray")
+        for (w, h) in sizes
+    ]
+    rows = run_perf_sweep(scene, states, csv_path=args.output)
+    for row in rows:
+        print(row)
+
+
+def cmd_replicability(args):
+    from correrender_tpu.app.replicability import run_replicability
+
+    files = run_replicability(args.output_dir, small=not args.full)
+    for f in files:
+        print(f"wrote {f}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="correrender_tpu",
+        description="TPU-native correlation-field volume engine",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_dataset_args(sp):
+        sp.add_argument("--dataset", required=True,
+                        help="volume file path or catalog entry name")
+        sp.add_argument("--catalog", default=None,
+                        help="datasets.json path (then --dataset is a name)")
+        sp.add_argument("--field", default=None)
+
+    sp = sub.add_parser("info", help="print dataset metadata")
+    add_dataset_args(sp)
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("render", help="render a (correlation) field")
+    add_dataset_args(sp)
+    sp.add_argument("--measure", default=None,
+                    help="correlation measure id (omit: render raw field)")
+    sp.add_argument("--ref", default="0,0,0", help="reference voxel x,y,z")
+    sp.add_argument("--renderer", default="dvr",
+                    choices=["dvr", "iso_ray", "iso_raster", "slice"])
+    sp.add_argument("--iso-value", type=float, default=0.5)
+    sp.add_argument("--camera", default="0.0,0.3,0.8")
+    sp.add_argument("--size", default="800x600")
+    sp.add_argument("--outline", action="store_true")
+    sp.add_argument("--exact-dvr", action="store_true",
+                    help="use the ray-marcher instead of shear-warp")
+    sp.add_argument("--mi-bins", type=int, default=80)
+    sp.add_argument("--kmi-neighbors", type=int, default=3)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("export", help="export a (derived) field")
+    add_dataset_args(sp)
+    sp.add_argument("--measure", default=None)
+    sp.add_argument("--ref", default="0,0,0")
+    sp.add_argument("--time", type=int, default=0)
+    sp.add_argument("--member", type=int, default=0)
+    sp.add_argument("--output", required=True, help=".nc or .cvol")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("heb", help="HEB chord diagram SVG")
+    add_dataset_args(sp)
+    sp.add_argument("--measure", default="pearson")
+    sp.add_argument("--downsample", type=int, default=8)
+    sp.add_argument("--sampling-method", default="mean",
+                    choices=list(__import__(
+                        "correrender_tpu.diagrams.sampling",
+                        fromlist=["SAMPLING_METHODS"],
+                    ).SAMPLING_METHODS))
+    sp.add_argument("--num-samples", type=int, default=64)
+    sp.add_argument("--max-chords", type=int, default=100)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_heb)
+
+    sp = sub.add_parser("state", help="render a saved scene state")
+    sp.add_argument("--load", required=True)
+    sp.add_argument("--size", default="800x600")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_state)
+
+    sp = sub.add_parser("sampling", help="sampling-method eval (CSV)")
+    sp.add_argument("--num-pairs", type=int, default=4)
+    sp.add_argument("--block", type=int, default=8)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_sampling)
+
+    sp = sub.add_parser("perf", help="performance state sweep (CSV)")
+    add_dataset_args(sp)
+    sp.add_argument("--frames", type=int, default=8)
+    sp.add_argument("--full", action="store_true",
+                    help="full-resolution sweep")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_perf)
+
+    sp = sub.add_parser("replicability",
+                        help="reproduce the TVCG-2024 scene artifacts")
+    sp.add_argument("--output-dir", default="replicability_out")
+    sp.add_argument("--full", action="store_true")
+    sp.set_defaults(fn=cmd_replicability)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Automatic performance measurement: state sweeps with CSV output.
+
+Reference: src/Utils/AutomaticPerformanceMeasurer.{hpp,cpp} (--perf
+mode) — iterates InternalState configs (dataset × resolution ×
+renderer), orbits the camera, records frame times and memory, writes
+CSV. Here each state is rendered headlessly over an orbit path and
+timed with forced materialization (the axon backend's
+``block_until_ready`` does not block).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import math
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.render.camera import orbit_camera
+
+
+@dataclasses.dataclass
+class PerfState:
+    """One sweep state (InternalState.hpp:128-199 analogue)."""
+
+    name: str
+    renderer: str = "dvr"
+    image_size: tuple = (1920, 1080)
+    field: str | None = None
+    num_frames: int = 16
+    settings: dict = dataclasses.field(default_factory=dict)
+
+
+def _sync(x):
+    return float(jnp.sum(x))
+
+
+def run_perf_sweep(scene, states, csv_path=None):
+    """Render each state over a camera orbit; returns row dicts."""
+    rows = []
+    for state in states:
+        scene.renderers = []
+        scene.add_renderer(
+            state.renderer, view=0,
+            **({"field": state.field} if state.field else {}),
+            **state.settings,
+        )
+        frame_times = []
+        for i in range(state.num_frames):
+            theta = 2.0 * math.pi * i / state.num_frames
+            scene.views[0] = orbit_camera(theta, 0.3, radius=0.85)
+            t0 = time.perf_counter()
+            img = scene.render_view(0, image_size=state.image_size)
+            _sync(img)
+            frame_times.append((time.perf_counter() - t0) * 1000.0)
+        arr = np.asarray(frame_times[1:] or frame_times)  # drop warm-up
+        rows.append(
+            {
+                "state": state.name,
+                "renderer": state.renderer,
+                "width": state.image_size[0],
+                "height": state.image_size[1],
+                "frames": state.num_frames,
+                "time_avg_ms": round(float(arr.mean()), 3),
+                "time_median_ms": round(float(np.median(arr)), 3),
+                "time_min_ms": round(float(arr.min()), 3),
+                "time_max_ms": round(float(arr.max()), 3),
+                "cache_used_mib": round(
+                    scene.volume_data.cache.used_bytes / 2**20, 1
+                ),
+            }
+        )
+    if csv_path:
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows

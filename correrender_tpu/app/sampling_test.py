@@ -1,0 +1,174 @@
+"""Sampling-method evaluation harness (the --sampling mode).
+
+Reference: src/Renderers/Diagram/SamplingTest.cpp — sweeps sampling
+configurations {method, numSamples, BO iterations} over block pairs,
+compares each method's estimated max-correlation against the exhaustive
+ground truth, and reports per-config:
+
+* errorQuantile — 1 − rank of the found maximum among all ground-truth
+  pair values (binary-search rank, SamplingTest.cpp:63-115);
+* errorLinear — (trueMax − found) / (trueMax − trueMin);
+* errorAbsolute — trueMax − found;
+* elapsed µs per pair, averaged over numRuns;
+
+written as a CSV (SamplingTest.cpp:351-364). Test cases cover real
+data blocks and the synthetic correlated-Gaussian pairs
+(Diagram/Test/MultivariateGaussian.*).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from correrender_tpu import ops
+from correrender_tpu.diagrams.octree import GridRegion
+from correrender_tpu.diagrams import sampling
+from correrender_tpu.utils import fixtures
+
+
+@dataclasses.dataclass
+class SamplingTestCase:
+    """One sweep configuration (SamplingTest.cpp:43-60 analogue)."""
+
+    method: str
+    num_samples: int = 100
+    num_init: int = 20  # Bayesian-opt initial probes
+    num_runs: int = 4
+
+
+DEFAULT_CASES = [
+    SamplingTestCase("mean", 1),
+    SamplingTestCase("random", 50),
+    SamplingTestCase("random", 100),
+    SamplingTestCase("halton", 100),
+    SamplingTestCase("plastic", 100),
+    SamplingTestCase("bayesian", 60, num_init=20, num_runs=2),
+]
+
+
+def _ground_truth(stack, ra, rb, measure, **kw):
+    def region_series(r):
+        sub = stack[
+            r.z_min : r.z_max + 1, r.y_min : r.y_max + 1,
+            r.x_min : r.x_max + 1,
+        ]
+        return sub.reshape(-1, sub.shape[-1])
+
+    sa = region_series(ra)
+    sb = region_series(rb)
+    vals = np.asarray(
+        ops.correlate(
+            jnp.asarray(sa)[:, None, :], jnp.asarray(sb)[None, :, :],
+            measure, absolute=True, **kw,
+        )
+    ).ravel()
+    return np.sort(vals[np.isfinite(vals)])
+
+
+def evaluate_case(stack, ra, rb, case, measure="pearson",
+                  stack_means=None, **kw):
+    """Run one test case on one block pair; returns metric dict."""
+    truth = _ground_truth(stack, ra, rb, measure, **kw)
+    t_max, t_min = truth[-1], truth[0]
+    found, micros = [], []
+    for run in range(case.num_runs):
+        t0 = time.perf_counter()
+        est = sampling.sample_block_pair_max(
+            stack, ra, rb, measure,
+            method=case.method,
+            num_samples=case.num_samples,
+            stack_means=stack_means,
+            seed=run,
+            **({"num_init": case.num_init}
+               if case.method == "bayesian" else {}),
+            **kw,
+        )
+        micros.append((time.perf_counter() - t0) * 1e6)
+        found.append(est)
+    found = np.asarray(found)
+    ranks = np.searchsorted(truth, found, side="right")
+    error_quantile = 1.0 - ranks / len(truth)
+    denom = max(t_max - t_min, 1e-30)
+    return {
+        "method": case.method,
+        "num_samples": case.num_samples,
+        "error_quantile": float(error_quantile.mean()),
+        "error_linear": float(((t_max - found) / denom).mean()),
+        "error_absolute": float((t_max - found).mean()),
+        "time_us": float(np.mean(micros)),
+    }
+
+
+def run_sampling_tests(
+    stack=None,
+    cases=None,
+    measure: str = "pearson",
+    num_pairs: int = 4,
+    block: int = 8,
+    csv_path: str | None = None,
+    synthetic: bool = False,
+    seed: int = 0,
+):
+    """Full harness: sample block pairs, sweep cases, optional CSV.
+
+    With ``synthetic=True`` uses correlated-Gaussian block pairs with
+    known structure (TEST_CASE_SYNTH_* analogue); otherwise slices
+    block pairs out of ``stack`` (TEST_CASE_DATA_*).
+    """
+    cases = cases or DEFAULT_CASES
+    rng = np.random.default_rng(seed)
+    if synthetic or stack is None:
+        data = fixtures.synth_box_ensemble(
+            xs=4 * block, ys=4 * block, zs=block, members=100, seed=seed
+        )
+        stack = np.moveaxis(data, 0, -1)
+    zs, ys, xs, _ = stack.shape
+    from correrender_tpu.diagrams.octree import downsample_fields
+
+    means = downsample_fields(stack, max(block // 2, 1))
+
+    pairs = []
+    for _ in range(num_pairs):
+        def rand_region():
+            x0 = int(rng.integers(0, max(xs - block, 1)))
+            y0 = int(rng.integers(0, max(ys - block, 1)))
+            z0 = int(rng.integers(0, max(zs - block, 1)))
+            return GridRegion(
+                x0, y0, z0,
+                min(x0 + block - 1, xs - 1),
+                min(y0 + block - 1, ys - 1),
+                min(z0 + block - 1, zs - 1),
+            )
+
+        pairs.append((rand_region(), rand_region()))
+
+    rows = []
+    for case in cases:
+        metrics = [
+            evaluate_case(stack, ra, rb, case, measure,
+                          stack_means=means)
+            for ra, rb in pairs
+        ]
+        row = {
+            "method": case.method,
+            "num_samples": case.num_samples,
+        }
+        for key in ("error_quantile", "error_linear", "error_absolute",
+                    "time_us"):
+            row[key] = round(
+                float(np.mean([m[key] for m in metrics])), 6
+            )
+        rows.append(row)
+
+    if csv_path:
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows

@@ -1,0 +1,262 @@
+"""Headless scenes and JSON app-state files.
+
+State-file schema mirrors the reference (src/MainAppState.cpp:106-423):
+
+```json
+{
+  "version": 1,
+  "dataset": {"filename": ..., or "catalog": ..., "name": ...},
+  "views": [{"camera": {"position": [..], "look_at": [..], "fovy": ..}}],
+  "calculators": [{"type": "<CALCULATOR_TYPE_IDS>", ...settings}],
+  "renderers": [{"type": "<RENDERING_MODE_NAMES_ID>", "view": 0,
+                 ...settings}]
+}
+```
+
+Calculator type ids come from calculators/base.py; renderer ids from
+the reference's RENDERING_MODE_NAMES_ID (RenderingModes.hpp:62-73).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from correrender_tpu.calculators.base import calculator_from_settings
+from correrender_tpu.render import Camera, TransferFunction
+from correrender_tpu.render.dvr import dvr_render
+from correrender_tpu.render.dvr_fast import dvr_shearwarp
+from correrender_tpu.render.iso import iso_render
+from correrender_tpu.render.slice_renderer import slice_render_3d
+from correrender_tpu.render.outline import outline_render
+
+#: Reference RenderingModes.hpp:62-73.
+RENDERING_MODE_IDS = [
+    "dvr",
+    "iso_ray",
+    "iso_raster",
+    "domain_outline",
+    "slice",
+    "world_map",
+    "diagram",
+    "scatter_plot",
+    "correlation_matrix",
+    "time_series_correlation",
+    "distribution_similarity",
+]
+
+
+def _camera_from_json(node: dict) -> Camera:
+    kwargs = {}
+    if "position" in node:
+        kwargs["position"] = tuple(node["position"])
+    if "look_at" in node:
+        kwargs["look_at_point"] = tuple(node["look_at"])
+    if "up" in node:
+        kwargs["up"] = tuple(node["up"])
+    if "fovy" in node:
+        kwargs["fovy"] = float(node["fovy"])
+    return Camera(**kwargs)
+
+
+def _camera_to_json(cam: Camera) -> dict:
+    return {
+        "position": list(cam.position),
+        "look_at": list(cam.look_at_point),
+        "up": list(cam.up),
+        "fovy": cam.fovy,
+    }
+
+
+class Scene:
+    """A VolumeData + calculators + renderer configs + per-view cameras."""
+
+    def __init__(self, volume_data, views=None):
+        self.volume_data = volume_data
+        self.views = views or [Camera()]
+        self.renderers: list[dict] = []
+        self.transfer_functions: dict[str, TransferFunction] = {}
+        self.dataset_info: Optional[dict] = None
+        self.current_time = 0
+        self.current_member = 0
+
+    # -- construction ------------------------------------------------------
+
+    def add_calculator(self, calculator):
+        self.volume_data.add_calculator(calculator)
+        return calculator.output_name
+
+    def add_renderer(self, type_id: str, view: int = 0, **settings):
+        if type_id not in RENDERING_MODE_IDS:
+            raise ValueError(
+                f"unknown renderer type {type_id!r}; known: "
+                f"{RENDERING_MODE_IDS}"
+            )
+        self.renderers.append({"type": type_id, "view": view, **settings})
+
+    def tf_for(self, field_name: str) -> TransferFunction:
+        if field_name not in self.transfer_functions:
+            lo, hi = self.volume_data.get_min_max(
+                field_name, self.current_time, self.current_member
+            )
+            self.transfer_functions[field_name] = (
+                TransferFunction.from_colormap(
+                    "coolwarm", domain=(lo, hi),
+                    opacity_points=((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
+                    if lo < 0 < hi
+                    else ((0.0, 0.0), (1.0, 0.8)),
+                )
+            )
+        return self.transfer_functions[field_name]
+
+    # -- rendering ---------------------------------------------------------
+
+    def render_view(self, view: int = 0, image_size=(512, 512),
+                    fast_dvr: bool = True):
+        """Composite all renderers attached to a view, back-to-front by
+        registration order (mirrors the reference's renderer list)."""
+        cam = self.views[view]
+        vd = self.volume_data
+        box = vd.grid.render_box()
+        image = None
+        for r in self.renderers:
+            if r["view"] != view:
+                continue
+            field = r.get("field", vd.field_names[0])
+            if r["type"] == "dvr":
+                vol = vd.get_field(field, self.current_time,
+                                   self.current_member)
+                tf = self.tf_for(field)
+                renderer = dvr_shearwarp if fast_dvr else dvr_render
+                kwargs = dict(
+                    image_size=image_size, box=box,
+                    attenuation=r.get("attenuation", 100.0),
+                    background=(0, 0, 0, 0),
+                )
+                image = _composite(image, renderer(vol, cam, tf, **kwargs))
+            elif r["type"] == "iso_ray":
+                vol = vd.get_field(field, self.current_time,
+                                   self.current_member)
+                img = iso_render(
+                    vol, cam, r.get("iso_value", 0.5),
+                    surface_color=r.get("color", (0.9, 0.4, 0.2, 1.0)),
+                    image_size=image_size, box=box,
+                    background=(0, 0, 0, 0),
+                )
+                image = _composite(image, img)
+            elif r["type"] == "slice":
+                vol = vd.get_field(field, self.current_time,
+                                   self.current_member)
+                img = slice_render_3d(
+                    vol, cam, self.tf_for(field),
+                    axis=r.get("axis", "z"),
+                    position=r.get("position", 0.5),
+                    image_size=image_size, box=box,
+                    background=(0, 0, 0, 0),
+                )
+                image = _composite(image, img)
+            elif r["type"] == "domain_outline":
+                image = outline_render(
+                    cam, box, image_size=image_size,
+                    color=r.get("color", (1, 1, 1, 1)),
+                    base_image=image,
+                )
+            elif r["type"] == "iso_raster":
+                # Mesh-based: extract + export path; for view output use
+                # the raycaster (identical appearance headlessly).
+                vol = vd.get_field(field, self.current_time,
+                                   self.current_member)
+                img = iso_render(
+                    vol, cam, r.get("iso_value", 0.5),
+                    image_size=image_size, box=box,
+                    background=(0, 0, 0, 0),
+                )
+                image = _composite(image, img)
+            # diagram/scatter/matrix/... are 2D overlays rendered via
+            # their own SVG paths (see diagrams/), not view composites.
+        if image is None:
+            image = jnp.zeros(image_size[::-1] + (4,), jnp.float32)
+        return image
+
+    # -- persistence --------------------------------------------------------
+
+    def save_state(self, path: str, dataset: Optional[dict] = None):
+        doc = {
+            "version": 1,
+            "dataset": dataset or self.dataset_info or {},
+            "views": [{"camera": _camera_to_json(c)} for c in self.views],
+            "calculators": [
+                {"type": c.type_id, **_jsonable(c.get_settings())}
+                for c in self.volume_data.calculators.values()
+            ],
+            "renderers": _jsonable(self.renderers),
+            "current_time": self.current_time,
+            "current_member": self.current_member,
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+
+    @classmethod
+    def load_state(cls, path: str, volume_data=None):
+        with open(path) as f:
+            doc = json.load(f)
+        if volume_data is None:
+            ds = doc.get("dataset", {})
+            if "catalog" in ds:
+                from correrender_tpu.io import load_catalog
+                from correrender_tpu.io.catalog import open_dataset
+
+                entries = load_catalog(ds["catalog"])
+                match = [e for e in entries if e.name == ds.get("name")]
+                volume_data = open_dataset(
+                    match[0] if match else entries[0]
+                )
+            elif "filename" in ds:
+                from correrender_tpu.io import load_volume
+
+                volume_data = load_volume(ds["filename"])
+            else:
+                raise ValueError(
+                    "state file has no dataset and none was provided"
+                )
+        views = [
+            _camera_from_json(v.get("camera", {}))
+            for v in doc.get("views", [{}])
+        ]
+        scene = cls(volume_data, views)
+        scene.dataset_info = doc.get("dataset")
+        scene.current_time = doc.get("current_time", 0)
+        scene.current_member = doc.get("current_member", 0)
+        for node in doc.get("calculators", []):
+            node = dict(node)
+            type_id = node.pop("type")
+            scene.add_calculator(calculator_from_settings(type_id, node))
+        for node in doc.get("renderers", []):
+            node = dict(node)
+            scene.add_renderer(node.pop("type"), **node)
+        return scene
+
+
+def _composite(base, over):
+    """Straight-alpha OVER of a new layer on top of the base image."""
+    if base is None:
+        return over
+    a = over[..., 3:4]
+    rgb = over[..., :3] * a + base[..., :3] * (1 - a)
+    alpha = a[..., 0] + base[..., 3] * (1 - a[..., 0])
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj

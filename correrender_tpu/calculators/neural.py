@@ -1,0 +1,111 @@
+"""Neural correlation calculator — the unified replacement for the
+reference's PyTorch / tiny-cuda-nn / QuickMLP / VMLP backends.
+
+Reference roles covered (SURVEY.md §2.4): DeepLearningCorrelationCalculator
+GUI/model logic, GPU batch assembly (CombineCorrelationMembers.glsl —
+not needed: the query grid is generated in-graph), NaN stencil (valid
+voxels masked), Vulkan↔CUDA interop (moot: one address space).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.calculators.base import Calculator, register_calculator_type
+from correrender_tpu.models.mine import CorrelationSRN, train_srn
+
+
+@register_calculator_type("correlation_vmlp")
+class NeuralCorrelationCalculator(Calculator):
+    """SRN-backed correlation field: train once on a computed field (or
+    load pretrained params), then answer reference-point moves with a
+    single MLP forward pass over the voxel grid."""
+
+    def __init__(
+        self,
+        field_name: str | None = None,
+        measure: str = "pearson",
+        reference_point=(0, 0, 0),
+        model: CorrelationSRN | None = None,
+        params=None,
+        train_steps: int = 300,
+        output_name=None,
+    ):
+        super().__init__(output_name)
+        self.field_name = field_name
+        self.measure = measure
+        self.reference_point = tuple(int(c) for c in reference_point)
+        self.model = model or CorrelationSRN.create()
+        self.params = params
+        self.train_steps = train_steps
+
+    def default_output_name(self):
+        return f"Neural Correlation ({self.field_name})"
+
+    def _grid_positions(self):
+        g = self.volume_data.grid
+        z, y, x = jnp.meshgrid(
+            (jnp.arange(g.zs) + 0.5) / g.zs,
+            (jnp.arange(g.ys) + 0.5) / g.ys,
+            (jnp.arange(g.xs) + 0.5) / g.xs,
+            indexing="ij",
+        )
+        return jnp.stack([x, y, z], axis=-1)  # (Z, Y, X, 3) xyz order
+
+    def fit(self, time: int = 0, num_reference_points: int = 32, seed=0):
+        """Supervised fit against the classical estimator on sampled
+        reference points (the SSDBM-2024 style training loop)."""
+        from correrender_tpu.calculators.correlation import correlate_field
+
+        vd = self.volume_data
+        g = vd.grid
+        stack = vd.get_member_stack(
+            self.field_name or vd.field_names[0], time
+        )
+        rng = np.random.default_rng(seed)
+        pos = self._grid_positions().reshape(-1, 3)
+        pos_ref_list, pos_query_list, target_list = [], [], []
+        for _ in range(num_reference_points):
+            rx = int(rng.integers(0, g.xs))
+            ry = int(rng.integers(0, g.ys))
+            rz = int(rng.integers(0, g.zs))
+            field = correlate_field(
+                stack, stack[rz, ry, rx], self.measure
+            ).reshape(-1)
+            ref_pos = jnp.asarray(
+                [(rx + 0.5) / g.xs, (ry + 0.5) / g.ys, (rz + 0.5) / g.zs]
+            )
+            ok = jnp.isfinite(field)
+            pos_ref_list.append(
+                jnp.broadcast_to(ref_pos, pos.shape)[ok]
+            )
+            pos_query_list.append(pos[ok])
+            target_list.append(field[ok])
+        self.params, loss = train_srn(
+            self.model,
+            jnp.concatenate(pos_ref_list),
+            jnp.concatenate(pos_query_list),
+            jnp.concatenate(target_list),
+            steps=self.train_steps,
+        )
+        return loss
+
+    def compute(self, time: int, member: int):
+        if self.params is None:
+            self.fit(time)
+        g = self.volume_data.grid
+        x, y, z = self.reference_point
+        ref_pos = jnp.asarray(
+            [(x + 0.5) / g.xs, (y + 0.5) / g.ys, (z + 0.5) / g.zs]
+        )
+        pos = self._grid_positions()
+        out = self.model.apply(
+            self.params, jnp.broadcast_to(ref_pos, pos.shape), pos
+        )
+        return out
+
+    def set_reference_point(self, x, y, z):
+        self.reference_point = (x, y, z)
+        if self.volume_data is not None:
+            self.volume_data.mark_dirty(self.output_name)

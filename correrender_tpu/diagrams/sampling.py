@@ -69,13 +69,25 @@ def _eval_max(sa, sb, measure, **kw):
     return float(vals.max()) if len(vals) else float("nan")
 
 
-def sample_mean(stack_means, region_a, region_b, measure, **kw):
-    """Mean method: correlation of the two downscaled block-mean series
-    (computeCorrelationsMean, HEBChartCorrelation.cpp:457)."""
-    ca = [int(round(c)) for c in region_a.center]
-    cb = [int(round(c)) for c in region_b.center]
-    sa = stack_means[ca[2], ca[1], ca[0]][None]
-    sb = stack_means[cb[2], cb[1], cb[0]][None]
+def sample_mean(stack, region_a, region_b, measure, num_samples=None,
+                seed=None, **kw):
+    """Mean method: correlation of the two regions' block-mean series
+    (computeCorrelationsMean on downscaled fields,
+    HEBChartCorrelation.cpp:457)."""
+
+    def region_mean_series(r):
+        sub = stack[
+            r.z_min : r.z_max + 1,
+            r.y_min : r.y_max + 1,
+            r.x_min : r.x_max + 1,
+        ]
+        with np.errstate(invalid="ignore"):
+            return np.nanmean(
+                np.asarray(sub).reshape(-1, sub.shape[-1]), axis=0
+            )
+
+    sa = region_mean_series(region_a)[None]
+    sb = region_mean_series(region_b)[None]
     return _eval_max(sa, sb, measure, **kw)
 
 
@@ -88,7 +100,8 @@ def sample_random(stack, region_a, region_b, measure, num_samples=100,
     return _eval_max(sa, sb, measure, **kw)
 
 
-def sample_halton(stack, region_a, region_b, measure, num_samples=100, **kw):
+def sample_halton(stack, region_a, region_b, measure, num_samples=100,
+                  seed=None, **kw):
     idx = np.arange(1, num_samples + 1)
     ua = np.stack([halton(idx, b) for b in (2, 3, 5)], axis=-1)
     ub = np.stack([halton(idx, b) for b in (7, 11, 13)], axis=-1)
@@ -96,7 +109,8 @@ def sample_halton(stack, region_a, region_b, measure, num_samples=100, **kw):
     return _eval_max(sa, sb, measure, **kw)
 
 
-def sample_plastic(stack, region_a, region_b, measure, num_samples=100, **kw):
+def sample_plastic(stack, region_a, region_b, measure, num_samples=100,
+                   seed=None, **kw):
     u = plastic_sequence(num_samples, 6)
     sa, sb = _pairs_to_series(stack, region_a, region_b, u[:, :3], u[:, 3:])
     return _eval_max(sa, sb, measure, **kw)
@@ -127,11 +141,12 @@ def sample_block_pair_max(
     stack, region_a, region_b, measure="pearson", method="plastic",
     stack_means=None, **kw,
 ):
-    """Estimate max |corr| between two regions with the chosen method."""
-    if method == "mean":
-        if stack_means is None:
-            raise ValueError("mean method needs stack_means")
-        return sample_mean(stack_means, region_a, region_b, measure, **kw)
+    """Estimate max |corr| between two regions with the chosen method.
+
+    ``stack_means`` is accepted for API compatibility but unused — the
+    mean method derives region means from the stack directly.
+    """
+    del stack_means
     return SAMPLING_METHODS[method](stack, region_a, region_b, measure, **kw)
 
 

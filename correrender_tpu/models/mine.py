@@ -1,0 +1,182 @@
+"""Neural correlation estimators: SRN and MINE network families.
+
+Reference: NetworkType {MINE, SRN_MINE, SRN}
+(src/Calculators/CorrelationDefines.hpp:81-99) behind the
+DeepLearningCorrelationCalculator GUI; backends TorchScript /
+tiny-cuda-nn / QuickMLP / VMLP all collapse here onto one JAX model.
+
+* **SRN** (scene representation network): encoder(position_ref),
+  encoder(position_query) → symmetrizer → decoder → correlation value.
+  Trained supervised against computed correlation fields; at inference
+  it replaces the estimator for instant reference-point queries.
+* **MINE** (Belghazi et al. 2018, arXiv:1801.04062): the statistic
+  network T(x, y) trained on the Donsker–Varadhan bound
+  ``MI ≥ E_joint[T] − log E_marginal[exp T]`` to estimate MI between
+  two series directly from samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from correrender_tpu.models.encodings import FrequencyEncoding
+from correrender_tpu.models.vmlp import MLP
+from correrender_tpu.models.symmetrizer import (
+    symmetrize,
+    symmetrizer_output_features,
+)
+
+
+def _adam_update(params, grads, state, lr, t):
+    m, v = state
+    m = jax.tree.map(lambda a, g: 0.9 * a + 0.1 * g, m, grads)
+    v = jax.tree.map(lambda a, g: 0.999 * a + 0.001 * g * g, v, grads)
+    mhat = jax.tree.map(lambda a: a / (1 - 0.9**t), m)
+    vhat = jax.tree.map(lambda a: a / (1 - 0.999**t), v)
+    params = jax.tree.map(
+        lambda p, mh, vh: p - lr * mh / (jnp.sqrt(vh) + 1e-8),
+        params, mhat, vhat,
+    )
+    return params, (m, v)
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelationSRN:
+    """Encoder–symmetrizer–decoder correlation surrogate."""
+
+    encoding: object = None
+    encoder: MLP = None
+    decoder: MLP = None
+    symmetrizer: str = "add_diff"
+
+    @classmethod
+    def create(cls, hidden=64, latent=32, num_frequencies=6,
+               symmetrizer="add_diff"):
+        enc = FrequencyEncoding(dims=3, num_frequencies=num_frequencies)
+        encoder = MLP(enc.num_features, hidden, latent, num_layers=2)
+        decoder = MLP(
+            symmetrizer_output_features(latent, symmetrizer),
+            hidden, 1, num_layers=2,
+        )
+        return cls(encoding=enc, encoder=encoder, decoder=decoder,
+                   symmetrizer=symmetrizer)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "encoding": self.encoding.init(k1),
+            "encoder": self.encoder.init(k2),
+            "decoder": self.decoder.init(k3),
+        }
+
+    def apply(self, params, pos_ref, pos_query):
+        """pos_*: (..., 3) normalized positions → (...,) correlation."""
+        ea = self.encoder.apply(
+            params["encoder"],
+            self.encoding.apply(params["encoding"], pos_ref),
+        )
+        eb = self.encoder.apply(
+            params["encoder"],
+            self.encoding.apply(params["encoding"], pos_query),
+        )
+        z = symmetrize(ea, eb, self.symmetrizer)
+        return self.decoder.apply(params["decoder"], z)[..., 0]
+
+
+def train_srn(
+    model: CorrelationSRN,
+    pos_ref: jnp.ndarray,
+    pos_query: jnp.ndarray,
+    targets: jnp.ndarray,
+    steps: int = 500,
+    batch: int = 4096,
+    lr: float = 3e-3,
+    seed: int = 0,
+):
+    """Supervised fit of the SRN to (ref, query) → correlation samples."""
+    key = jax.random.key(seed)
+    params = model.init(key)
+    n = targets.shape[0]
+
+    def loss_fn(p, pr, pq, t):
+        pred = model.apply(p, pr, pq)
+        return jnp.mean((pred - t) ** 2)
+
+    @jax.jit
+    def step_fn(p, opt_state, key, t_step):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (min(batch, n),), 0, n)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, pos_ref[idx], pos_query[idx], targets[idx]
+        )
+        p, opt_state = _adam_update(p, grads, opt_state, lr, t_step)
+        return p, opt_state, key, loss
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
+    loss = jnp.inf
+    for t in range(1, steps + 1):
+        params, opt_state, key, loss = step_fn(params, opt_state, key, t)
+    return params, float(loss)
+
+
+@dataclasses.dataclass(frozen=True)
+class MineEstimator:
+    """MINE statistic network over scalar sample pairs."""
+
+    network: MLP = None
+
+    @classmethod
+    def create(cls, hidden=64, num_layers=3):
+        return cls(network=MLP(2, hidden, 1, num_layers=num_layers))
+
+    def init(self, key):
+        return self.network.init(key)
+
+    def statistic(self, params, x, y):
+        inp = jnp.stack([x, y], axis=-1)
+        return self.network.apply(params, inp)[..., 0]
+
+    def mi_lower_bound(self, params, x, y, key):
+        """Donsker–Varadhan bound on samples (..., n)."""
+        t_joint = self.statistic(params, x, y)
+        y_shuffled = jax.random.permutation(key, y, axis=-1)
+        t_marg = self.statistic(params, x, y_shuffled)
+        return jnp.mean(t_joint) - jnp.log(
+            jnp.mean(jnp.exp(jnp.clip(t_marg, -20.0, 20.0))) + 1e-12
+        )
+
+
+def train_mine(
+    estimator: MineEstimator,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    steps: int = 400,
+    lr: float = 1e-3,
+    seed: int = 0,
+):
+    """Train the statistic net on one (x, y) sample set; returns
+    (params, MI estimate in nats)."""
+    key = jax.random.key(seed)
+    params = estimator.init(key)
+
+    def loss_fn(p, k):
+        return -estimator.mi_lower_bound(p, x, y, k)
+
+    @jax.jit
+    def step_fn(p, opt_state, key, t):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
+        p, opt_state = _adam_update(p, grads, opt_state, lr, t)
+        return p, opt_state, key, loss
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
+    mi = 0.0
+    for t in range(1, steps + 1):
+        params, opt_state, key, loss = step_fn(params, opt_state, key, t)
+        mi = -float(loss)
+    return params, mi

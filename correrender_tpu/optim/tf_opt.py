@@ -1,0 +1,232 @@
+"""Transfer-function optimization.
+
+Fit an RGBA LUT for field B such that B's rendering matches field A
+rendered with a known TF. Reference: src/Optimization/TFOptimization.*
+(worker-thread request/reply GUI harness) with methods OLS / GD /
+DiffDVR (OptDefines.hpp:32-40); TF sizes from ``possibleTfSizes``
+{2..256} (TFOptimization.hpp:47-49).
+
+The linear model (OLS/GD): every voxel constrains
+``two_hot(B[v]) · X ≈ TF_A(A[v])`` — rows are voxel TF-bin weights,
+exactly the reference's normal-equation construction
+(Data/Shaders/TF/NormalEquations.glsl), built here as two MXU
+contractions. DiffDVR differentiates the *actual renderer* instead
+(jax.grad through render/dvr.py — the reference needed a hand-written
+adjoint GLSL pass for this).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from correrender_tpu.optim import solvers
+from correrender_tpu.render.classify import classify
+from correrender_tpu.render.tf import TransferFunction
+
+
+def _two_hot(values: jnp.ndarray, domain, resolution: int) -> jnp.ndarray:
+    lo, hi = domain
+    u = jnp.clip((values - lo) / (hi - lo), 0.0, 1.0) * (resolution - 1)
+    u = jnp.where(jnp.isnan(values), -2.0, u)
+    bins = jnp.arange(resolution, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(u[..., None] - bins), 0.0)
+
+
+def optimize_tf_ols(
+    field_a: jnp.ndarray,
+    tf_a: TransferFunction,
+    field_b: jnp.ndarray,
+    tf_size: int = 64,
+    domain_b=None,
+    solver: str = "cholesky",
+    nonneg: bool = True,
+    iters: int = 200,
+) -> TransferFunction:
+    """Least-squares TF fit (reference TFOptimizerOLS).
+
+    Args:
+      field_a: ``(Z, Y, X)`` source field with known TF ``tf_a``.
+      field_b: ``(Z, Y, X)`` target field to fit a TF for.
+      tf_size: LUT resolution of the fitted TF.
+      solver: "cholesky" | "lu" | "qr" | "svd" | "cgls" | "lsqr".
+      nonneg: clamp to a physically-valid (≥ 0) LUT via projected NNLS.
+    """
+    a_vals = field_a.reshape(-1)
+    b_vals = field_b.reshape(-1)
+    if domain_b is None:
+        domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
+    target = classify(
+        a_vals, tf_a.lut, jnp.asarray(tf_a.domain, jnp.float32),
+        premultiply=False,
+    )  # (V, 4)
+    w = _two_hot(b_vals, domain_b, tf_size)  # (V, R)
+    ata = jnp.einsum("vr,vs->rs", w, w, preferred_element_type=jnp.float32)
+    atb = jnp.einsum("vr,vc->rc", w, target,
+                     preferred_element_type=jnp.float32)
+    if solver in ("cgls", "lsqr"):
+        fn = solvers.cgls if solver == "cgls" else solvers.lsqr
+        x = jnp.stack([fn(w, target[:, c], iters=100) for c in range(4)],
+                      axis=-1)
+    elif nonneg:
+        x = jnp.stack(
+            [solvers.solve_nonneg(ata, atb[:, c], iters=iters)
+             for c in range(4)], axis=-1,
+        )
+    else:
+        x = solvers.solve_dense(ata, atb, solver)
+    lut = jnp.clip(x, 0.0, 1.0)
+    return TransferFunction(lut=lut, domain=tuple(domain_b))
+
+
+def optimize_tf_gd(
+    field_a,
+    tf_a: TransferFunction,
+    field_b,
+    tf_size: int = 64,
+    domain_b=None,
+    epochs: int = 200,
+    learning_rate: float = 0.05,
+    optimizer: str = "adam",
+) -> TransferFunction:
+    """Adam/SGD on the voxel-matching loss (reference GD/OptimizerPass)."""
+    a_vals = field_a.reshape(-1)
+    b_vals = field_b.reshape(-1)
+    if domain_b is None:
+        domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
+    target = classify(
+        a_vals, tf_a.lut, jnp.asarray(tf_a.domain, jnp.float32),
+        premultiply=False,
+    )
+    w = _two_hot(b_vals, domain_b, tf_size)
+
+    def loss_fn(lut):
+        pred = w @ lut
+        return jnp.mean((pred - target) ** 2)
+
+    lut = jnp.full((tf_size, 4), 0.5, jnp.float32)
+    m = jnp.zeros_like(lut)
+    v = jnp.zeros_like(lut)
+    grad_fn = jax.jit(jax.grad(loss_fn))
+
+    @jax.jit
+    def adam_step(lut, m, v, t):
+        g = grad_fn(lut)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9**t)
+        vhat = v / (1 - 0.999**t)
+        lut = lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return jnp.clip(lut, 0.0, 1.0), m, v
+
+    @jax.jit
+    def sgd_step(lut, m, v, t):
+        g = grad_fn(lut)
+        return jnp.clip(lut - learning_rate * g, 0.0, 1.0), m, v
+
+    step = adam_step if optimizer == "adam" else sgd_step
+    for t in range(1, epochs + 1):
+        lut, m, v = step(lut, m, v, t)
+    return TransferFunction(lut=lut, domain=tuple(domain_b))
+
+
+def optimize_tf_diffdvr(
+    field_a,
+    tf_a: TransferFunction,
+    field_b,
+    camera,
+    tf_size: int = 32,
+    domain_b=None,
+    epochs: int = 60,
+    learning_rate: float = 0.1,
+    image_size=(64, 64),
+    smoothing_weight: float = 1e-3,
+    loss: str = "l2",
+    attenuation: float = 100.0,
+) -> TransferFunction:
+    """Differentiable-DVR TF fit: gradients through the ray-marcher.
+
+    The reference implements forward + adjoint GLSL passes with an
+    image loss and a smoothing prior (src/Optimization/DiffDVR/,
+    Data/Shaders/TF/DvrForward.glsl / DvrAdjoint.glsl / Loss.glsl /
+    SmoothingPrior.glsl); here the adjoint is jax.grad of the same
+    renderer used for display (the BASELINE.json north-star item).
+    """
+    from correrender_tpu.render.dvr import dvr_render
+
+    b_vals = field_b.reshape(-1)
+    if domain_b is None:
+        domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
+    target = jax.lax.stop_gradient(
+        dvr_render(field_a, camera, tf_a, image_size=image_size,
+                   attenuation=attenuation)
+    )
+
+    def render_with(lut):
+        tf_b = TransferFunction(lut=lut, domain=tuple(domain_b))
+        return dvr_render(field_b, camera, tf_b, image_size=image_size,
+                          attenuation=attenuation)
+
+    def loss_fn(lut):
+        img = render_with(lut)
+        if loss == "l1":
+            data_term = jnp.mean(jnp.abs(img - target))
+        else:
+            data_term = jnp.mean((img - target) ** 2)
+        smooth = jnp.mean((lut[1:] - lut[:-1]) ** 2)
+        return data_term + smoothing_weight * smooth
+
+    lut = jnp.full((tf_size, 4), 0.5, jnp.float32)
+    m = jnp.zeros_like(lut)
+    v = jnp.zeros_like(lut)
+    val_grad = jax.jit(jax.value_and_grad(loss_fn))
+
+    for t in range(1, epochs + 1):
+        _, g = val_grad(lut)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9**t)
+        vhat = v / (1 - 0.999**t)
+        lut = jnp.clip(
+            lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8), 0.0, 1.0
+        )
+    return TransferFunction(lut=lut, domain=tuple(domain_b))
+
+
+@dataclasses.dataclass
+class TFOptimizer:
+    """Request/execute wrapper mirroring the reference's
+    TFOptimizationWorker settings surface (method, TF size, epochs)."""
+
+    method: str = "ols"  # "ols" | "gd" | "diffdvr"
+    tf_size: int = 64
+    epochs: int = 200
+    solver: str = "cholesky"
+
+    POSSIBLE_TF_SIZES = (2, 4, 8, 16, 32, 64, 128, 256)
+
+    def run(self, field_a, tf_a, field_b, camera=None, **kw):
+        if self.tf_size not in self.POSSIBLE_TF_SIZES:
+            raise ValueError(
+                f"tf_size must be one of {self.POSSIBLE_TF_SIZES}"
+            )
+        if self.method == "ols":
+            return optimize_tf_ols(
+                field_a, tf_a, field_b, self.tf_size,
+                solver=self.solver, **kw,
+            )
+        if self.method == "gd":
+            return optimize_tf_gd(
+                field_a, tf_a, field_b, self.tf_size,
+                epochs=self.epochs, **kw,
+            )
+        if self.method == "diffdvr":
+            if camera is None:
+                raise ValueError("diffdvr needs a camera")
+            return optimize_tf_diffdvr(
+                field_a, tf_a, field_b, camera, self.tf_size,
+                epochs=min(self.epochs, 100), **kw,
+            )
+        raise ValueError(f"unknown method {self.method!r}")

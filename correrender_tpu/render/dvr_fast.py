@@ -1,0 +1,321 @@
+"""Matmul-based direct volume rendering: perspective shear-warp.
+
+The naive ray-marcher (dvr.py) is exact but gather-bound: XLA gather on
+TPU sustains only ~100 M elem/s, so 1080p × 2000 steps × 8 corners is
+seconds-per-frame. This renderer restructures DVR so the hot loop is
+matrix multiplication:
+
+1. **Classify**: transfer function applied to the whole volume as a
+   two-hot MXU contraction (render/classify.py) — no gathers.
+2. **Shear (composite)**: slices of the classified volume along the
+   principal axis are projected *through the eye* onto the reference
+   plane (the nearest slice plane). That projection is a per-slice
+   uniform scale about the eye's in-plane point — axis-separable — so
+   each slice is resampled onto the intermediate grid with two small
+   dense matmuls (tent-weight matrices), then composited front-to-back
+   with the OVER operator. Every intermediate pixel corresponds to an
+   exact eye ray, and slice-plane intersections are exact sample
+   points of that ray (step Δs = Δz·|d|/|d_a|), so this computes the
+   same volume-rendering integral as the marcher — perspective-correct,
+   not the classic parallel-projection approximation.
+3. **Warp**: one 2D homography from the reference plane to the screen.
+   (The only gather left: 4/pixel, ~10⁷ total instead of ~10¹⁰.)
+
+Reference semantics matched: DvrShader.glsl compositing
+(alpha = 1 − exp(−τ·Δs·attenuation), premultiplied OVER, background
+blend, un-premultiply — Data/Shaders/Renderers/DVR/DvrShader.glsl:103-137),
+with the volume treated as zero outside the box (exact box clipping via
+zero tent weights).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.render.classify import classify_volume
+
+_EPS = 1e-6
+
+
+def _principal_axis(forward: np.ndarray) -> int:
+    return int(np.argmax(np.abs(forward)))  # 0=x, 1=y, 2=z (world)
+
+
+def _over(a, b):
+    """Premultiplied front-to-back OVER — an associative monoid, which
+    is what lets compositing tree-reduce instead of serializing over
+    slices (log₂S combine depth instead of S)."""
+    rgb_a, al_a = a
+    rgb_b, al_b = b
+    return rgb_a + (1.0 - al_a)[..., None] * rgb_b, al_a + (1.0 - al_a) * al_b
+
+
+@functools.partial(jax.jit, static_argnames=("hi", "wi", "chunk"))
+def _composite_scan(
+    cvol,  # (S, Yv, Xv, 4) classified slices, near→far, premultiplied
+    g,  # (S,) through-eye scale per slice
+    axis_coords_y,  # (Yv,) world coords of slice rows
+    axis_coords_x,  # (Xv,) world coords of slice cols
+    grid_v,  # (hi,) intermediate-grid world coords (v/y direction)
+    grid_u,  # (wi,) intermediate-grid world coords (u/x direction)
+    eye_uv,  # (2,) eye in-plane world coords (u, x-like first)
+    len_factor,  # (hi, wi) Δs multiplier per intermediate pixel
+    slab_thickness,  # scalar world Δz between slices
+    attenuation,
+    hi: int,
+    wi: int,
+    chunk: int = 16,
+):
+    s, yv, xv, _ = cvol.shape
+    dy = axis_coords_y[1] - axis_coords_y[0] if yv > 1 else 1.0
+    dx = axis_coords_x[1] - axis_coords_x[0] if xv > 1 else 1.0
+    num_chunks = -(-s // chunk)
+    padded = num_chunks * chunk
+    if padded != s:
+        cvol = jnp.pad(cvol, ((0, padded - s), (0, 0), (0, 0), (0, 0)))
+        g = jnp.pad(g, (0, padded - s), constant_values=-1.0)  # inert
+    cvol_c = cvol.reshape(num_chunks, chunk, yv, xv, 4).astype(jnp.bfloat16)
+    g_c = g.reshape(num_chunks, chunk)
+
+    def chunk_step(acc, inputs):
+        slices, gk = inputs  # (chunk, Yv, Xv, 4), (chunk,)
+        # Per-slice separable tent-weight resample, batched over the
+        # chunk — one big MXU contraction per chunk.
+        qv = eye_uv[1] + (grid_v[None, :] - eye_uv[1]) * gk[:, None]
+        qu = eye_uv[0] + (grid_u[None, :] - eye_uv[0]) * gk[:, None]
+        wv = jnp.maximum(
+            1.0 - jnp.abs(qv[..., None] - axis_coords_y[None, None, :]) / dy,
+            0.0,
+        ).astype(jnp.bfloat16)  # (chunk, hi, Yv)
+        wu = jnp.maximum(
+            1.0 - jnp.abs(qu[..., None] - axis_coords_x[None, None, :]) / dx,
+            0.0,
+        ).astype(jnp.bfloat16)  # (chunk, wi, Xv)
+        slab = jnp.einsum(
+            "kiy,kyxc->kixc", wv, slices, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        slab = jnp.einsum(
+            "kixc,kjx->kijc", slab, wu, preferred_element_type=jnp.float32
+        )  # (chunk, hi, wi, 4) f32
+        tau = slab[..., 3]
+        rgb_straight = slab[..., :3] / jnp.maximum(tau, _EPS)[..., None]
+        valid = (gk > _EPS).astype(jnp.float32)[:, None, None]
+        alpha = (
+            1.0
+            - jnp.exp(-tau * slab_thickness * len_factor[None] * attenuation)
+        ) * valid
+        rgb = alpha[..., None] * rgb_straight  # premultiplied contribution
+
+        # Ordered tree-reduction of the chunk (log2 combine depth).
+        n = chunk
+        while n > 1:
+            half = n // 2
+            a = (rgb[0 : 2 * half : 2], alpha[0 : 2 * half : 2])
+            b = (rgb[1 : 2 * half : 2], alpha[1 : 2 * half : 2])
+            rgb_m, al_m = _over(a, b)
+            if n % 2:
+                rgb = jnp.concatenate([rgb_m, rgb[-1:]], axis=0)
+                alpha = jnp.concatenate([al_m, alpha[-1:]], axis=0)
+            else:
+                rgb, alpha = rgb_m, al_m
+            n = rgb.shape[0]
+        acc = _over(acc, (rgb[0], alpha[0]))
+        return acc, None
+
+    acc0 = (
+        jnp.zeros((hi, wi, 3), jnp.float32),
+        jnp.zeros((hi, wi), jnp.float32),
+    )
+    (rgb, a), _ = jax.lax.scan(chunk_step, acc0, (cvol_c, g_c))
+    return rgb, a
+
+
+def dvr_shearwarp(
+    volume: jnp.ndarray,
+    camera,
+    transfer_function,
+    image_size=(1920, 1080),
+    box=None,
+    attenuation: float = 100.0,
+    background=(0.0, 0.0, 0.0, 1.0),
+    intermediate_scale: float = 1.0,
+    classified: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fast DVR (see module docstring).
+
+    Args:
+      volume: ``(Z, Y, X)`` scalar field.
+      intermediate_scale: intermediate-grid resolution multiplier
+        relative to the larger of (image size, 2× volume face).
+      classified: optionally a precomputed ``classify_volume`` result
+        (reuse across frames while the TF/field are unchanged).
+
+    Returns:
+      ``(H, W, 4)`` straight-alpha RGBA.
+    """
+    zs, ys, xs = volume.shape
+    if box is None:
+        dims = np.array(
+            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
+        )
+        normalized = dims / dims.max()
+        box = (-0.25 * normalized, 0.25 * normalized)
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+
+    eye = np.asarray(camera.position, np.float32)
+    forward = np.asarray(camera.look_at_point, np.float32) - eye
+    forward /= np.linalg.norm(forward)
+    a = _principal_axis(forward)  # world axis index
+    in_plane = [i for i in range(3) if i != a]  # (u, v) world axes
+
+    # Classified volume, axes ordered (slice, y-like, x-like).
+    if classified is None:
+        classified = classify_volume(
+            volume, transfer_function.lut,
+            jnp.asarray(transfer_function.domain, jnp.float32),
+        )
+    # volume axes are (z, y, x) = world (2, 1, 0).
+    world_to_arr = {2: 0, 1: 1, 0: 2}
+    arr_axis = world_to_arr[a]
+    arr_v = world_to_arr[in_plane[1]]
+    arr_u = world_to_arr[in_plane[0]]
+    cvol = jnp.transpose(classified, (arr_axis, arr_v, arr_u, 3))
+    n_slices = cvol.shape[0]
+    nv, nu = cvol.shape[1], cvol.shape[2]
+
+    # World coordinates of voxel centers along each axis. Array index
+    # ascends with world coordinate for (z,y,x) ordering.
+    def centers(world_axis, count):
+        lo, hi_ = box_min[world_axis], box_max[world_axis]
+        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
+
+    slice_coords = centers(a, n_slices)
+    coords_v = centers(in_plane[1], nv)
+    coords_u = centers(in_plane[0], nu)
+
+    # Order slices near→far from the eye.
+    if forward[a] < 0:
+        cvol = cvol[::-1]
+        slice_coords = slice_coords[::-1]
+    e_a = eye[a]
+    z_ref = slice_coords[0]
+    denom = z_ref - e_a
+    if abs(denom) < 1e-6:
+        denom = np.sign(denom or 1.0) * 1e-6
+    g = (slice_coords - e_a) / denom  # (S,) ≥ 1 when eye outside
+
+    # Intermediate grid: union of slice footprints projected to the
+    # reference plane through the eye (q_ref = e + (q − e)/g_k).
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
+    lo_u = hi_u = None
+    for gk in (g.min(), g.max(), 1.0):
+        if gk <= 0:
+            continue
+        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
+        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
+        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
+        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
+        if gk == g.min() or lo_u is None:
+            pass
+    lo_v, hi_v = None, None
+    for gk in (g.min(), g.max(), 1.0):
+        if gk <= 0:
+            continue
+        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
+        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
+        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
+
+    width, height = image_size
+    hi_res = max(int(height * intermediate_scale), 2 * nv)
+    wi_res = max(int(width * intermediate_scale), 2 * nu)
+    grid_u = np.linspace(lo_u, hi_u, wi_res).astype(np.float32)
+    grid_v = np.linspace(lo_v, hi_v, hi_res).astype(np.float32)
+
+    # Per-intermediate-pixel path-length factor |d| / |d_a| of the ray
+    # eye → reference-plane point.
+    gu, gv = np.meshgrid(grid_u, grid_v)
+    d_u = gu - e_u
+    d_v = gv - e_v
+    d_a = z_ref - e_a
+    len_factor = np.sqrt(d_u**2 + d_v**2 + d_a**2) / max(abs(d_a), 1e-9)
+    slab_thickness = float(
+        abs(slice_coords[1] - slice_coords[0]) if n_slices > 1 else
+        (box_max[a] - box_min[a])
+    )
+
+    inter_rgb, inter_a = _composite_scan(
+        cvol,
+        jnp.asarray(g, jnp.float32),
+        jnp.asarray(coords_v, jnp.float32),
+        jnp.asarray(coords_u, jnp.float32),
+        jnp.asarray(grid_v),
+        jnp.asarray(grid_u),
+        jnp.asarray([e_u, e_v], jnp.float32),
+        jnp.asarray(len_factor, jnp.float32),
+        jnp.float32(slab_thickness),
+        jnp.float32(attenuation),
+        hi_res,
+        wi_res,
+    )
+
+    # Final homography warp to the screen.
+    origin, directions = camera.rays(width, height)
+    u_axis = np.zeros(3, np.float32)
+    u_axis[in_plane[0]] = 1.0
+    v_axis = np.zeros(3, np.float32)
+    v_axis[in_plane[1]] = 1.0
+    return _warp(
+        inter_rgb, inter_a,
+        jnp.asarray(grid_u), jnp.asarray(grid_v),
+        origin, directions,
+        jnp.asarray(u_axis), jnp.asarray(v_axis),
+        jnp.float32(z_ref),
+        jnp.asarray(np.eye(3)[a], jnp.float32),
+        jnp.asarray(background, jnp.float32),
+    )
+
+
+@jax.jit
+def _warp(inter_rgb, inter_a, grid_u, grid_v, origin, directions,
+          u_axis, v_axis, z_ref, a_axis, background):
+    d_a = jnp.einsum("hwc,c->hw", directions, a_axis)
+    o_a = jnp.dot(origin, a_axis)
+    t = (z_ref - o_a) / jnp.where(jnp.abs(d_a) < _EPS, _EPS, d_a)
+    p = origin + directions * t[..., None]
+    pu = jnp.einsum("hwc,c->hw", p, u_axis)
+    pv = jnp.einsum("hwc,c->hw", p, v_axis)
+    su = (pu - grid_u[0]) / (grid_u[-1] - grid_u[0]) * (grid_u.shape[0] - 1)
+    sv = (pv - grid_v[0]) / (grid_v[-1] - grid_v[0]) * (grid_v.shape[0] - 1)
+    valid = t > 0
+
+    hi, wi = inter_a.shape
+    i0 = jnp.clip(jnp.floor(sv).astype(jnp.int32), 0, hi - 2)
+    j0 = jnp.clip(jnp.floor(su).astype(jnp.int32), 0, wi - 2)
+    fv = sv - i0
+    fu = su - j0
+    inside = (sv >= 0) & (sv <= hi - 1) & (su >= 0) & (su <= wi - 1)
+
+    def bilerp(img):
+        fv_ = fv[..., None] if img.ndim == 3 else fv
+        fu_ = fu[..., None] if img.ndim == 3 else fu
+        return (
+            img[i0, j0] * (1 - fv_) * (1 - fu_)
+            + img[i0, j0 + 1] * (1 - fv_) * fu_
+            + img[i0 + 1, j0] * fv_ * (1 - fu_)
+            + img[i0 + 1, j0 + 1] * fv_ * fu_
+        )
+
+    mask = (valid & inside).astype(jnp.float32)
+    rgb = bilerp(inter_rgb) * mask[..., None]
+    a = bilerp(inter_a) * mask
+    h, w = a.shape
+    bg = jnp.broadcast_to(background, (h, w, 4))
+    rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
+    a = a + (1.0 - a) * bg[..., 3]
+    safe = jnp.maximum(a, _EPS)
+    return jnp.concatenate([rgb / safe[..., None], a[..., None]], axis=-1)

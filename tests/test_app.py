@@ -1,0 +1,207 @@
+"""App layer: scenes, state files, CLI, harnesses, metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from correrender_tpu.app.state import Scene
+from correrender_tpu.app.perf import PerfState, run_perf_sweep
+from correrender_tpu.app.sampling_test import (
+    run_sampling_tests,
+    SamplingTestCase,
+)
+from correrender_tpu.app import cli
+from correrender_tpu.core import GridMetadata, VolumeData
+from correrender_tpu.calculators.correlation import CorrelationCalculator
+from correrender_tpu.render.camera import Camera
+from correrender_tpu.utils import fixtures
+from correrender_tpu.utils.metrics import compare_images, ssim, psnr
+from correrender_tpu.ops.similarity import field_similarity
+from correrender_tpu.io import writers
+
+
+def make_scene(members=20):
+    data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8, members=members)
+    vd = VolumeData(GridMetadata(xs=16, ys=16, zs=8, es=members))
+    vd.add_field("data", lambda t, e: data[e])
+    return Scene(vd, views=[Camera(position=(0.0, 0.2, 0.8))]), data
+
+
+class TestScene:
+    def test_render_dvr_and_outline(self):
+        scene, _ = make_scene()
+        name = scene.add_calculator(
+            CorrelationCalculator("data", reference_point=(2, 2, 4))
+        )
+        scene.add_renderer("dvr", field=name)
+        scene.add_renderer("domain_outline")
+        img = np.asarray(scene.render_view(0, image_size=(64, 48)))
+        assert img.shape == (48, 64, 4)
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0
+
+    def test_unknown_renderer_rejected(self):
+        scene, _ = make_scene()
+        with pytest.raises(ValueError):
+            scene.add_renderer("nope")
+
+    def test_state_roundtrip(self, tmp_path):
+        scene, data = make_scene()
+        scene.add_calculator(
+            CorrelationCalculator(
+                "data", measure="kendall", reference_point=(1, 2, 3),
+                num_bins=40,
+            )
+        )
+        scene.add_renderer("dvr")
+        path = str(tmp_path / "state.json")
+        scene.save_state(path, dataset={"synthetic": True})
+        doc = json.load(open(path))
+        assert doc["calculators"][0]["type"] == "correlation"
+        assert doc["calculators"][0]["reference_point_x"] == 1
+        # Reload against a fresh VolumeData.
+        vd2 = VolumeData(GridMetadata(xs=16, ys=16, zs=8, es=20))
+        vd2.add_field("data", lambda t, e: data[e])
+        scene2 = Scene.load_state(path, volume_data=vd2)
+        calcs = list(scene2.volume_data.calculators.values())
+        assert calcs[0].measure.value == "kendall"
+        assert calcs[0].reference_point == (1, 2, 3)
+        assert scene2.renderers[0]["type"] == "dvr"
+
+
+class TestPerfHarness:
+    def test_sweep_writes_csv(self, tmp_path):
+        scene, _ = make_scene(10)
+        states = [
+            PerfState("tiny_dvr", renderer="dvr", image_size=(32, 32),
+                      num_frames=3),
+        ]
+        csv_path = str(tmp_path / "perf.csv")
+        rows = run_perf_sweep(scene, states, csv_path=csv_path)
+        assert rows[0]["time_avg_ms"] > 0
+        assert os.path.exists(csv_path)
+        header = open(csv_path).readline()
+        assert "time_avg_ms" in header
+
+
+class TestSamplingHarness:
+    def test_synthetic_sweep(self, tmp_path):
+        csv_path = str(tmp_path / "sampling.csv")
+        cases = [
+            SamplingTestCase("mean", 1, num_runs=1),
+            SamplingTestCase("plastic", 32, num_runs=2),
+        ]
+        rows = run_sampling_tests(
+            cases=cases, synthetic=True, num_pairs=2, block=6,
+            csv_path=csv_path,
+        )
+        assert len(rows) == 2
+        for row in rows:
+            assert 0 <= row["error_quantile"] <= 1
+            assert row["error_absolute"] >= -1e-6
+        # More samples → no worse absolute error than the mean method.
+        assert rows[1]["error_absolute"] <= rows[0]["error_absolute"] + 0.05
+        assert os.path.exists(csv_path)
+
+
+class TestMetrics:
+    def test_identical_images(self):
+        img = np.random.default_rng(0).uniform(size=(32, 32, 3))
+        m = compare_images(img, img)
+        assert m["mse"] == 0
+        assert m["psnr"] == float("inf")
+        assert m["ssim"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_noise_ordering(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(32, 32))
+        a = np.clip(img + 0.01 * rng.normal(size=img.shape), 0, 1)
+        b = np.clip(img + 0.2 * rng.normal(size=img.shape), 0, 1)
+        assert psnr(img, a) > psnr(img, b)
+        assert ssim(img, a) > ssim(img, b)
+
+
+class TestFieldSimilarity:
+    def test_self_similarity(self):
+        f = np.random.default_rng(2).normal(size=(8, 8, 8))
+        assert field_similarity(f, f) == pytest.approx(1.0, abs=1e-5)
+        assert field_similarity(f, -f) == pytest.approx(-1.0, abs=1e-5)
+
+    def test_nan_excluded(self):
+        f = np.random.default_rng(3).normal(size=(6, 6, 6)).astype(
+            np.float32
+        )
+        g = f.copy()
+        g[0, 0, 0] = np.nan
+        assert field_similarity(f, g) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestCli:
+    @pytest.fixture
+    def dataset(self, tmp_path):
+        data = fixtures.synth_box_ensemble(xs=12, ys=12, zs=6, members=15)
+        path = str(tmp_path / "d.nc")
+        writers.write_netcdf(path, data[:, None], name="temp")
+        return path
+
+    def test_info(self, dataset, capsys):
+        cli.main(["info", "--dataset", dataset])
+        out = capsys.readouterr().out
+        assert "members: 15" in out
+        assert "temp" in out
+
+    def test_render_pipeline(self, dataset, tmp_path):
+        out = str(tmp_path / "o.png")
+        cli.main([
+            "render", "--dataset", dataset, "--measure", "pearson",
+            "--ref", "3,3,3", "--size", "48x36", "--output", out,
+            "--outline", "--exact-dvr",
+        ])
+        assert os.path.getsize(out) > 0
+
+    def test_export_roundtrip(self, dataset, tmp_path):
+        out = str(tmp_path / "corr.nc")
+        cli.main([
+            "export", "--dataset", dataset, "--measure", "spearman",
+            "--ref", "2,2,2", "--output", out,
+        ])
+        from correrender_tpu.io import load_volume
+
+        vd = load_volume(out)
+        field = np.asarray(vd.get_field(vd.field_names[0]))
+        assert field.shape == (6, 12, 12)
+        assert field[2, 2, 2] == pytest.approx(1.0, abs=1e-4)
+
+    def test_heb_svg(self, dataset, tmp_path):
+        out = str(tmp_path / "h.svg")
+        cli.main([
+            "heb", "--dataset", dataset, "--downsample", "6",
+            "--max-chords", "10", "--output", out,
+        ])
+        assert "<svg" in open(out).read()
+
+    def test_state_render(self, dataset, tmp_path):
+        state = {
+            "version": 1,
+            "dataset": {"filename": dataset},
+            "views": [{"camera": {"position": [0.0, 0.2, 0.8]}}],
+            "calculators": [
+                {"type": "correlation", "scalar_field_name": "temp",
+                 "reference_point_x": 2, "reference_point_y": 2,
+                 "reference_point_z": 2}
+            ],
+            "renderers": [
+                {"type": "dvr",
+                 "field": "Pearson Correlation"}
+            ],
+        }
+        spath = tmp_path / "s.json"
+        spath.write_text(json.dumps(state))
+        out = str(tmp_path / "sv.png")
+        cli.main(["state", "--load", str(spath), "--size", "32x32",
+                  "--output", out])
+        assert os.path.getsize(out) > 0
