@@ -38,10 +38,20 @@ from jax.scipy.special import digamma
 NOISE_AMPLITUDE = 1e-5
 COUNT_EPSILON = 1e-6
 
-# Fixed keys standing in for the reference's fixed xorshift seeds
+# Fixed seeds standing in for the reference's fixed xorshift seeds
 # (MutualInformation.cpp:410-411). Data-independent and deterministic.
-_KEY_REF = jax.random.key(617406168)
-_KEY_QUERY = jax.random.key(864730169)
+# Keys are built lazily — creating them at import time would initialize
+# the JAX backend on module import.
+_SEED_REF = 617406168
+_SEED_QUERY = 864730169
+
+
+def _key_ref():
+    return jax.random.key(_SEED_REF)
+
+
+def _key_query():
+    return jax.random.key(_SEED_QUERY)
 
 
 def _add_noise(v: jnp.ndarray, key) -> jnp.ndarray:
@@ -80,8 +90,8 @@ def mutual_information_kraskov(
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     if use_noise:
-        xf = _add_noise(xf, _KEY_REF)
-        yf = _add_noise(yf, _KEY_QUERY)
+        xf = _add_noise(xf, _key_ref())
+        yf = _add_noise(yf, _key_query())
 
     dx = jnp.abs(xf[..., :, None] - xf[..., None, :])  # (..., n, n)
     dy = jnp.abs(yf[..., :, None] - yf[..., None, :])

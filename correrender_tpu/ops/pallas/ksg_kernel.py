@@ -36,8 +36,8 @@ from correrender_tpu.ops.pallas.common import on_tpu, round_up
 from correrender_tpu.ops.mi_ksg import (
     COUNT_EPSILON,
     NOISE_AMPLITUDE,
-    _KEY_REF,
-    _KEY_QUERY,
+    _key_query,
+    _key_ref,
 )
 
 _BIG = 1e30
@@ -50,10 +50,12 @@ def _make_kernel(k: int, n: int, npad: int, rows: int):
     def kernel(x_ref, dxs_ref, psi_ref, y_ref, out_ref):
         c = pl.program_id(1)
         x = x_ref[0, :]  # (npad,) reference series (padded with BIG)
-        y = y_ref[0, :]  # (npad,) this voxel's series
+        y = y_ref[0, 0, :]  # (npad,) this voxel's series
         row0 = c * rows
-        xi = jax.lax.dynamic_slice_in_dim(x, row0, rows).reshape(rows, 1)
-        yi = jax.lax.dynamic_slice_in_dim(y, row0, rows).reshape(rows, 1)
+        # Slice the row block from the refs (Mosaic supports pl.ds on
+        # refs but not value-level dynamic_slice).
+        xi = x_ref[0, pl.ds(row0, rows)].reshape(rows, 1)
+        yi = y_ref[0, 0, pl.ds(row0, rows)].reshape(rows, 1)
         dxs = dxs_ref[:]  # (rows, npad) signed x_j - x_i for this chunk
         dys = y.reshape(1, npad) - yi  # (rows, npad) signed y_j - y_i
         dch = jnp.maximum(jnp.abs(dxs), jnp.abs(dys))
@@ -85,7 +87,9 @@ def _make_kernel(k: int, n: int, npad: int, rows: int):
         cy = jnp.maximum(cy, 1.0)
 
         # ψ lookup: one_hot(count-1) @ psi_table  (MXU).
-        cols = jax.lax.broadcasted_iota(jnp.float32, (rows, npad), 1)
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, npad), 1
+        ).astype(jnp.float32)
         psi = psi_ref[0, :].reshape(npad, 1)
         psix = jnp.dot(
             (cols == (cx - 1.0)).astype(jnp.float32), psi,
@@ -97,15 +101,22 @@ def _make_kernel(k: int, n: int, npad: int, rows: int):
         )
 
         # Mask padded rows (global row index >= n).
-        row_ids = jax.lax.broadcasted_iota(jnp.float32, (rows, 1), 0) + row0
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0).astype(
+                jnp.float32
+            )
+            + row0
+        )
         valid = (row_ids < n).astype(jnp.float32)
         partial = jnp.sum(valid * (psix + psiy))
 
+        partial2d = partial.reshape(1, 1)  # VMEM stores must be ≥2D
+
         @pl.when(c == 0)
         def _():
-            out_ref[0, 0] = 0.0
+            out_ref[0] = jnp.zeros((1, 1), jnp.float32)
 
-        out_ref[0, 0] += partial
+        out_ref[0] += partial2d
 
     return kernel, num_chunks
 
@@ -134,9 +145,12 @@ def _mi_ksg_flat(series, x, k, interpret):
     ).reshape(1, npad)
 
     kernel, num_chunks = _make_kernel(k, n, npad, rows)
+    # Per-voxel blocks carry a singleton middle axis so Mosaic's
+    # block-shape constraint (trailing dims divisible by (8, 128) or
+    # equal to the array dims) is satisfied with one voxel per step.
     acc = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((v, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v, 1, 1), jnp.float32),
         grid=(v, num_chunks),
         in_specs=[
             pl.BlockSpec((1, npad), lambda i, c: (0, 0),
@@ -145,17 +159,17 @@ def _mi_ksg_flat(series, x, k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad), lambda i, c: (i, 0),
+            pl.BlockSpec((1, 1, npad), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, c: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp.reshape(1, npad), dxs, psi_table, sp)
+    )(xp.reshape(1, npad), dxs, psi_table, sp.reshape(v, 1, npad))
 
     import jax.scipy.special as jss
 
-    mi = -acc[:, 0] / n + jss.digamma(float(k)) + jss.digamma(float(n))
+    mi = -acc[:, 0, 0] / n + jss.digamma(float(k)) + jss.digamma(float(n))
     return jnp.maximum(mi, 0.0)
 
 
@@ -186,8 +200,8 @@ def mi_ksg_pallas(
     series = stack.reshape(-1, n)
     x = ref
     if use_noise:
-        nx = jax.random.uniform(_KEY_REF, (n,), jnp.float32)
-        ny = jax.random.uniform(_KEY_QUERY, (n,), jnp.float32)
+        nx = jax.random.uniform(_key_ref(), (n,), jnp.float32)
+        ny = jax.random.uniform(_key_query(), (n,), jnp.float32)
         x = x + nx * NOISE_AMPLITUDE
         series = series + ny[None, :] * NOISE_AMPLITUDE
     out = _mi_ksg_flat(series, x, k, interpret)

@@ -101,6 +101,30 @@ class Camera:
         return origin, world_dir
 
 
+def ray_dirs_affine(camera: "Camera", width: int, height: int):
+    """Affine decomposition of the (unnormalized) ray directions.
+
+    Returns world vectors (e0, ex, ey) such that the ray through pixel
+    (px, py) (pixel centers, row 0 = top) has direction
+    ``d = e0 + ex·px + ey·py`` up to normalization. Used by the
+    matmul-warp path of the shear-warp renderer, where only direction
+    *ratios* matter.
+    """
+    inv_view = camera.inverse_view_matrix()
+    inv_proj = camera.inverse_projection_matrix(width / height)
+
+    def dir3(px, py):
+        x = 2.0 * (px + 0.5) / width - 1.0
+        y = 1.0 - 2.0 * (py + 0.5) / height
+        view_target = inv_proj @ np.array([x, y, 1.0, 1.0], np.float64)
+        return inv_view[:3, :3].astype(np.float64) @ view_target[:3]
+
+    d00 = dir3(0, 0)
+    ex = dir3(1, 0) - d00
+    ey = dir3(0, 1) - d00
+    return d00, ex, ey
+
+
 def orbit_camera(
     theta: float,
     phi: float,

@@ -144,6 +144,7 @@ def dvr_shearwarp(
     background=(0.0, 0.0, 0.0, 1.0),
     intermediate_scale: float = 1.0,
     classified: jnp.ndarray | None = None,
+    warp: str = "matmul",
 ) -> jnp.ndarray:
     """Fast DVR (see module docstring).
 
@@ -153,6 +154,7 @@ def dvr_shearwarp(
         relative to the larger of (image size, 2× volume face).
       classified: optionally a precomputed ``classify_volume`` result
         (reuse across frames while the TF/field are unchanged).
+      warp: "matmul" (gather-free two-pass, default) or "gather".
 
     Returns:
       ``(H, W, 4)`` straight-alpha RGBA.
@@ -233,8 +235,17 @@ def dvr_shearwarp(
     width, height = image_size
     hi_res = max(int(height * intermediate_scale), 2 * nv)
     wi_res = max(int(width * intermediate_scale), 2 * nu)
-    grid_u = np.linspace(lo_u, hi_u, wi_res).astype(np.float32)
-    grid_v = np.linspace(lo_v, hi_v, hi_res).astype(np.float32)
+    # One-texel safety margin so box-silhouette content never touches
+    # the grid boundary (the warp's tent weights fall off over one
+    # texel; without the margin the edge convention would matter).
+    margin_u = 2.0 * (hi_u - lo_u) / wi_res
+    margin_v = 2.0 * (hi_v - lo_v) / hi_res
+    grid_u = np.linspace(
+        lo_u - margin_u, hi_u + margin_u, wi_res
+    ).astype(np.float32)
+    grid_v = np.linspace(
+        lo_v - margin_v, hi_v + margin_v, hi_res
+    ).astype(np.float32)
 
     # Per-intermediate-pixel path-length factor |d| / |d_a| of the ray
     # eye → reference-plane point.
@@ -264,6 +275,55 @@ def dvr_shearwarp(
     )
 
     # Final homography warp to the screen.
+    if warp == "matmul":
+        a_coef, b_coef, c_coef = _homography_coeffs(
+            camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
+        )
+        # Catmull–Smith pass-order selection: each factorization has a
+        # pole (denominator zero of the per-line inversion); pick the
+        # order whose pole lies farthest outside the used range, falling
+        # back to the gather warp if both poles sit inside (extreme
+        # perspective).
+        def pole_distance(num, den, extent):
+            if abs(den) < 1e-12:
+                return np.inf
+            pole = num / den
+            if pole < 0:
+                return -pole / extent
+            if pole > extent - 1:
+                return (pole - (extent - 1)) / extent
+            return -1.0  # inside: bad
+
+        d_normal = pole_distance(b_coef[2], c_coef[2], hi_res)
+        d_transp = pole_distance(a_coef[1], c_coef[1], wi_res)
+        if max(d_normal, d_transp) >= 0:
+            transposed = d_transp > d_normal
+            if transposed:
+                # Swap u/v roles: warp the transposed intermediate with
+                # swapped (px, py) coefficient order, then transpose back.
+                swap = lambda c: jnp.asarray(
+                    [c[0], c[2], c[1]], jnp.float32
+                )
+                out = _warp_matmul(
+                    jnp.swapaxes(inter_rgb, 0, 1),
+                    jnp.swapaxes(inter_a, 0, 1),
+                    swap(b_coef), swap(a_coef), swap(c_coef),
+                    jnp.float32(np.sign(z_ref - e_a) or 1.0),
+                    jnp.asarray(background, jnp.float32),
+                    height, width,
+                )
+                return jnp.swapaxes(out, 0, 1)
+            return _warp_matmul(
+                inter_rgb, inter_a,
+                jnp.asarray(a_coef, jnp.float32),
+                jnp.asarray(b_coef, jnp.float32),
+                jnp.asarray(c_coef, jnp.float32),
+                jnp.float32(np.sign(z_ref - e_a) or 1.0),
+                jnp.asarray(background, jnp.float32),
+                width,
+                height,
+            )
+        # Both poles inside the image: fall through to the gather warp.
     origin, directions = camera.rays(width, height)
     u_axis = np.zeros(3, np.float32)
     u_axis[in_plane[0]] = 1.0
@@ -315,6 +375,159 @@ def _warp(inter_rgb, inter_a, grid_u, grid_v, origin, directions,
     a = bilerp(inter_a) * mask
     h, w = a.shape
     bg = jnp.broadcast_to(background, (h, w, 4))
+    rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
+    a = a + (1.0 - a) * bg[..., 3]
+    safe = jnp.maximum(a, _EPS)
+    return jnp.concatenate([rgb / safe[..., None], a[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free homography warp (two-pass per-line matmul resampling)
+# ---------------------------------------------------------------------------
+#
+# The reference-plane → screen map is projective with a shared affine
+# denominator:
+#
+#     su(px,py) = (A0 + A1·px + A2·py) / (C0 + C1·px + C2·py)
+#     sv(px,py) = (B0 + B1·px + B2·py) / (C0 + C1·px + C2·py)
+#
+# It factors into two passes of per-line 1D resampling (Catmull–Smith):
+#
+#     pass A:  T(a, y)   = I(u(a, y), y)      with sv(a, py*) = y
+#     pass B:  S(px, py) = T(px, sv(px, py))
+#
+# Each pass evaluates tent (bilinear) weights densely and contracts them
+# with the image on the MXU — zero gathers. The weight tensors are built
+# in row/column chunks to bound memory.
+
+
+def _homography_coeffs(camera, width, height, in_plane, a_axis_idx,
+                       eye, z_ref, grid_u, grid_v):
+    """(A, B, C) affine coefficient triplets over pixel coords."""
+    from correrender_tpu.render.camera import ray_dirs_affine
+
+    e0, ex, ey = ray_dirs_affine(camera, width, height)
+    o = np.asarray(eye, np.float64)
+    k = float(z_ref) - o[a_axis_idx]
+    dug = (grid_u[-1] - grid_u[0]) / (len(grid_u) - 1)
+    dvg = (grid_v[-1] - grid_v[0]) / (len(grid_v) - 1)
+
+    def coeff(axis, g0, scale):
+        # s = ((o_axis − g0)·d_a + k·d_axis) / (scale · d_a)
+        num = np.array(
+            [
+                (o[axis] - g0) * e0[a_axis_idx] + k * e0[axis],
+                (o[axis] - g0) * ex[a_axis_idx] + k * ex[axis],
+                (o[axis] - g0) * ey[a_axis_idx] + k * ey[axis],
+            ]
+        )
+        return num / scale
+
+    a_coef = coeff(in_plane[0], grid_u[0], dug)
+    b_coef = coeff(in_plane[1], grid_v[0], dvg)
+    c_coef = np.array([e0[a_axis_idx], ex[a_axis_idx], ey[a_axis_idx]])
+    return a_coef, b_coef, c_coef
+
+
+@functools.partial(jax.jit, static_argnames=("w_out", "h_out", "chunk"))
+def _warp_matmul(
+    inter_rgb,  # (Hi, Wi, 3) premultiplied
+    inter_a,  # (Hi, Wi)
+    a_coef, b_coef, c_coef,  # (3,) each, float32
+    sign_ok,  # +1/−1: required sign of the denominator (ray forward)
+    background,
+    w_out: int,
+    h_out: int,
+    chunk: int = 8,
+):
+    hi, wi = inter_a.shape
+    img = jnp.concatenate([inter_rgb, inter_a[..., None]], axis=-1)
+
+    a0, a1, a2 = a_coef[0], a_coef[1], a_coef[2]
+    b0, b1, b2 = b_coef[0], b_coef[1], b_coef[2]
+    c0, c1, c2 = c_coef[0], c_coef[1], c_coef[2]
+
+    # --- pass A: T[y, a] = I[y, u(a, y)] --------------------------------
+    a_idx = jnp.arange(w_out, dtype=jnp.float32)  # (Wo,)
+    y_idx = jnp.arange(hi, dtype=jnp.float32)  # (Hi,)
+    # py*(a, y): sv(a, py) = y  →  py = (y(C0+C1 a) − B0 − B1 a)/(B2 − y C2)
+    num = y_idx[:, None] * (c0 + c1 * a_idx[None, :]) - (
+        b0 + b1 * a_idx[None, :]
+    )
+    den = b2 - y_idx[:, None] * c2
+    py_star = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)  # (Hi, Wo)
+    u_den = c0 + c1 * a_idx[None, :] + c2 * py_star
+    u = (a0 + a1 * a_idx[None, :] + a2 * py_star) / jnp.where(
+        jnp.abs(u_den) < 1e-12, 1e-12, u_den
+    )  # (Hi, Wo)
+
+    pad_hi = -(-hi // chunk) * chunk
+    u_p = jnp.pad(u, ((0, pad_hi - hi), (0, 0)))
+    img_p = jnp.pad(img, ((0, pad_hi - hi), (0, 0), (0, 0)))
+    cols = jnp.arange(wi, dtype=jnp.float32)
+
+    def pass_a(carry, inputs):
+        u_c, img_c = inputs  # (chunk, Wo), (chunk, Wi, 4)
+        w = jnp.maximum(
+            1.0 - jnp.abs(u_c[..., None] - cols), 0.0
+        ).astype(jnp.bfloat16)  # (chunk, Wo, Wi)
+        t = jnp.einsum(
+            "yaw,ywc->yac", w, img_c.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return carry, t
+
+    _, t_chunks = jax.lax.scan(
+        pass_a, None,
+        (u_p.reshape(-1, chunk, w_out), img_p.reshape(-1, chunk, wi, 4)),
+    )
+    t_img = t_chunks.reshape(pad_hi, w_out, 4)[:hi]  # (Hi, Wo, 4)
+
+    # --- pass B: S[py, px] = T[sv(px, py), px] ---------------------------
+    px_idx = jnp.arange(w_out, dtype=jnp.float32)
+    py_idx = jnp.arange(h_out, dtype=jnp.float32)
+    den_full = c0 + c1 * px_idx[None, :] + c2 * py_idx[:, None]  # (Ho, Wo)
+    sv = (b0 + b1 * px_idx[None, :] + b2 * py_idx[:, None]) / jnp.where(
+        jnp.abs(den_full) < 1e-12, 1e-12, den_full
+    )
+    su = (a0 + a1 * px_idx[None, :] + a2 * py_idx[:, None]) / jnp.where(
+        jnp.abs(den_full) < 1e-12, 1e-12, den_full
+    )
+
+    pad_wo = -(-w_out // chunk) * chunk
+    sv_p = jnp.pad(sv, ((0, 0), (0, pad_wo - w_out)))
+    t_p = jnp.pad(t_img, ((0, 0), (0, pad_wo - w_out), (0, 0)))
+    rows = jnp.arange(hi, dtype=jnp.float32)
+
+    def pass_b(carry, inputs):
+        sv_c, t_c = inputs  # (Ho, chunk) , (Hi, chunk, 4)
+        w = jnp.maximum(
+            1.0 - jnp.abs(sv_c.T[..., None] - rows), 0.0
+        ).astype(jnp.bfloat16)  # (chunk, Ho, Hi)
+        s = jnp.einsum(
+            "xhj,jxc->hxc", w, t_c.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (Ho, chunk, 4)
+        return carry, s
+
+    _, s_chunks = jax.lax.scan(
+        pass_b, None,
+        (
+            sv_p.reshape(h_out, -1, chunk).transpose(1, 0, 2),
+            t_p.reshape(hi, -1, chunk, 4).transpose(1, 0, 2, 3),
+        ),
+    )
+    s_img = (
+        s_chunks.transpose(1, 0, 2, 3).reshape(h_out, pad_wo, 4)[:, :w_out]
+    )
+
+    # Validity: forward rays only + in-bounds (tent already zeros
+    # out-of-range, but behind-the-camera rays need the sign mask).
+    valid = (den_full * sign_ok > 0).astype(jnp.float32)
+    rgb = s_img[..., :3] * valid[..., None]
+    a = s_img[..., 3] * valid
+
+    bg = jnp.broadcast_to(background, (h_out, w_out, 4))
     rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
     a = a + (1.0 - a) * bg[..., 3]
     safe = jnp.maximum(a, _EPS)

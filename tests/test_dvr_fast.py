@@ -117,6 +117,43 @@ class TestShearWarp:
         assert inter.mean() > 0.1
         assert np.abs(img_fast[inter] - img_ref[inter]).mean() < 0.08
 
+    @pytest.mark.parametrize(
+        "pos",
+        [(0.05, 0.1, 0.9), (0.8, 0.2, 0.1), (-0.5, -0.6, -0.4),
+         (0.7, 0.7, 0.7)],
+    )
+    def test_matmul_warp_matches_marcher(self, pos):
+        # The gather-free two-pass warp (with Catmull–Smith pass-order
+        # selection) must agree with the exact marcher for all
+        # principal axes and viewing directions.
+        rng = np.random.default_rng(5)
+        from scipy.ndimage import gaussian_filter
+
+        vol = jnp.asarray(
+            gaussian_filter(
+                rng.uniform(size=(24, 28, 32)).astype(np.float32), 2.0
+            )
+        )
+        cam = Camera(position=pos)
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0.0, 1.0),
+            opacity_points=((0.0, 0.0), (1.0, 0.9)),
+        )
+        m = np.asarray(
+            dvr_shearwarp(vol, cam, tf, image_size=(96, 80),
+                          warp="matmul", background=(0, 0, 0, 0))
+        )
+        r = np.asarray(
+            dvr_render(vol, cam, tf, image_size=(96, 80), voxel_step=0.5,
+                       background=(0, 0, 0, 0))
+        )
+        inter = (m[..., 3] > 0.05) & (r[..., 3] > 0.05)
+        assert inter.mean() > 0.1
+        assert np.abs(m[inter] - r[inter]).mean() < 0.02
+        assert (
+            (m[..., 3] > 0.05) == (r[..., 3] > 0.05)
+        ).mean() > 0.93
+
     def test_reuses_classified(self):
         cam, tf = _camera_tf()
         vol = jnp.asarray(
