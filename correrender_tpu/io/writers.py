@@ -93,6 +93,65 @@ def write_stl(path: str, vertices: np.ndarray, triangles: np.ndarray):
             f.write(struct.pack("<H", 0))
 
 
+def write_tet_mesh(path: str, vertices: np.ndarray,
+                   tetrahedra: np.ndarray):
+    """Tetrahedral-mesh export as legacy-VTK unstructured grid (ASCII)
+    (reference: src/Export/WriteTetMesh.cpp role)."""
+    vertices = np.asarray(vertices, np.float32)
+    tetrahedra = np.asarray(tetrahedra, np.int64)
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write("correrender_tpu tet mesh\nASCII\n")
+        f.write("DATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {len(vertices)} float\n")
+        for v in vertices:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        f.write(f"CELLS {len(tetrahedra)} {len(tetrahedra) * 5}\n")
+        for t in tetrahedra:
+            f.write(f"4 {t[0]} {t[1]} {t[2]} {t[3]}\n")
+        f.write(f"CELL_TYPES {len(tetrahedra)}\n")
+        f.write("\n".join(["10"] * len(tetrahedra)) + "\n")
+
+
+def voxels_to_tet_mesh(volume: np.ndarray, threshold: float):
+    """Tetrahedralize the voxels above a threshold (6 tets per cell) —
+    the volumetric-mesh export path complementing the isosurface mesh."""
+    zs, ys, xs = volume.shape
+    mask = np.asarray(volume) >= threshold
+    cells = np.argwhere(
+        mask[:-1, :-1, :-1] & mask[1:, :-1, :-1] & mask[:-1, 1:, :-1]
+        & mask[:-1, :-1, 1:] & mask[1:, 1:, :-1] & mask[1:, :-1, 1:]
+        & mask[:-1, 1:, 1:] & mask[1:, 1:, 1:]
+    )
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.int64)
+    corner_offsets = np.array(
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+         [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]]
+    )  # (z, y, x) bit order: bit2=z, bit1=y, bit0=x
+    # 6-tet decomposition (corner ids match native/isosurface.cpp).
+    tets_of_cube = np.array(
+        [[0, 5, 1, 6], [0, 1, 3, 6], [0, 3, 2, 6],
+         [0, 2, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]]
+    )
+    # Corner id c has offsets (x=bit0, y=bit1, z=bit2).
+    id_to_zyx = np.array(
+        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)]
+    )
+    corners = cells[:, None, :] + id_to_zyx[None, :, :]  # (C, 8, 3) zyx
+    flat = (
+        corners[..., 0] * (ys * xs) + corners[..., 1] * xs + corners[..., 2]
+    )  # (C, 8)
+    uniq, inverse = np.unique(flat.ravel(), return_inverse=True)
+    inverse = inverse.reshape(len(cells), 8)
+    vz = uniq // (ys * xs)
+    vy = (uniq // xs) % ys
+    vx = uniq % xs
+    verts = np.stack([vx, vy, vz], axis=-1).astype(np.float32)
+    tets = inverse[:, tets_of_cube].reshape(-1, 4)
+    return verts, tets
+
+
 def save_field(volume_data, field_name: str, path: str,
                time: int = 0, member: int = 0):
     """Export one field slab by extension (.nc / .cvol), the analogue of

@@ -26,11 +26,9 @@ def make_mesh(
     n = len(devices)
     if space is None:
         space = n // members
-    if space * members != n:
-        raise ValueError(
-            f"mesh {space}x{members} != {n} devices"
-        )
-    arr = np.asarray(devices).reshape(space, members)
+    if space * members > n:
+        raise ValueError(f"mesh {space}x{members} > {n} devices")
+    arr = np.asarray(devices[: space * members]).reshape(space, members)
     return Mesh(arr, axis_names=("space", "members"))
 
 

@@ -279,51 +279,55 @@ def dvr_shearwarp(
         a_coef, b_coef, c_coef = _homography_coeffs(
             camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
         )
-        # Catmull–Smith pass-order selection: each factorization has a
-        # pole (denominator zero of the per-line inversion); pick the
-        # order whose pole lies farthest outside the used range, falling
-        # back to the gather warp if both poles sit inside (extreme
-        # perspective).
-        def pole_distance(num, den, extent):
+        # Catmull–Smith pass-order selection. Four factorizations exist
+        # (intermediate transpose × output transpose); each has a pole
+        # where its per-line inversion denominator vanishes. A variant
+        # is invalid when its inverted coordinate does not influence the
+        # inverted map at all (pure-rotation homographies); otherwise
+        # score by the pole's distance outside the used range. Gather
+        # fallback only if all four fail (extreme perspective).
+        def score(num, den, extent):
             if abs(den) < 1e-12:
-                return np.inf
+                return np.inf if abs(num) > 1e-12 else -np.inf
             pole = num / den
             if pole < 0:
                 return -pole / extent
             if pole > extent - 1:
                 return (pole - (extent - 1)) / extent
-            return -1.0  # inside: bad
+            return -np.inf  # pole inside the image
 
-        d_normal = pole_distance(b_coef[2], c_coef[2], hi_res)
-        d_transp = pole_distance(a_coef[1], c_coef[1], wi_res)
-        if max(d_normal, d_transp) >= 0:
-            transposed = d_transp > d_normal
-            if transposed:
-                # Swap u/v roles: warp the transposed intermediate with
-                # swapped (px, py) coefficient order, then transpose back.
-                swap = lambda c: jnp.asarray(
-                    [c[0], c[2], c[1]], jnp.float32
-                )
-                out = _warp_matmul(
-                    jnp.swapaxes(inter_rgb, 0, 1),
-                    jnp.swapaxes(inter_a, 0, 1),
-                    swap(b_coef), swap(a_coef), swap(c_coef),
-                    jnp.float32(np.sign(z_ref - e_a) or 1.0),
-                    jnp.asarray(background, jnp.float32),
-                    height, width,
-                )
-                return jnp.swapaxes(out, 0, 1)
-            return _warp_matmul(
-                inter_rgb, inter_a,
-                jnp.asarray(a_coef, jnp.float32),
-                jnp.asarray(b_coef, jnp.float32),
-                jnp.asarray(c_coef, jnp.float32),
+        # (score, transpose_intermediate, transpose_output). With the
+        # intermediate transposed, pass A runs over its columns (wi).
+        variants = [
+            (score(b_coef[2], c_coef[2], hi_res), False, False),
+            (score(b_coef[1], c_coef[1], hi_res), False, True),
+            (score(a_coef[2], c_coef[2], wi_res), True, False),
+            (score(a_coef[1], c_coef[1], wi_res), True, True),
+        ]
+        best, t_int, t_out = max(variants, key=lambda v: v[0])
+        if best > -np.inf:
+            idx_swap = lambda c: np.asarray([c[0], c[2], c[1]])
+            ca, cb, cc = a_coef, b_coef, c_coef
+            rgb_in, a_in = inter_rgb, inter_a
+            w_o, h_o = width, height
+            if t_int:
+                ca, cb = cb, ca
+                rgb_in = jnp.swapaxes(rgb_in, 0, 1)
+                a_in = jnp.swapaxes(a_in, 0, 1)
+            if t_out:
+                ca, cb, cc = idx_swap(ca), idx_swap(cb), idx_swap(cc)
+                w_o, h_o = height, width
+            out = _warp_matmul(
+                rgb_in, a_in,
+                jnp.asarray(ca, jnp.float32),
+                jnp.asarray(cb, jnp.float32),
+                jnp.asarray(cc, jnp.float32),
                 jnp.float32(np.sign(z_ref - e_a) or 1.0),
                 jnp.asarray(background, jnp.float32),
-                width,
-                height,
+                w_o, h_o,
             )
-        # Both poles inside the image: fall through to the gather warp.
+            return jnp.swapaxes(out, 0, 1) if t_out else out
+        # All four factorizations degenerate → gather warp below.
     origin, directions = camera.rays(width, height)
     u_axis = np.zeros(3, np.float32)
     u_axis[in_plane[0]] = 1.0

@@ -1,0 +1,126 @@
+"""Reference-point picking and marker rendering.
+
+Reference: src/Calculators/PointPicker.*,
+ReferencePointSelectionRenderer.* — mouse picking of the correlation
+reference point (ray → voxel, with an optional fixed-z-plane mode) and
+an auxiliary renderer drawing the reference-point sphere into the view
+(driven via VolumeData::renderViewCalculator, VolumeData.cpp:1948).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from correrender_tpu.render.sampling import ray_box_intersect
+
+
+def pick_voxel(
+    camera,
+    pixel_xy,
+    image_size,
+    grid_shape_zyx,
+    box,
+    fixed_z_fraction: float | None = None,
+):
+    """Pick the voxel under a pixel.
+
+    Args:
+      pixel_xy: (px, py) pixel coordinates (origin top-left).
+      grid_shape_zyx: volume dims.
+      box: (box_min, box_max) render AABB.
+      fixed_z_fraction: if set, intersect the ray with the plane at this
+        normalized world-z instead of the box entry face (the
+        reference's ``fixPickingZPlane`` mode,
+        CorrelationCalculator.hpp:130-133).
+
+    Returns:
+      (x, y, z) voxel indices, or None if the ray misses.
+    """
+    width, height = image_size
+    origin, dirs = camera.rays(width, height)
+    px, py = int(pixel_xy[0]), int(pixel_xy[1])
+    d = np.asarray(dirs)[py, px]
+    o = np.asarray(origin)
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+
+    if fixed_z_fraction is not None:
+        z_plane = box_min[2] + fixed_z_fraction * (box_max[2] - box_min[2])
+        if abs(d[2]) < 1e-12:
+            return None
+        t = (z_plane - o[2]) / d[2]
+        if t <= 0:
+            return None
+        p = o + d * t
+        if not (
+            box_min[0] <= p[0] <= box_max[0]
+            and box_min[1] <= p[1] <= box_max[1]
+        ):
+            return None
+    else:
+        t_near, t_far, hit = ray_box_intersect(
+            jnp.asarray(o), jnp.asarray(d[None, None]),
+            jnp.asarray(box_min), jnp.asarray(box_max),
+        )
+        if not bool(hit[0, 0]):
+            return None
+        t = max(float(t_near[0, 0]), 0.0)
+        p = o + d * t
+
+    zs, ys, xs = grid_shape_zyx
+    tex = (p - box_min) / (box_max - box_min)
+    vox = np.floor(tex * np.array([xs, ys, zs])).astype(int)
+    vox = np.clip(vox, 0, np.array([xs - 1, ys - 1, zs - 1]))
+    return int(vox[0]), int(vox[1]), int(vox[2])
+
+
+def render_reference_point_marker(
+    camera,
+    reference_point_xyz,
+    grid_shape_zyx,
+    box,
+    image_size=(512, 512),
+    color=(1.0, 0.1, 0.1, 1.0),
+    radius_px: float = 6.0,
+    base_image=None,
+):
+    """Draw the reference-point sphere marker over a view
+    (ReferencePointSelectionRenderer analogue, screen-space disc with a
+    shadow rim like ShadowCircleRasterPass)."""
+    width, height = image_size
+    zs, ys, xs = grid_shape_zyx
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+    x, y, z = reference_point_xyz
+    world = box_min + (np.array([x + 0.5, y + 0.5, z + 0.5])
+                       / np.array([xs, ys, zs])) * (box_max - box_min)
+
+    view = camera.view_matrix()
+    proj = np.linalg.inv(camera.inverse_projection_matrix(width / height))
+    clip = proj @ (view @ np.append(world, 1.0))
+    if clip[3] <= 0:
+        return (
+            base_image
+            if base_image is not None
+            else jnp.zeros((height, width, 4), jnp.float32)
+        )
+    ndc = clip[:3] / clip[3]
+    cx = (ndc[0] * 0.5 + 0.5) * width
+    cy = (0.5 - ndc[1] * 0.5) * height
+
+    gx, gy = jnp.meshgrid(
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+    )
+    dist = jnp.sqrt((gx - cx) ** 2 + (gy - cy) ** 2)
+    disc = jnp.clip(radius_px + 0.5 - dist, 0.0, 1.0)
+    rim = jnp.clip(radius_px + 2.5 - dist, 0.0, 1.0) - disc  # shadow ring
+    col = jnp.asarray(color, jnp.float32)
+    if base_image is None:
+        base_image = jnp.zeros((height, width, 4), jnp.float32)
+    a = (disc * col[3] + rim * 0.5)[..., None]
+    rgb = disc[..., None] * col[:3]  # rim stays black (shadow)
+    out_rgb = rgb + (1 - a) * base_image[..., :3]
+    out_a = jnp.maximum(a[..., 0], base_image[..., 3])
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
