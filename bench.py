@@ -156,7 +156,7 @@ def bench_dvr():
     classify_ms = (time.perf_counter() - t0) * 1000.0
 
     kwargs = dict(image_size=(1920, 1080), classified=cvol,
-                  intermediate_scale=0.75)
+                  intermediate_scale=0.5)  # SSIM 0.997 vs full-scale
     img = dvr_shearwarp(vol, cam, tf, **kwargs)
     _sync(img)  # compile
     t0 = time.perf_counter()

@@ -1,0 +1,217 @@
+"""Pallas fused shear-warp compositor.
+
+The XLA composite (render/dvr_fast.py::_composite_scan) materializes a
+(chunk, Hi, Wi, 4) resampled slab per slice chunk in HBM — ~3× the
+intermediate image per slice in write+read traffic. This kernel fuses
+resample + opacity + OVER into VMEM:
+
+* grid = row-tiles of the intermediate image; the classified volume
+  (channel-first, padded) streams through a double-buffered DMA, one
+  slice per step;
+* per slice: separable tent-weight matmuls resample the slice onto the
+  tile, opacity correction + front-to-back OVER accumulate in VMEM;
+* only the final tile leaves the chip.
+
+HBM traffic: stack × num_row_tiles + output (vs. ~3 × S × image for
+the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from correrender_tpu.ops.pallas.common import on_tpu, round_up
+
+_EPS = 1e-6
+
+
+def _make_kernel(s: int, yv: int, xv: int, tile_h: int, wi: int):
+    def kernel(
+        scalars_ref,  # SMEM (1, 8): e_u, e_v, dy, dx, slab_thk, atten, y0, x0
+        g_ref,  # SMEM (1, S)
+        grid_v_ref,  # VMEM (1, tile_h) — this tile's grid coords
+        grid_u_ref,  # VMEM (1, wi)
+        len_ref,  # VMEM (tile_h, wi) — this tile's Δs factors
+        cvol_hbm,  # ANY (S, 4, Yv, Xv) classified, channel-first
+        out_ref,  # VMEM (4, tile_h, wi)
+        slice_buf,  # VMEM scratch (2, 4, Yv, Xv)
+        sem,  # DMA semaphores (2,)
+    ):
+        e_u = scalars_ref[0, 0]
+        e_v = scalars_ref[0, 1]
+        dy = scalars_ref[0, 2]
+        dx = scalars_ref[0, 3]
+        slab_thk = scalars_ref[0, 4]
+        atten = scalars_ref[0, 5]
+        y0 = scalars_ref[0, 6]  # first voxel-center coord along v
+        x0 = scalars_ref[0, 7]  # first voxel-center coord along u
+
+        gv = grid_v_ref[0, 0, :]  # (tile_h,)
+        gu = grid_u_ref[0, :]  # (wi,)
+
+        ycoords = y0 + dy * jax.lax.broadcasted_iota(
+            jnp.int32, (1, yv), 1
+        ).astype(jnp.float32)  # (1, Yv)
+        xcoords = x0 + dx * jax.lax.broadcasted_iota(
+            jnp.int32, (1, xv), 1
+        ).astype(jnp.float32)  # (1, Xv)
+
+        def dma(k, slot):
+            return pltpu.make_async_copy(
+                cvol_hbm.at[k], slice_buf.at[slot], sem.at[slot]
+            )
+
+        dma(0, 0).start()
+        # out_ref doubles as the accumulator (channel-first layout) —
+        # keeping the OVER state in the output block halves VMEM
+        # pressure vs. a separate fori carry.
+        out_ref[0] = jnp.zeros((4, tile_h, wi), jnp.float32)
+
+        def body(k, _):
+            slot = k % 2
+
+            @pl.when(k + 1 < s)
+            def _():
+                dma(k + 1, (k + 1) % 2).start()
+
+            dma(k, slot).wait()
+            gk = g_ref[0, k]
+            qv = e_v + (gv - e_v) * gk  # (tile_h,)
+            qu = e_u + (gu - e_u) * gk  # (wi,)
+            wv = jnp.maximum(
+                1.0 - jnp.abs(qv[:, None] - ycoords) / dy, 0.0
+            ).astype(jnp.bfloat16)  # (tile_h, Yv)
+            wu = jnp.maximum(
+                1.0 - jnp.abs(qu[:, None] - xcoords) / dx, 0.0
+            ).astype(jnp.bfloat16)  # (wi, Xv)
+            slice_c = slice_buf[slot]  # (4, Yv, Xv) bf16
+            t1 = jax.lax.dot_general(
+                slice_c, wv,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (4, Xv, tile_h)
+            # lhs free dims (4, tile_h) + rhs free (wi) → (4, tile_h, wi).
+            slab = jax.lax.dot_general(
+                t1, wu,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tau = slab[3]  # (tile_h, wi)
+            valid = (gk > _EPS).astype(jnp.float32)
+            alpha = (
+                1.0 - jnp.exp(-tau * slab_thk * len_ref[:] * atten)
+            ) * valid
+            inv_tau = alpha / jnp.maximum(tau, _EPS)
+            acc_a = out_ref[0, 3]
+            w = (1.0 - acc_a) * inv_tau  # premult contribution scale
+            out_ref[0, 0:3] += w[None] * slab[0:3]
+            out_ref[0, 3] = acc_a + (1.0 - acc_a) * alpha
+            return 0
+
+        jax.lax.fori_loop(0, s, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("hi", "wi", "interpret"))
+def shearwarp_composite_pallas(
+    cvol,  # (S, Yv, Xv, 4) classified slices, near→far
+    g,  # (S,)
+    coords_y,  # (Yv,) voxel-center world coords (v axis)
+    coords_x,  # (Xv,)
+    grid_v,  # (hi,)
+    grid_u,  # (wi,)
+    eye_uv,  # (2,)
+    len_factor,  # (hi, wi)
+    slab_thickness,
+    attenuation,
+    hi: int,
+    wi: int,
+    interpret: bool = False,
+):
+    """Fused composite; returns (rgb (hi, wi, 3), alpha (hi, wi))."""
+    s, yv, xv, _ = cvol.shape
+    yv_pad = round_up(yv, 8)
+    xv_pad = round_up(xv, 128)
+    hi_pad = round_up(hi, 128)
+    wi_pad = round_up(wi, 128)
+    tile_h = 128
+    num_tiles = hi_pad // tile_h
+
+    cvol_cf = jnp.transpose(cvol, (0, 3, 1, 2))  # (S, 4, Yv, Xv)
+    cvol_cf = jnp.pad(
+        cvol_cf,
+        ((0, 0), (0, 0), (0, yv_pad - yv), (0, xv_pad - xv)),
+    ).astype(jnp.bfloat16)
+    dy = (coords_y[1] - coords_y[0]) if yv > 1 else jnp.float32(1.0)
+    dx = (coords_x[1] - coords_x[0]) if xv > 1 else jnp.float32(1.0)
+    # Padded voxel centers continue the spacing — their classified
+    # values are zero, so tent weights reaching them contribute nothing.
+    scalars = jnp.stack(
+        [
+            eye_uv[0], eye_uv[1],
+            jnp.float32(dy), jnp.float32(dx),
+            jnp.asarray(slab_thickness, jnp.float32),
+            jnp.asarray(attenuation, jnp.float32),
+            coords_y[0], coords_x[0],
+        ]
+    ).reshape(1, 8)
+    grid_v_p = jnp.pad(grid_v, (0, hi_pad - hi),
+                       constant_values=grid_v[-1] + 1e6).reshape(
+        num_tiles, 1, tile_h
+    )
+    grid_u_p = jnp.pad(grid_u, (0, wi_pad - wi),
+                       constant_values=grid_u[-1] + 1e6).reshape(1, wi_pad)
+    len_p = jnp.pad(
+        len_factor, ((0, hi_pad - hi), (0, wi_pad - wi)),
+        constant_values=1.0,
+    )
+
+    kernel = _make_kernel(s, yv_pad, xv_pad, tile_h, wi_pad)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, tile_h, wi_pad),
+                                       jnp.float32),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wi_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, wi_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 4, tile_h, wi_pad),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, yv_pad, xv_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        scalars,
+        g.reshape(1, s),
+        grid_v_p,
+        grid_u_p,
+        len_p,
+        cvol_cf,
+    )
+    img = out.transpose(0, 2, 1, 3).reshape(hi_pad, 4, wi_pad)[:hi, :, :wi]
+    rgb = img[:, :3, :].transpose(0, 2, 1)  # (hi, wi, 3)
+    alpha = img[:, 3, :]
+    return rgb, alpha
+
+
+def composite_available() -> bool:
+    return on_tpu()

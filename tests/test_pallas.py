@@ -72,3 +72,43 @@ class TestKsgPallas:
         )
         max_mi = ops.maximum_mutual_information_kraskov(3, 100)
         assert got > 0.8 * max_mi
+
+
+class TestShearwarpCompositor:
+    def test_matches_xla_composite(self):
+        import correrender_tpu.render.dvr_fast as df
+        from correrender_tpu.ops.pallas.shearwarp_kernel import (
+            shearwarp_composite_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        s, yv, xv = 20, 24, 40
+        hi, wi = 48, 64
+        cvol = jnp.asarray(
+            rng.uniform(size=(s, yv, xv, 4)).astype(np.float32) * 0.3
+        )
+        g = jnp.asarray(np.linspace(1.0, 1.8, s).astype(np.float32))
+        args = (
+            cvol,
+            g,
+            jnp.asarray(np.linspace(-0.2, 0.2, yv).astype(np.float32)),
+            jnp.asarray(np.linspace(-0.25, 0.25, xv).astype(np.float32)),
+            jnp.asarray(np.linspace(-0.22, 0.22, hi).astype(np.float32)),
+            jnp.asarray(np.linspace(-0.27, 0.27, wi).astype(np.float32)),
+            jnp.asarray([0.05, -0.03], jnp.float32),
+            jnp.asarray(
+                1.0 + 0.2 * rng.uniform(size=(hi, wi)).astype(np.float32)
+            ),
+            jnp.float32(0.02),
+            jnp.float32(80.0),
+        )
+        rgb_p, a_p = shearwarp_composite_pallas(
+            *args, hi=hi, wi=wi, interpret=True
+        )
+        rgb_x, a_x = df._composite_scan(*args, hi=hi, wi=wi)
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_x), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_p), np.asarray(rgb_x), atol=3e-3
+        )
