@@ -174,6 +174,35 @@ def cmd_perf(args):
         print(row)
 
 
+def cmd_flythrough(args):
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.app.camera_path import orbit_path, render_flythrough
+    from correrender_tpu.calculators.correlation import CorrelationCalculator
+    from correrender_tpu.render.camera import Camera
+
+    vd = _load(args)
+    scene = Scene(vd, views=[Camera()])
+    field = args.field or vd.field_names[0]
+    if args.measure:
+        calc = CorrelationCalculator(
+            field_name=field, measure=args.measure,
+            reference_point=_parse_ref(args.ref),
+        )
+        field = scene.add_calculator(calc)
+    scene.add_renderer("dvr", field=field)
+    scene.add_renderer("domain_outline")
+    w, h = (int(v) for v in args.size.split("x"))
+    time_indices = (
+        list(range(vd.grid.ts)) if args.animate_time and vd.grid.ts > 1
+        else None
+    )
+    files = render_flythrough(
+        scene, orbit_path(args.frames), args.output_dir,
+        image_size=(w, h), time_indices=time_indices,
+    )
+    print(f"wrote {len(files)} frames to {args.output_dir}")
+
+
 def cmd_replicability(args):
     from correrender_tpu.app.replicability import run_replicability
 
@@ -260,6 +289,18 @@ def build_parser():
                     help="full-resolution sweep")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_perf)
+
+    sp = sub.add_parser("flythrough",
+                        help="orbit-camera animation (optionally "
+                             "time-stepped — the time-lag DVR config)")
+    add_dataset_args(sp)
+    sp.add_argument("--measure", default=None)
+    sp.add_argument("--ref", default="0,0,0")
+    sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--size", default="640x480")
+    sp.add_argument("--animate-time", action="store_true")
+    sp.add_argument("--output-dir", default="flythrough_out")
+    sp.set_defaults(fn=cmd_flythrough)
 
     sp = sub.add_parser("replicability",
                         help="reproduce the TVCG-2024 scene artifacts")

@@ -115,7 +115,7 @@ class Scene:
     # -- rendering ---------------------------------------------------------
 
     def render_view(self, view: int = 0, image_size=(512, 512),
-                    fast_dvr: bool = True):
+                    fast_dvr: bool = True, show_reference_points=False):
         """Composite all renderers attached to a view, back-to-front by
         registration order (mirrors the reference's renderer list)."""
         cam = self.views[view]
@@ -179,6 +179,20 @@ class Scene:
             # their own SVG paths (see diagrams/), not view composites.
         if image is None:
             image = jnp.zeros(image_size[::-1] + (4,), jnp.float32)
+        # Reference-point markers of correlation calculators (the
+        # reference's renderViewCalculator aux pass, VolumeData.cpp:1948).
+        if show_reference_points:
+            from correrender_tpu.render.picking import (
+                render_reference_point_marker,
+            )
+
+            for calc in vd.calculators.values():
+                point = getattr(calc, "reference_point", None)
+                if point is not None:
+                    image = render_reference_point_marker(
+                        cam, point, vd.grid.shape_zyx, box,
+                        image_size=image_size, base_image=image,
+                    )
         return image
 
     # -- persistence --------------------------------------------------------
@@ -193,6 +207,10 @@ class Scene:
                 for c in self.volume_data.calculators.values()
             ],
             "renderers": _jsonable(self.renderers),
+            "transfer_functions": {
+                name: tf.to_dict()
+                for name, tf in self.transfer_functions.items()
+            },
             "current_time": self.current_time,
             "current_member": self.current_member,
         }
@@ -237,6 +255,10 @@ class Scene:
         for node in doc.get("renderers", []):
             node = dict(node)
             scene.add_renderer(node.pop("type"), **node)
+        for name, tf_state in doc.get("transfer_functions", {}).items():
+            scene.transfer_functions[name] = TransferFunction.from_dict(
+                tf_state
+            )
         return scene
 
 

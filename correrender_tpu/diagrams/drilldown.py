@@ -1,0 +1,131 @@
+"""HEB diagram drill-down stack (focus + context).
+
+Reference: src/Renderers/Diagram/DiagramRenderer.{hpp,cpp}:62-100 — the
+diagram renderer keeps a *stack* of HEB charts: selecting a chord
+(region pair) in the context chart spawns a focus chart over just those
+two regions at finer granularity; selections propagate outlines back to
+the 3D views. Headless analogue: :class:`HEBDrilldown` manages the
+stack, produces per-level SVGs and exposes the selected regions for
+view outlining.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from correrender_tpu.diagrams.heb import HEBChart
+from correrender_tpu.diagrams.octree import GridRegion
+
+
+def _crop(stack: np.ndarray, region: GridRegion) -> np.ndarray:
+    return stack[
+        region.z_min : region.z_max + 1,
+        region.y_min : region.y_max + 1,
+        region.x_min : region.x_max + 1,
+    ]
+
+
+class HEBDrilldown:
+    """A stack of HEB charts: level 0 = whole-volume context chart;
+    each deeper level focuses on one selected chord's region pair."""
+
+    def __init__(
+        self,
+        stack: np.ndarray,
+        downsample_factor: int = 8,
+        measure: str = "pearson",
+        max_chords: int = 100,
+        **chart_kwargs,
+    ):
+        self.stack = np.asarray(stack)
+        self.measure = measure
+        self.max_chords = max_chords
+        self.chart_kwargs = chart_kwargs
+        root = HEBChart(
+            self.stack, downsample_factor=downsample_factor,
+            measure=measure, max_chords=max_chords, **chart_kwargs,
+        )
+        root.compute_correlations()
+        #: (chart, region_pair or None, offset (z, y, x)) per level.
+        self.levels = [(root, None, (0, 0, 0))]
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    def current_chart(self) -> HEBChart:
+        return self.levels[-1][0]
+
+    def selected_regions(self):
+        """Full-resolution regions selected at each drill level (for
+        3D-view outlines, mirroring the reference's selection
+        propagation)."""
+        out = []
+        for chart, pair, offset in self.levels[1:]:
+            out.extend(pair)
+        return out
+
+    def drill_into_chord(self, chord_index: int = 0,
+                         downsample_factor: int | None = None):
+        """Focus on the regions of the given chord of the current chart.
+
+        The focus chart re-analyzes the two regions' combined voxels at
+        finer granularity (half the parent's downsampling by default).
+        """
+        chart, _, offset = self.levels[-1]
+        if not chart.chords:
+            raise ValueError("current chart has no chords to drill into")
+        i, j, _value = chart.chords[chord_index]
+        region_a = _offset_region(chart._upscale(chart.leaves[i]), offset)
+        region_b = _offset_region(chart._upscale(chart.leaves[j]), offset)
+
+        # Bounding box of the pair (the focus domain).
+        focus = GridRegion(
+            min(region_a.x_min, region_b.x_min),
+            min(region_a.y_min, region_b.y_min),
+            min(region_a.z_min, region_b.z_min),
+            max(region_a.x_max, region_b.x_max),
+            max(region_a.y_max, region_b.y_max),
+            max(region_a.z_max, region_b.z_max),
+        )
+        sub = _crop(self.stack, focus)
+        if downsample_factor is None:
+            parent_f = chart.factor
+            downsample_factor = max(parent_f // 2, 1)
+        focus_chart = HEBChart(
+            sub, downsample_factor=downsample_factor,
+            measure=self.measure, max_chords=self.max_chords,
+            **self.chart_kwargs,
+        )
+        focus_chart.compute_correlations()
+        self.levels.append(
+            (
+                focus_chart,
+                (region_a, region_b),
+                (focus.z_min, focus.y_min, focus.x_min),
+            )
+        )
+        return focus_chart
+
+    def pop(self):
+        """Return to the parent chart (the reference's back button)."""
+        if len(self.levels) > 1:
+            self.levels.pop()
+        return self.current_chart()
+
+    def render_svgs(self, path_prefix: str) -> list:
+        """Write one SVG per stack level; returns the paths."""
+        paths = []
+        for lvl, (chart, _, _) in enumerate(self.levels):
+            p = f"{path_prefix}_level{lvl}.svg"
+            chart.render_svg(p)
+            paths.append(p)
+        return paths
+
+
+def _offset_region(region: GridRegion, offset) -> GridRegion:
+    oz, oy, ox = offset
+    return GridRegion(
+        region.x_min + ox, region.y_min + oy, region.z_min + oz,
+        region.x_max + ox, region.y_max + oy, region.z_max + oz,
+    )

@@ -84,6 +84,49 @@ class TransferFunction:
             name, domain, ((0.0, alpha), (1.0, alpha)), resolution
         )
 
+    @classmethod
+    def from_control_points(
+        cls,
+        color_points,
+        opacity_points,
+        domain=(0.0, 1.0),
+        resolution: int = 256,
+    ) -> "TransferFunction":
+        """Build from explicit piecewise-linear control points — the
+        serialized form of the reference's TF-widget state (sgl stores
+        position+color and position+opacity point lists).
+
+        Args:
+          color_points: sequence of ``(pos, (r, g, b))`` with pos∈[0,1].
+          opacity_points: sequence of ``(pos, alpha)``.
+        """
+        rgb = _sample_control_points(list(color_points), resolution)
+        alpha = _sample_control_points(
+            [(x, (a,)) for x, a in opacity_points], resolution
+        )
+        lut = np.concatenate([rgb, alpha], axis=-1).astype(np.float32)
+        return cls(lut=jnp.asarray(lut), domain=tuple(domain))
+
+    def to_dict(self) -> dict:
+        """JSON-serializable state (full LUT — lossless round-trip)."""
+        return {
+            "domain": list(self.domain),
+            "lut": np.asarray(self.lut).tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TransferFunction":
+        if "lut" in d:
+            return cls(
+                lut=jnp.asarray(np.asarray(d["lut"], np.float32)),
+                domain=tuple(d.get("domain", (0.0, 1.0))),
+            )
+        return cls.from_control_points(
+            [(p[0], tuple(p[1:4])) for p in d["color_points"]],
+            [(p[0], p[1]) for p in d["opacity_points"]],
+            domain=tuple(d.get("domain", (0.0, 1.0))),
+        )
+
     def __call__(self, scalar: jnp.ndarray) -> jnp.ndarray:
         """Map scalars to RGBA, shape ``scalar.shape + (4,)``.
 
