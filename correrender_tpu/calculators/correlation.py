@@ -144,6 +144,22 @@ def correlate_field(
     if per_voxel_ref:
         ref = ref.reshape(-1, n)
 
+    # Fast path: Kendall against a single reference series on TPU —
+    # VMEM-resident pairwise sign sweep (exact equality with the XLA
+    # path; ops/pallas/kendall_kernel.py).
+    if m == CorrelationMeasure.KENDALL and not per_voxel_ref:
+        from correrender_tpu.ops.pallas.common import on_tpu
+
+        if on_tpu():
+            from correrender_tpu.ops.pallas.kendall_kernel import (
+                kendall_pallas,
+            )
+
+            out = kendall_pallas(series, ref)
+            if absolute:
+                out = jnp.abs(out)
+            return out.reshape(spatial_shape)
+
     # Fast path: KSG estimator 1 against a single reference series uses
     # the Pallas kernel on TPU (VMEM-resident pairwise distances,
     # ~16x the XLA formulation at n=1000 — ops/pallas/ksg_kernel.py).

@@ -112,3 +112,27 @@ class TestShearwarpCompositor:
         np.testing.assert_allclose(
             np.asarray(rgb_p), np.asarray(rgb_x), atol=3e-3
         )
+
+
+class TestKendallPallas:
+    def test_matches_jax_with_ties(self):
+        from correrender_tpu.ops.pallas.kendall_kernel import kendall_pallas
+
+        rng = np.random.default_rng(0)
+        stack = jnp.asarray(
+            rng.integers(0, 30, size=(4, 6, 100)).astype(np.float32)
+        )
+        ref = jnp.asarray(rng.integers(0, 30, size=100).astype(np.float32))
+        got = np.asarray(kendall_pallas(stack, ref, interpret=True))
+        want = np.asarray(ops.kendall(ref, stack))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_unaligned_n(self):
+        from correrender_tpu.ops.pallas.kendall_kernel import kendall_pallas
+
+        rng = np.random.default_rng(1)
+        stack = jnp.asarray(rng.normal(size=(7, 73)).astype(np.float32))
+        ref = jnp.asarray(rng.normal(size=73).astype(np.float32))
+        got = np.asarray(kendall_pallas(stack, ref, interpret=True))
+        want = np.asarray(ops.kendall(ref, stack))
+        np.testing.assert_allclose(got, want, atol=1e-5)
