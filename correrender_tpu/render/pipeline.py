@@ -20,6 +20,42 @@ from correrender_tpu.calculators.correlation import correlate_field
 from correrender_tpu.render.dvr import dvr_composite, num_steps_for, world_step_size
 
 
+def render_correlation_fast(
+    stack: jnp.ndarray,
+    ref_point,
+    camera,
+    transfer_function,
+    measure="pearson",
+    image_size=(512, 512),
+    attenuation: float = 100.0,
+    background=(0.0, 0.0, 0.0, 1.0),
+    intermediate_scale: float = 0.75,
+    **measure_kwargs,
+) -> jnp.ndarray:
+    """Correlation field → shear-warp DVR (the interactive fast path).
+
+    The field recompute and the render run back-to-back on device; the
+    transfer-function classification is re-evaluated per call (the
+    field changes with the reference point). For measures with Pallas
+    kernels (Pearson/Kendall/KSG on TPU) the whole frame is a handful
+    of fused kernels.
+    """
+    from correrender_tpu.render.dvr_fast import dvr_shearwarp
+
+    x, y, z = (int(c) for c in ref_point)
+    ref_series = stack[z, y, x]
+    field = correlate_field(stack, ref_series, measure, **measure_kwargs)
+    return dvr_shearwarp(
+        field,
+        camera,
+        transfer_function,
+        image_size=image_size,
+        attenuation=attenuation,
+        background=background,
+        intermediate_scale=intermediate_scale,
+    )
+
+
 def render_correlation(
     stack: jnp.ndarray,
     ref_point,
@@ -32,7 +68,9 @@ def render_correlation(
     background=(0.0, 0.0, 0.0, 1.0),
     **measure_kwargs,
 ) -> jnp.ndarray:
-    """Correlation field vs. reference point, rendered with DVR.
+    """Correlation field vs. reference point, rendered with DVR
+    (single fused XLA program — ray-marcher variant; see
+    :func:`render_correlation_fast` for the shear-warp fast path).
 
     Args:
       stack: ``(Z, Y, X, n)`` member stack.

@@ -1,0 +1,80 @@
+"""Distributed shear-warp DVR vs the single-device renderer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from correrender_tpu.parallel.mesh import make_mesh
+from correrender_tpu.parallel.dvr_sharded import dvr_shearwarp_sharded
+from correrender_tpu.render import Camera, TransferFunction
+from correrender_tpu.render.dvr_fast import dvr_shearwarp
+
+
+@pytest.fixture(scope="module")
+def smooth_volume():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        gaussian_filter(
+            rng.uniform(size=(32, 24, 28)).astype(np.float32), 2.0
+        )
+    )
+
+
+def _tf():
+    return TransferFunction.from_colormap(
+        "coolwarm", domain=(0.0, 1.0),
+        opacity_points=((0.0, 0.0), (1.0, 0.9)),
+    )
+
+
+@pytest.mark.parametrize("pos", [(0.05, 0.1, 0.9), (0.1, -0.05, -0.9)])
+def test_sharded_matches_dense_z_principal(smooth_volume, pos):
+    mesh = make_mesh(space=8, members=1)
+    cam = Camera(position=pos)
+    tf = _tf()
+    got = np.asarray(
+        dvr_shearwarp_sharded(
+            smooth_volume, cam, tf, mesh, image_size=(96, 80),
+            background=(0, 0, 0, 0),
+        )
+    )
+    want = np.asarray(
+        dvr_shearwarp(
+            smooth_volume, cam, tf, image_size=(96, 80),
+            background=(0, 0, 0, 0),
+        )
+    )
+    _assert_images_match(got, want)
+
+
+def _assert_images_match(got, want, atol=1.5e-2):
+    # Compare premultiplied color — un-premultiplying a ~zero-alpha
+    # pixel amplifies fp noise into meaningless RGB differences. The
+    # tolerance covers bf16 compositing-order differences (per-shard
+    # partials vs the dense path's 16-slice chunk tree).
+    gp = np.concatenate([got[..., :3] * got[..., 3:4], got[..., 3:4]], -1)
+    wp = np.concatenate([want[..., :3] * want[..., 3:4], want[..., 3:4]], -1)
+    np.testing.assert_allclose(gp, wp, atol=atol)
+
+
+def test_fallback_for_x_principal(smooth_volume):
+    mesh = make_mesh(space=8, members=1)
+    cam = Camera(position=(0.9, 0.1, 0.05))
+    tf = _tf()
+    got = np.asarray(
+        dvr_shearwarp_sharded(
+            smooth_volume, cam, tf, mesh, image_size=(64, 64),
+            background=(0, 0, 0, 0),
+        )
+    )
+    want = np.asarray(
+        dvr_shearwarp(
+            smooth_volume, cam, tf, image_size=(64, 64),
+            background=(0, 0, 0, 0),
+        )
+    )
+    _assert_images_match(got, want)
