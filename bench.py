@@ -190,6 +190,12 @@ def cpu_baseline_vox_per_s():
 
 
 def main():
+    if "--full" in sys.argv:
+        # The five BASELINE.json configs end-to-end → BASELINE_RESULTS.json.
+        from correrender_tpu.app.baseline_configs import run_all
+
+        run_all()
+        return
     t_start = time.time()
     cpu_vox_s = cpu_baseline_vox_per_s()
     pearson_vox_s = bench_pearson_streaming()

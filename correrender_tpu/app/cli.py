@@ -17,8 +17,6 @@ Replaces the reference's app shell + CLI flags (src/Main.cpp:100-138:
 from __future__ import annotations
 
 import argparse
-import json
-import sys
 
 import numpy as np
 

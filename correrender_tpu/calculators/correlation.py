@@ -27,7 +27,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from correrender_tpu import ops
 from correrender_tpu.calculators.base import Calculator, register_calculator_type

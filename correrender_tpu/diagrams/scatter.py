@@ -9,7 +9,6 @@ from __future__ import annotations
 import numpy as np
 
 from correrender_tpu.diagrams.svg import SvgCanvas
-from correrender_tpu.render.tf import TransferFunction
 
 
 def scatter_points(field_a: np.ndarray, field_b: np.ndarray,

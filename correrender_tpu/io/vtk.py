@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import base64
 import re
-import struct
 import zlib
 import xml.etree.ElementTree as ET
 

@@ -144,7 +144,8 @@ def _normalize01(v):
 
 
 def _split_bounds(mi_bounds):
-    if len(mi_bounds) == 2 and jnp.ndim(mi_bounds[0]) == 0:
-        # Single (min, max) applied to both series.
-        return (mi_bounds, mi_bounds)
-    return mi_bounds
+    # (min, max) vs ((min,max), (min,max)) — structural check only
+    # (jnp.ndim on a tuple of tracers would force materialization).
+    if isinstance(mi_bounds[0], (tuple, list)):
+        return mi_bounds
+    return (mi_bounds, mi_bounds)

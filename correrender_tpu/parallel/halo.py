@@ -10,7 +10,6 @@ reference's clamp-to-edge semantics).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
