@@ -159,6 +159,22 @@ def correlate_field(
                 out = jnp.abs(out)
             return out.reshape(spatial_shape)
 
+    # Fast path: Spearman on TPU — sortless pairwise ranks fused with
+    # the Pearson moments (~4x the argsort+scatter XLA path at n=1000;
+    # ops/pallas/spearman_kernel.py).
+    if m == CorrelationMeasure.SPEARMAN and not per_voxel_ref:
+        from correrender_tpu.ops.pallas.common import on_tpu
+
+        if on_tpu():
+            from correrender_tpu.ops.pallas.spearman_kernel import (
+                spearman_pallas,
+            )
+
+            out = spearman_pallas(series, ref)
+            if absolute:
+                out = jnp.abs(out)
+            return out.reshape(spatial_shape)
+
     # Fast path: KSG estimator 1 against a single reference series uses
     # the Pallas kernel on TPU (VMEM-resident pairwise distances,
     # ~16x the XLA formulation at n=1000 — ops/pallas/ksg_kernel.py).

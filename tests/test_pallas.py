@@ -136,3 +136,31 @@ class TestKendallPallas:
         got = np.asarray(kendall_pallas(stack, ref, interpret=True))
         want = np.asarray(ops.kendall(ref, stack))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestSpearmanPallas:
+    def test_matches_jax_with_ties(self):
+        from correrender_tpu.ops.pallas.spearman_kernel import (
+            spearman_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        stack = jnp.asarray(
+            rng.integers(0, 20, size=(4, 6, 100)).astype(np.float32)
+        )
+        ref = jnp.asarray(rng.integers(0, 20, size=100).astype(np.float32))
+        got = np.asarray(spearman_pallas(stack, ref, interpret=True))
+        want = np.asarray(ops.spearman(ref, stack))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_unaligned_n(self):
+        from correrender_tpu.ops.pallas.spearman_kernel import (
+            spearman_pallas,
+        )
+
+        rng = np.random.default_rng(1)
+        stack = jnp.asarray(rng.normal(size=(7, 73)).astype(np.float32))
+        ref = jnp.asarray(rng.normal(size=73).astype(np.float32))
+        got = np.asarray(spearman_pallas(stack, ref, interpret=True))
+        want = np.asarray(ops.spearman(ref, stack))
+        np.testing.assert_allclose(got, want, atol=1e-5)
