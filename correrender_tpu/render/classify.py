@@ -58,11 +58,21 @@ def classify(
 def classify_volume(volume, lut, domain, slab: int = 8, premultiply=True):
     """Chunked classification of a (Z, Y, X) volume → (Z, Y, X, 4).
 
-    The two-hot tensor is (voxels, R); chunking over z keeps the
-    intermediate at slab·Y·X·R floats.
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas/classify_kernel.py — VMEM-resident two-hot weights);
+    the XLA path chunks over z to bound the (voxels, R) intermediate.
     """
-    zs = volume.shape[0]
     domain = jnp.asarray(domain, jnp.float32)
+    from correrender_tpu.ops.pallas.common import on_tpu
+
+    if on_tpu():
+        from correrender_tpu.ops.pallas.classify_kernel import (
+            classify_pallas,
+        )
+
+        return classify_pallas(volume, lut, domain,
+                               premultiply=premultiply)
+    zs = volume.shape[0]
     outs = []
     for z0 in range(0, zs, slab):
         outs.append(
