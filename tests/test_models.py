@@ -166,3 +166,35 @@ class TestNeuralCalculator:
         c.set_reference_point(6, 6, 2)
         f2 = np.asarray(vd.get_field(c.output_name))
         assert not np.allclose(f1, f2)
+
+
+class TestCheckpoint:
+    def test_roundtrip_preserves_model(self, tmp_path):
+        from correrender_tpu.models.checkpoint import (
+            load_params,
+            save_params,
+        )
+
+        model = CorrelationSRN.create(hidden=8, latent=4,
+                                      num_frequencies=2)
+        params = model.init(jax.random.key(0))
+        path = str(tmp_path / "srn.npz")
+        save_params(path, params)
+        fresh = model.init(jax.random.key(1))  # different values
+        restored = load_params(path, fresh)
+        pr = jnp.ones((3, 3)) * 0.5
+        a = model.apply(params, pr, pr * 0.2)
+        b = model.apply(restored, pr, pr * 0.2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+    def test_missing_key_raises(self, tmp_path):
+        from correrender_tpu.models.checkpoint import (
+            load_params,
+            save_params,
+        )
+
+        save_params(str(tmp_path / "p.npz"), {"a": jnp.ones(3)})
+        with pytest.raises(KeyError):
+            load_params(str(tmp_path / "p.npz"),
+                        {"a": jnp.ones(3), "b": jnp.ones(2)})
