@@ -159,3 +159,25 @@ class TestFusedPipeline:
         after = pl._fused._cache_size()
         assert mid == after  # second call hit the jit cache
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestFusedFastPath:
+    def test_render_correlation_fast(self):
+        from correrender_tpu.render.pipeline import render_correlation_fast
+
+        data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8, members=24)
+        stack = jnp.asarray(np.moveaxis(data, 0, -1))
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(-1.0, 1.0),
+            opacity_points=((0.0, 0.8), (0.5, 0.0), (1.0, 0.8)),
+        )
+        img = np.asarray(
+            render_correlation_fast(
+                stack, (2, 2, 4), cam, tf, "pearson", image_size=(48, 48),
+                background=(0, 0, 0, 0),
+            )
+        )
+        assert img.shape == (48, 48, 4)
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0.1
