@@ -140,12 +140,26 @@ class Scene:
             elif r["type"] == "iso_ray":
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
-                img = iso_render(
-                    vol, cam, r.get("iso_value", 0.5),
-                    surface_color=r.get("color", (0.9, 0.4, 0.2, 1.0)),
-                    image_size=image_size, box=box,
-                    background=(0, 0, 0, 0),
-                )
+                if fast_dvr:
+                    from correrender_tpu.render.iso_fast import (
+                        iso_shearwarp,
+                    )
+
+                    img = iso_shearwarp(
+                        vol, cam, r.get("iso_value", 0.5),
+                        surface_color=r.get("color",
+                                            (0.9, 0.4, 0.2, 1.0)),
+                        image_size=image_size, box=box,
+                        background=(0, 0, 0, 0),
+                    )
+                else:
+                    img = iso_render(
+                        vol, cam, r.get("iso_value", 0.5),
+                        surface_color=r.get("color",
+                                            (0.9, 0.4, 0.2, 1.0)),
+                        image_size=image_size, box=box,
+                        background=(0, 0, 0, 0),
+                    )
                 image = _composite(image, img)
             elif r["type"] == "slice":
                 vol = vd.get_field(field, self.current_time,

@@ -166,3 +166,33 @@ class TestShearWarp:
         img = dvr_shearwarp(vol, cam, tf, image_size=(16, 16),
                             classified=cvol)
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestIsoShearwarp:
+    @pytest.mark.parametrize("pos", [(0.0, 0.0, 0.9), (0.0, 0.9, 0.1)])
+    def test_matches_marcher(self, pos):
+        from correrender_tpu.render.iso import iso_render
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        n, r = 32, 0.35
+        z, y, x = np.meshgrid(*[np.linspace(0, 1, n)] * 3, indexing="ij")
+        vol = jnp.asarray(
+            np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
+            .astype(np.float32)
+        )
+        cam = Camera(position=pos)
+        f = np.asarray(
+            iso_shearwarp(vol, cam, r, image_size=(96, 80),
+                          background=(0, 0, 0, 0))
+        )
+        m = np.asarray(
+            iso_render(vol, cam, r, image_size=(96, 80),
+                       background=(0, 0, 0, 0))
+        )
+        sil = ((f[..., 3] > 0.5) == (m[..., 3] > 0.5)).mean()
+        assert sil > 0.9
+        inter = (f[..., 3] > 0.5) & (m[..., 3] > 0.5)
+        assert inter.mean() > 0.05
+        # Shading deviates slightly on oblique views (interpolated
+        # gradients vs texture probes) — keep a loose bound.
+        assert np.abs(f[inter][:, :3] - m[inter][:, :3]).mean() < 0.1
