@@ -178,6 +178,26 @@ class Scene:
                     color=r.get("color", (1, 1, 1, 1)),
                     base_image=image,
                 )
+            elif r["type"] == "world_map":
+                from correrender_tpu.render.worldmap import (
+                    graticule_texture,
+                    rasterize_shapefile,
+                    world_map_render,
+                )
+
+                if r.get("shapefile"):
+                    texture = rasterize_shapefile(r["shapefile"])
+                else:
+                    texture = graticule_texture()
+                image = world_map_render(
+                    cam,
+                    texture=texture,
+                    plane_height=r.get("plane_height",
+                                       float(box[0][1]) - 0.01),
+                    image_size=image_size,
+                    box=box,
+                    base_image=image,
+                )
             elif r["type"] == "iso_raster":
                 # Mesh-based: extract + export path; for view output use
                 # the raycaster (identical appearance headlessly).

@@ -170,9 +170,21 @@ class VolumeData:
         """Stack the ensemble axis last: ``(Z, Y, X, E)``.
 
         The canonical layout for correlation reductions (member axis is
-        the fastest-varying reduction axis; see ops/).
+        the fastest-varying reduction axis; see ops/). Full stacks are
+        cached like field slabs (they are the correlation hot input —
+        re-stacking per frame would dominate interactive use).
         """
-        members = range(self.grid.es) if members is None else members
+        if members is None:
+            key = (name, time, "__stack__")
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit
+            slabs = [
+                self.get_field(name, time, e) for e in range(self.grid.es)
+            ]
+            stack = jnp.stack(slabs, axis=-1)
+            self.cache.put(key, stack)
+            return stack
         slabs = [self.get_field(name, time, e) for e in members]
         return jnp.stack(slabs, axis=-1)
 

@@ -205,3 +205,13 @@ class TestCli:
         cli.main(["state", "--load", str(spath), "--size", "32x32",
                   "--output", out])
         assert os.path.getsize(out) > 0
+
+
+class TestWorldMapInScene:
+    def test_ground_plane_renders(self):
+        scene, _ = make_scene(6)
+        scene.views[0] = Camera(position=(0.0, 0.5, 0.9))
+        scene.add_renderer("world_map")
+        img = np.asarray(scene.render_view(0, image_size=(48, 48)))
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() == 1.0  # plane visible
