@@ -219,6 +219,10 @@ def iso_shearwarp(
     grid_v = np.linspace(lo_v - margin_v, hi_v + margin_v,
                          hi_res).astype(np.float32)
 
+    # Note: a Pallas VMEM variant of this scan was measured 3x SLOWER
+    # than the XLA formulation (the 10-plane fori carry spills; XLA's
+    # scan keeps the per-slice slabs fused) — see git history for the
+    # kernel. The XLA scan is the fast path here.
     found, depth, grad_hit = _first_hit_scan(
         cvol,
         jnp.asarray(g),
