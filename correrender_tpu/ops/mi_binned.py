@@ -14,6 +14,13 @@ Semantics follow the reference ``computeMutualInformationBinned``
 TPU-native formulation: the joint histogram is built as a one-hot
 matmul ``one_hot(bx)ᵀ · one_hot(by)`` — an MXU contraction batched over
 voxels — rather than scatter-adds.
+
+Note: this XLA path IS the fast path. A Pallas kernel (VMEM-resident
+one-hots, all joint histograms of a voxel tile in one MXU contraction)
+measured 0.75–0.83× this formulation across interleaved reps — the
+measure is entropy/VPU-bound (member-count-independent ~30 ms per 32³
+field) and XLA schedules the per-cell ``p·log p`` pass better. The
+kernel lives in git history ("Add Pallas binned-MI kernel").
 """
 
 from __future__ import annotations
