@@ -76,6 +76,7 @@ def cmd_render(args):
             field_name=field, measure=args.measure,
             reference_point=_parse_ref(args.ref),
             num_bins=args.mi_bins, k=args.kmi_neighbors,
+            kraskov_estimator=args.kraskov_estimator,
         )
         field = scene.add_calculator(calc)
     scene.add_renderer(args.renderer, field=field,
@@ -242,6 +243,8 @@ def build_parser():
                     help="use the ray-marcher instead of shear-warp")
     sp.add_argument("--mi-bins", type=int, default=80)
     sp.add_argument("--kmi-neighbors", type=int, default=3)
+    sp.add_argument("--kraskov-estimator", type=int, default=1,
+                    choices=[1, 2])
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_render)
 

@@ -175,14 +175,11 @@ def correlate_field(
                 out = jnp.abs(out)
             return out.reshape(spatial_shape)
 
-    # Fast path: KSG estimator 1 against a single reference series uses
-    # the Pallas kernel on TPU (VMEM-resident pairwise distances,
-    # ~16x the XLA formulation at n=1000 — ops/pallas/ksg_kernel.py).
-    if (
-        is_measure_kraskov_mi(m)
-        and kraskov_estimator == 1
-        and not per_voxel_ref
-    ):
+    # Fast path: KSG against a single reference series uses the Pallas
+    # kernel on TPU (VMEM-resident pairwise distances, ~16x the XLA
+    # formulation at n=1000 — ops/pallas/ksg_kernel.py; both Kraskov
+    # estimators).
+    if is_measure_kraskov_mi(m) and not per_voxel_ref:
         from correrender_tpu.ops.pallas.common import on_tpu
 
         if on_tpu():
@@ -191,7 +188,9 @@ def correlate_field(
             )
             from correrender_tpu.ops.pallas import mi_ksg_pallas
 
-            out = mi_ksg_pallas(series, ref, k=k)
+            out = mi_ksg_pallas(
+                series, ref, k=k, estimator=kraskov_estimator
+            )
             if m == CorrelationMeasure.KMI_CORRELATION_COEFFICIENT:
                 out = kmi_correlation_coefficient(out)
             if absolute:

@@ -1,4 +1,4 @@
-"""Pallas KSG mutual-information kernel (estimator 1).
+"""Pallas KSG mutual-information kernel (estimators 1 and 2).
 
 The XLA formulation of KSG (ops/mi_ksg.py) materializes (V, n, n)
 pairwise-distance intermediates in HBM — at n = 1000 members the HBM
@@ -13,7 +13,9 @@ per-voxel in VMEM:
   counting — exact order statistics, ties included;
 * per-axis neighbour counts use the same half-open interval
   ``[v_i − r, v_i + r)`` as the reference's binary searches
-  (reference src/Calculators/MutualInformation.cpp:201-233);
+  (reference src/Calculators/MutualInformation.cpp:201-233); estimator
+  2 derives per-axis radii as masked maxes of |d| over the (k+1)-NN
+  set (MutualInformation.cpp:465-509 semantics);
 * ψ(count) is a one-hot MXU lookup into a precomputed digamma table.
 
 The in-register k-d tree of the reference's GPU path
@@ -44,7 +46,7 @@ _BIG = 1e30
 _ROWS = 256  # rows of the pairwise matrix per grid step
 
 
-def _make_kernel(k: int, n: int, npad: int, rows: int):
+def _make_kernel(k: int, n: int, npad: int, rows: int, estimator: int):
     num_chunks = npad // rows
 
     def kernel(x_ref, dxs_ref, psi_ref, y_ref, out_ref):
@@ -74,29 +76,58 @@ def _make_kernel(k: int, n: int, npad: int, rows: int):
             thresh = jnp.where(active, m, thresh)
             cnt = jnp.where(active, cnt + dup, cnt)
 
-        r = thresh - COUNT_EPSILON  # (rows, 1) est-1 radius
+        if estimator == 1:
+            rx = thresh - COUNT_EPSILON  # (rows, 1) joint-space radius
+            ry = rx
+        else:
+            # Estimator 2: per-axis radii are the max |d| over the
+            # (k+1)-NN set {j : dcheb_j ≤ thresh} (tie-breaking noise
+            # makes the set exactly k+1 points; padded columns carry
+            # dcheb ≈ BIG and are excluded).
+            nbr = dch <= thresh
+            rx = jnp.max(
+                jnp.where(nbr, jnp.abs(dxs), -1.0), axis=1, keepdims=True
+            ) + COUNT_EPSILON
+            ry = jnp.max(
+                jnp.where(nbr, jnp.abs(dys), -1.0), axis=1, keepdims=True
+            ) + COUNT_EPSILON
+        # Count with VALUE boundaries [v_i − r, v_i + r) — not the
+        # algebraically equal difference form [−r, r): the reference's
+        # binary searches compare against the rounded endpoint values,
+        # and matching that float form keeps boundary points bitwise
+        # consistent with the XLA path.
+        xrow = x.reshape(1, npad)
+        yrow = y.reshape(1, npad)
         cx = jnp.sum(
-            ((dxs >= -r) & (dxs < r)).astype(jnp.float32),
+            ((xrow >= xi - rx) & (xrow < xi + rx)).astype(jnp.float32),
             axis=1, keepdims=True,
         )
         cy = jnp.sum(
-            ((dys >= -r) & (dys < r)).astype(jnp.float32),
+            ((yrow >= yi - ry) & (yrow < yi + ry)).astype(jnp.float32),
             axis=1, keepdims=True,
         )
-        cx = jnp.maximum(cx, 1.0)
-        cy = jnp.maximum(cy, 1.0)
+        if estimator == 1:
+            # Counts include the centre ⇒ ψ(nx + 1) of the paper;
+            # table index = count − 1.
+            ix = jnp.maximum(cx, 1.0) - 1.0
+            iy = jnp.maximum(cy, 1.0) - 1.0
+        else:
+            # ψ(count − 1): centre excluded (MutualInformation.cpp:489);
+            # table index = max(count − 1, 1) − 1.
+            ix = jnp.maximum(cx - 2.0, 0.0)
+            iy = jnp.maximum(cy - 2.0, 0.0)
 
-        # ψ lookup: one_hot(count-1) @ psi_table  (MXU).
+        # ψ lookup: one_hot(index) @ psi_table  (MXU).
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (rows, npad), 1
         ).astype(jnp.float32)
         psi = psi_ref[0, :].reshape(npad, 1)
         psix = jnp.dot(
-            (cols == (cx - 1.0)).astype(jnp.float32), psi,
+            (cols == ix).astype(jnp.float32), psi,
             preferred_element_type=jnp.float32,
         )
         psiy = jnp.dot(
-            (cols == (cy - 1.0)).astype(jnp.float32), psi,
+            (cols == iy).astype(jnp.float32), psi,
             preferred_element_type=jnp.float32,
         )
 
@@ -121,8 +152,8 @@ def _make_kernel(k: int, n: int, npad: int, rows: int):
     return kernel, num_chunks
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _mi_ksg_flat(series, x, k, interpret):
+@functools.partial(jax.jit, static_argnames=("k", "estimator", "interpret"))
+def _mi_ksg_flat(series, x, k, estimator, interpret):
     v, n = series.shape
     npad = round_up(n, 128)
     rows = min(_ROWS, npad)
@@ -144,7 +175,7 @@ def _mi_ksg_flat(series, x, k, interpret):
         scipy.special.digamma(np.arange(1, npad + 1)).astype(np.float32)
     ).reshape(1, npad)
 
-    kernel, num_chunks = _make_kernel(k, n, npad, rows)
+    kernel, num_chunks = _make_kernel(k, n, npad, rows, estimator)
     # Per-voxel blocks carry a singleton middle axis so Mosaic's
     # block-shape constraint (trailing dims divisible by (8, 128) or
     # equal to the array dims) is satisfied with one voxel per step.
@@ -169,7 +200,10 @@ def _mi_ksg_flat(series, x, k, interpret):
 
     import jax.scipy.special as jss
 
-    mi = -acc[:, 0, 0] / n + jss.digamma(float(k)) + jss.digamma(float(n))
+    const = jss.digamma(float(k)) + jss.digamma(float(n))
+    if estimator == 2:
+        const = const - 1.0 / k
+    mi = -acc[:, 0, 0] / n + const
     return jnp.maximum(mi, 0.0)
 
 
@@ -177,15 +211,17 @@ def mi_ksg_pallas(
     stack: jnp.ndarray,
     ref: jnp.ndarray,
     k: int = 3,
+    estimator: int = 1,
     use_noise: bool = True,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """KSG estimator-1 MI field via the Pallas kernel.
+    """KSG MI field via the Pallas kernel (estimators 1 and 2).
 
     Args:
       stack: ``(..., n)`` member series.
       ref: ``(n,)`` reference series.
       k: neighbour count.
+      estimator: Kraskov estimator 1 or 2.
       use_noise: add the deterministic tie-breaking noise (same keys as
         ops/mi_ksg.py so both paths agree bitwise on inputs).
       interpret: force interpreter mode (auto: off-TPU only).
@@ -193,6 +229,8 @@ def mi_ksg_pallas(
     Returns:
       ``(...)`` float32 MI field.
     """
+    if estimator not in (1, 2):
+        raise ValueError(f"estimator must be 1 or 2, got {estimator}")
     if interpret is None:
         interpret = not on_tpu()
     n = stack.shape[-1]
@@ -204,5 +242,5 @@ def mi_ksg_pallas(
         ny = jax.random.uniform(_key_query(), (n,), jnp.float32)
         x = x + nx * NOISE_AMPLITUDE
         series = series + ny[None, :] * NOISE_AMPLITUDE
-    out = _mi_ksg_flat(series, x, k, interpret)
+    out = _mi_ksg_flat(series, x, k, estimator, interpret)
     return out.reshape(lead)

@@ -54,15 +54,29 @@ class TestKsgPallas:
         )
         np.testing.assert_allclose(got, want, atol=1e-3)
 
-    def test_matches_jax_with_noise(self, small_stack):
+    @pytest.mark.parametrize("estimator", [1, 2])
+    def test_matches_jax_with_noise(self, small_stack, estimator):
         stack, ref = small_stack
-        got = np.asarray(mi_ksg_pallas(stack, ref, k=3))
-        want = np.asarray(
-            ops.mutual_information_kraskov(ref, stack, k=3)
+        got = np.asarray(
+            mi_ksg_pallas(stack, ref, k=3, estimator=estimator)
         )
-        # Interval-boundary counts can flip by one under fp reassociation
-        # ((vj >= vi−r) vs (vj−vi >= −r)); one flip shifts MI by ~ψ'(c)/n.
-        np.testing.assert_allclose(got, want, atol=5e-3)
+        want = np.asarray(
+            ops.mutual_information_kraskov(
+                ref, stack, k=3, estimator=estimator
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_estimator2_decorrelated_near_zero(self, small_stack):
+        rng = np.random.default_rng(7)
+        ref = jnp.asarray(rng.normal(size=120).astype(np.float32))
+        noise = jnp.asarray(rng.normal(size=(5, 120)).astype(np.float32))
+        got = np.asarray(mi_ksg_pallas(noise, ref, k=3, estimator=2))
+        assert (got < 0.25).all()
+
+    def test_bad_estimator_rejected(self):
+        with pytest.raises(ValueError):
+            mi_ksg_pallas(jnp.zeros((1, 8)), jnp.zeros(8), estimator=3)
 
     def test_self_mi_is_large(self):
         rng = np.random.default_rng(2)
