@@ -114,6 +114,41 @@ class Scene:
 
     # -- rendering ---------------------------------------------------------
 
+    def _active_render_restriction(self, box):
+        """(center, radius, metric) of the first calculator with an
+        active render restriction, else None. Mirrors the reference's
+        global ``VolumeData::setRenderRestriction`` state (the last
+        calculator to set it wins; VolumeData.hpp:424-430)."""
+        for calc in self.volume_data.calculators.values():
+            if getattr(calc, "use_render_restriction", False):
+                from correrender_tpu.render.restriction import (
+                    restriction_center,
+                )
+
+                center = restriction_center(
+                    calc.reference_point,
+                    self.volume_data.grid.shape_zyx, box,
+                )
+                return (
+                    center,
+                    float(calc.render_restriction_radius),
+                    str(calc.render_restriction_metric),
+                )
+        return None
+
+    @staticmethod
+    def _restrict_iso_volume(vol, box, restriction):
+        """NaN-fill voxels outside the restriction ball: both iso
+        marchers treat NaN samples as no-crossing, so surfaces simply
+        stop at the ball like the reference's per-sample gate."""
+        if restriction is None:
+            return vol
+        from correrender_tpu.render.restriction import restriction_mask
+
+        center, radius, metric = restriction
+        mask = restriction_mask(vol.shape, box, center, radius, metric)
+        return jnp.where(mask > 0, vol, jnp.nan)
+
     def render_view(self, view: int = 0, image_size=(512, 512),
                     fast_dvr: bool = True, show_reference_points=False):
         """Composite all renderers attached to a view, back-to-front by
@@ -121,6 +156,7 @@ class Scene:
         cam = self.views[view]
         vd = self.volume_data
         box = vd.grid.render_box()
+        restriction = self._active_render_restriction(box)
         image = None
         for r in self.renderers:
             if r["view"] != view:
@@ -130,16 +166,43 @@ class Scene:
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
                 tf = self.tf_for(field)
-                renderer = dvr_shearwarp if fast_dvr else dvr_render
                 kwargs = dict(
                     image_size=image_size, box=box,
                     attenuation=r.get("attenuation", 100.0),
                     background=(0, 0, 0, 0),
                 )
-                image = _composite(image, renderer(vol, cam, tf, **kwargs))
+                if fast_dvr:
+                    if restriction is not None:
+                        # Voxel-granular restriction: mask the
+                        # classified volume (render/restriction.py).
+                        from correrender_tpu.render.classify import (
+                            classify_volume,
+                        )
+                        from correrender_tpu.render.restriction import (
+                            apply_restriction_rgba,
+                            restriction_mask,
+                        )
+
+                        center, radius, metric = restriction
+                        classified = apply_restriction_rgba(
+                            classify_volume(
+                                vol, tf.lut,
+                                jnp.asarray(tf.domain, jnp.float32),
+                            ),
+                            restriction_mask(
+                                vol.shape, box, center, radius, metric
+                            ),
+                        )
+                        kwargs["classified"] = classified
+                    img = dvr_shearwarp(vol, cam, tf, **kwargs)
+                else:
+                    img = dvr_render(vol, cam, tf,
+                                     restriction=restriction, **kwargs)
+                image = _composite(image, img)
             elif r["type"] == "iso_ray":
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
+                vol = self._restrict_iso_volume(vol, box, restriction)
                 if fast_dvr:
                     from correrender_tpu.render.iso_fast import (
                         iso_shearwarp,
@@ -203,6 +266,7 @@ class Scene:
                 # the raycaster (identical appearance headlessly).
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
+                vol = self._restrict_iso_volume(vol, box, restriction)
                 img = iso_render(
                     vol, cam, r.get("iso_value", 0.5),
                     image_size=image_size, box=box,

@@ -278,6 +278,9 @@ class CorrelationCalculator(Calculator):
         absolute: bool = False,
         symmetric_fields: bool = False,
         time_lag: int = 0,
+        use_render_restriction: bool = False,
+        render_restriction_radius: float = 0.05,
+        render_restriction_metric: str = "Euclidean",
         output_name: str | None = None,
     ):
         super().__init__(output_name)
@@ -292,6 +295,12 @@ class CorrelationCalculator(Calculator):
         self.absolute = absolute
         self.symmetric_fields = symmetric_fields
         self.time_lag = time_lag
+        # Spherical render restriction around the reference point
+        # (ICorrelationCalculator, CorrelationCalculator.hpp:134-137);
+        # consumed by Scene.render_view.
+        self.use_render_restriction = use_render_restriction
+        self.render_restriction_radius = render_restriction_radius
+        self.render_restriction_metric = render_restriction_metric
 
     def default_output_name(self):
         from correrender_tpu.ops.registry import MEASURE_NAMES
@@ -379,12 +388,30 @@ class CorrelationCalculator(Calculator):
             kwargs["field_name"] = s["scalar_field_name"]
         if "time_lag_time_step_idx" in s:
             kwargs["time_lag"] = int(s["time_lag_time_step_idx"])
+        if "restrict_rendering" in s:
+            kwargs["use_render_restriction"] = bool(s["restrict_rendering"])
+        if "render_restriction_radius" in s:
+            kwargs["render_restriction_radius"] = float(
+                s["render_restriction_radius"]
+            )
+        if "distance_metric" in s:
+            kwargs["render_restriction_metric"] = str(s["distance_metric"])
         return kwargs
 
     def get_settings(self) -> dict:
         from correrender_tpu.ops.registry import MEASURE_NAMES
 
+        restriction = (
+            {
+                "render_restriction_radius": self.render_restriction_radius,
+                "distance_metric": self.render_restriction_metric,
+            }
+            if self.use_render_restriction
+            else {}
+        )
         return {
+            "restrict_rendering": self.use_render_restriction,
+            **restriction,
             "correlation_measure_type": MEASURE_NAMES[self.measure],
             "correlation_mode": "Ensemble" if self.ensemble_mode else "Time",
             "reference_point_x": self.reference_point[0],

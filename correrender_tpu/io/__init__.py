@@ -22,6 +22,7 @@ from correrender_tpu.io import nifti  # noqa: F401
 from correrender_tpu.io import amira  # noqa: F401
 from correrender_tpu.io import grib  # noqa: F401
 from correrender_tpu.io import field_file  # noqa: F401
+from correrender_tpu.io import rbc  # noqa: F401
 from correrender_tpu.io.catalog import DataSetInformation, load_catalog
 from correrender_tpu.io import writers
 

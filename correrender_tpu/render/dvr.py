@@ -51,7 +51,7 @@ def world_step_size(grid_shape_zyx, box_min, box_max, voxel_step: float) -> floa
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps",),
+    static_argnames=("num_steps", "restriction_metric"),
 )
 def dvr_composite(
     volume: jnp.ndarray,
@@ -65,8 +65,17 @@ def dvr_composite(
     attenuation: jnp.ndarray,
     background: jnp.ndarray,
     num_steps: int,
+    restriction=None,
+    restriction_metric: str = "Euclidean",
 ) -> jnp.ndarray:
-    """Core compositing loop. Returns straight-alpha RGBA (H, W, 4)."""
+    """Core compositing loop. Returns straight-alpha RGBA (H, W, 4).
+
+    ``restriction``: optional ``(4,)`` array ``[cx, cy, cz, radius]`` —
+    samples outside the ball contribute nothing, the exact per-sample
+    semantics of the reference's Data/Shaders/Renderers/DVR/
+    RenderRestriction.glsl. Traced (moving the reference point does not
+    recompile); only the metric is static.
+    """
     t_near, t_far, hit = ray_box_intersect(origin, directions, box_min, box_max)
     # Camera inside the box: start at the origin (tNear<0 → t=0).
     t_start = jnp.maximum(t_near, 0.0)
@@ -92,6 +101,13 @@ def dvr_composite(
         alpha = 1.0 - jnp.exp(-rgba[..., 3] * step_size * attenuation)
         # Masked steps: outside the march interval or missed the box.
         active = hit & ((i * step_size) < march_len)
+        if restriction is not None:
+            diff = jnp.abs(p - restriction[:3])
+            if restriction_metric.lower() == "chebyshev":
+                dist = jnp.max(diff, axis=-1)
+            else:
+                dist = jnp.linalg.norm(diff, axis=-1)
+            active = active & (dist <= restriction[3])
         alpha = jnp.where(active, alpha, 0.0)
         # Front-to-back OVER, premultiplied accumulation.
         w = (1.0 - a) * alpha
@@ -121,6 +137,7 @@ def dvr_render(
     voxel_step: float = 0.1,
     attenuation: float = 100.0,
     background=(0.0, 0.0, 0.0, 1.0),
+    restriction=None,
 ) -> jnp.ndarray:
     """Render a scalar volume with DVR.
 
@@ -150,6 +167,13 @@ def dvr_render(
     )
     step = world_step_size(volume.shape, box_min, box_max, voxel_step)
     steps = num_steps_for(box_min, box_max, step)
+    restriction_metric = "Euclidean"
+    if restriction is not None:
+        center, radius, restriction_metric = restriction
+        restriction = jnp.asarray(
+            list(np.asarray(center, np.float32)) + [float(radius)],
+            jnp.float32,
+        )
     width, height = image_size
     origin, directions = camera.rays(width, height)
     return dvr_composite(
@@ -164,4 +188,6 @@ def dvr_render(
         jnp.float32(attenuation),
         jnp.asarray(background, jnp.float32),
         steps,
+        restriction=restriction,
+        restriction_metric=str(restriction_metric),
     )

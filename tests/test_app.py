@@ -215,3 +215,69 @@ class TestWorldMapInScene:
         img = np.asarray(scene.render_view(0, image_size=(48, 48)))
         assert np.isfinite(img).all()
         assert img[..., 3].max() == 1.0  # plane visible
+
+
+class TestRenderRestriction:
+    def _scene(self, **calc_kwargs):
+        scene, _ = make_scene(8)
+        scene.add_calculator(
+            CorrelationCalculator(
+                "data", reference_point=(8, 8, 4), **calc_kwargs
+            )
+        )
+        return scene
+
+    def test_dvr_restricted_smaller_footprint(self):
+        open_scene = self._scene()
+        open_scene.add_renderer("dvr", field="Pearson Correlation")
+        full = np.asarray(open_scene.render_view(0, image_size=(64, 48)))
+        tight = self._scene(
+            use_render_restriction=True, render_restriction_radius=0.08
+        )
+        tight.add_renderer("dvr", field="Pearson Correlation")
+        rest = np.asarray(tight.render_view(0, image_size=(64, 48)))
+        assert (rest[..., 3] > 0.01).sum() < (full[..., 3] > 0.01).sum()
+        assert (rest[..., 3] > 0.01).any()  # ball interior still visible
+
+    def test_exact_marcher_restriction_matches_fast(self):
+        scene = self._scene(
+            use_render_restriction=True, render_restriction_radius=0.1,
+            render_restriction_metric="Chebyshev",
+        )
+        scene.add_renderer("dvr", field="Pearson Correlation")
+        fast = np.asarray(scene.render_view(0, image_size=(48, 36)))
+        exact = np.asarray(
+            scene.render_view(0, image_size=(48, 36), fast_dvr=False)
+        )
+        # Same restricted footprint from both paths (coarse agreement).
+        fa = fast[..., 3] > 0.05
+        ea = exact[..., 3] > 0.05
+        agree = (fa == ea).mean()
+        assert agree > 0.9, f"footprint agreement {agree}"
+
+    def test_state_roundtrip_keeps_restriction(self, tmp_path):
+        scene = self._scene(
+            use_render_restriction=True, render_restriction_radius=0.12
+        )
+        path = str(tmp_path / "s.json")
+        scene.save_state(path, dataset={"synthetic": True})
+        doc = json.load(open(path))
+        c = doc["calculators"][0]
+        assert c["restrict_rendering"] is True
+        assert c["render_restriction_radius"] == pytest.approx(0.12)
+        assert c["distance_metric"] == "Euclidean"
+        vd2 = VolumeData(GridMetadata(xs=16, ys=16, zs=8, es=8))
+        vd2.add_field("data", lambda t, e: np.zeros((8, 16, 16)))
+        scene2 = Scene.load_state(path, volume_data=vd2)
+        calc = list(scene2.volume_data.calculators.values())[0]
+        assert calc.use_render_restriction
+        assert calc.render_restriction_radius == pytest.approx(0.12)
+
+    def test_iso_restricted(self):
+        scene = self._scene(
+            use_render_restriction=True, render_restriction_radius=0.08
+        )
+        scene.add_renderer("iso_ray", field="Pearson Correlation",
+                           iso_value=0.2)
+        img = np.asarray(scene.render_view(0, image_size=(48, 36)))
+        assert np.isfinite(img).all()

@@ -288,3 +288,41 @@ class TestGrib:
         p.write_bytes(b"GRIB")
         with pytest.raises(NotImplementedError, match="cfgrib"):
             loader_for_path(str(p)).open(str(p))
+
+
+class TestRbcBin:
+    def test_fixed_format_roundtrip(self, tmp_path, monkeypatch):
+        # The real format is a fixed 1024x32x1024x4 float block (512 MB);
+        # shrink the module constants for the test.
+        from correrender_tpu.io import rbc
+
+        monkeypatch.setattr(rbc, "_XS", 8)
+        monkeypatch.setattr(rbc, "_YS", 4)
+        monkeypatch.setattr(rbc, "_ZS", 8)
+        rng = np.random.default_rng(0)
+        block = rng.normal(size=(8, 4, 8, 4)).astype("<f4")
+        path = str(tmp_path / "snap.bin")
+        block.tofile(path)
+        from correrender_tpu.io import load_volume
+
+        vd = load_volume(path)
+        assert vd.grid.shape_zyx == (8, 4, 8)
+        np.testing.assert_allclose(
+            np.asarray(vd.get_field("Temperature")), block[..., 3],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vd.get_field("u")), block[..., 0], atol=1e-6
+        )
+        # Velocity-derived calculators auto-register like the
+        # reference's eager derived fields (RbcBinFileLoader.cpp:100+).
+        for name in ("Vector Magnitude", "Vorticity", "Helicity"):
+            assert vd.field_exists(name), vd.field_names
+
+    def test_wrong_size_rejected(self, tmp_path):
+        path = str(tmp_path / "bad.bin")
+        np.zeros(10, np.float32).tofile(path)
+        from correrender_tpu.io import load_volume
+
+        with pytest.raises(ValueError):
+            load_volume(path)
