@@ -127,6 +127,29 @@ def cmd_heb(args):
     print(f"wrote {args.output} ({len(chart.chords)} chords)")
 
 
+def cmd_similarity(args):
+    from correrender_tpu.ops.similarity import field_similarity
+
+    vd = _load(args)
+    field_a = args.field or vd.field_names[0]
+    vd_b = vd
+    if args.dataset_b:
+        from correrender_tpu.io import load_volume
+
+        vd_b = load_volume(args.dataset_b)
+    field_b = args.field_b or field_a
+
+    def flat(v, name):
+        if args.all_members:
+            return np.asarray(v.get_member_stack(name, args.time))
+        return np.asarray(v.get_field(name, args.time, args.member))
+
+    value = field_similarity(
+        flat(vd, field_a), flat(vd_b, field_b), measure=args.measure
+    )
+    print(f"{args.measure} similarity({field_a}, {field_b}) = {value:.6f}")
+
+
 def cmd_state(args):
     from correrender_tpu.app.state import Scene
 
@@ -270,6 +293,24 @@ def build_parser():
     sp.add_argument("--max-chords", type=int, default=100)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_heb)
+
+    sp = sub.add_parser(
+        "similarity",
+        help="whole-field similarity of two fields (the reference's "
+             "'Compute Field Similarity' dialog)",
+    )
+    add_dataset_args(sp)
+    sp.add_argument("--field-b", default=None,
+                    help="second field (default: --field vs itself in "
+                         "--dataset-b)")
+    sp.add_argument("--dataset-b", default=None,
+                    help="second dataset (default: same dataset)")
+    sp.add_argument("--measure", default="pearson")
+    sp.add_argument("--all-members", action="store_true",
+                    help="flatten across every member, not just one")
+    sp.add_argument("--time", type=int, default=0)
+    sp.add_argument("--member", type=int, default=0)
+    sp.set_defaults(fn=cmd_similarity)
 
     sp = sub.add_parser("state", help="render a saved scene state")
     sp.add_argument("--load", required=True)

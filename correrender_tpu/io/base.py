@@ -82,6 +82,14 @@ class VolumeLoader:
             arr = arr * np.float32(info.scale)
         if info.format_cast is not None:
             arr = arr.astype(info.format_cast).astype(np.float32)
+        if info.axes is not None and list(info.axes) != [0, 1, 2]:
+            # Axis permutation (reference: `axes` catalog key →
+            # VolumeData::setTransposeAxes, VolumeData.cpp:654-655 and
+            # :1281-1308 — the reference supports only the y↔z swap
+            # (0,2,1); any permutation is accepted here). `axes` is in
+            # world (x,y,z) order; slabs are (z,y,x).
+            p = list(info.axes)
+            arr = np.transpose(arr, [2 - p[2 - j] for j in range(3)])
         return arr
 
     def grid_metadata(self, dataset_info=None):
@@ -97,6 +105,13 @@ class VolumeLoader:
             if f and f > 1:
                 xs, ys, zs = -(-xs // f), -(-ys // f), -(-zs // f)
                 dx, dy, dz = dx * f, dy * f, dz * f
+            if (dataset_info.axes is not None
+                    and list(dataset_info.axes) != [0, 1, 2]):
+                p = list(dataset_info.axes)
+                dims = [xs, ys, zs]
+                spac = [dx, dy, dz]
+                xs, ys, zs = dims[p[0]], dims[p[1]], dims[p[2]]
+                dx, dy, dz = spac[p[0]], spac[p[1]], spac[p[2]]
         return GridMetadata(
             xs=xs, ys=ys, zs=zs, ts=self.ts, es=self.es,
             dx=dx, dy=dy, dz=dz,

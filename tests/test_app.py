@@ -281,3 +281,14 @@ class TestRenderRestriction:
                            iso_value=0.2)
         img = np.asarray(scene.render_view(0, image_size=(48, 36)))
         assert np.isfinite(img).all()
+
+
+class TestSimilarityCli:
+    def test_similarity_command(self, tmp_path, capsys):
+        data = fixtures.synth_box_ensemble(xs=10, ys=10, zs=5, members=6)
+        path = str(tmp_path / "s.nc")
+        writers.write_netcdf(path, data[:, None], name="temp")
+        cli.main(["similarity", "--dataset", path, "--measure", "pearson",
+                  "--all-members"])
+        out = capsys.readouterr().out
+        assert "similarity(temp, temp) = 1.0" in out

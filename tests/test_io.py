@@ -326,3 +326,20 @@ class TestRbcBin:
 
         with pytest.raises(ValueError):
             load_volume(path)
+
+
+class TestCatalogAxes:
+    def test_axes_transpose_applied(self, tmp_path):
+        from correrender_tpu.io import load_volume
+        from correrender_tpu.io.catalog import DataSetInformation
+
+        rng = np.random.default_rng(4)
+        data = rng.normal(size=(1, 1, 6, 5, 4)).astype(np.float32)
+        path = str(tmp_path / "t.nc")
+        writers.write_netcdf(path, data, name="temp")
+        info = DataSetInformation(name="t", filenames=[path], axes=[0, 2, 1])
+        vd = load_volume(path, dataset_info=info)
+        # y<->z swap: (z=6,y=5,x=4) becomes (z=5,y=6,x=4).
+        assert vd.grid.shape_zyx == (5, 6, 4)
+        got = np.asarray(vd.get_field("temp"))
+        np.testing.assert_allclose(got, data[0, 0].transpose(1, 0, 2))
