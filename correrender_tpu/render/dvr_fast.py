@@ -478,6 +478,33 @@ def _warp_matmul(
         jnp.abs(u_den) < 1e-12, 1e-12, u_den
     )  # (Hi, Wo)
 
+    # --- pass B coordinates (shared by both backends) -------------------
+    px_idx0 = jnp.arange(w_out, dtype=jnp.float32)
+    py_idx0 = jnp.arange(h_out, dtype=jnp.float32)
+    den_full = c0 + c1 * px_idx0[None, :] + c2 * py_idx0[:, None]  # (Ho, Wo)
+    sv_full = (
+        b0 + b1 * px_idx0[None, :] + b2 * py_idx0[:, None]
+    ) / jnp.where(jnp.abs(den_full) < 1e-12, 1e-12, den_full)
+
+    from correrender_tpu.ops.pallas.common import on_tpu
+
+    if on_tpu():
+        # Fused VMEM warp: tent weights are built in VMEM per row tile
+        # and consumed immediately — no HBM weight traffic
+        # (ops/pallas/warp_kernel.py; the XLA scan path below streams
+        # ~2 GB of bf16 weights per 1080p frame).
+        from correrender_tpu.ops.pallas.warp_kernel import (
+            resample_rows_pallas,
+        )
+
+        img_t = jnp.transpose(img, (2, 0, 1))  # (4, Hi, Wi)
+        t_a = resample_rows_pallas(img_t, u, w_out)  # (4, Hi, Wo)
+        t_t = jnp.transpose(t_a, (0, 2, 1))  # (4, Wo, Hi)
+        s_b = resample_rows_pallas(t_t, sv_full.T, h_out)  # (4, Wo, Ho)
+        s_img = jnp.transpose(s_b, (2, 1, 0))  # (Ho, Wo, 4)
+        return _warp_finish(s_img, den_full, sign_ok, background,
+                            w_out, h_out)
+
     pad_hi = -(-hi // chunk) * chunk
     u_p = jnp.pad(u, ((0, pad_hi - hi), (0, 0)))
     img_p = jnp.pad(img, ((0, pad_hi - hi), (0, 0), (0, 0)))
@@ -501,16 +528,7 @@ def _warp_matmul(
     t_img = t_chunks.reshape(pad_hi, w_out, 4)[:hi]  # (Hi, Wo, 4)
 
     # --- pass B: S[py, px] = T[sv(px, py), px] ---------------------------
-    px_idx = jnp.arange(w_out, dtype=jnp.float32)
-    py_idx = jnp.arange(h_out, dtype=jnp.float32)
-    den_full = c0 + c1 * px_idx[None, :] + c2 * py_idx[:, None]  # (Ho, Wo)
-    sv = (b0 + b1 * px_idx[None, :] + b2 * py_idx[:, None]) / jnp.where(
-        jnp.abs(den_full) < 1e-12, 1e-12, den_full
-    )
-    su = (a0 + a1 * px_idx[None, :] + a2 * py_idx[:, None]) / jnp.where(
-        jnp.abs(den_full) < 1e-12, 1e-12, den_full
-    )
-
+    sv = sv_full
     pad_wo = -(-w_out // chunk) * chunk
     sv_p = jnp.pad(sv, ((0, 0), (0, pad_wo - w_out)))
     t_p = jnp.pad(t_img, ((0, 0), (0, pad_wo - w_out), (0, 0)))
@@ -537,7 +555,10 @@ def _warp_matmul(
     s_img = (
         s_chunks.transpose(1, 0, 2, 3).reshape(h_out, pad_wo, 4)[:, :w_out]
     )
+    return _warp_finish(s_img, den_full, sign_ok, background, w_out, h_out)
 
+
+def _warp_finish(s_img, den_full, sign_ok, background, w_out, h_out):
     # Validity: forward rays only + in-bounds (tent already zeros
     # out-of-range, but behind-the-camera rays need the sign mask).
     valid = (den_full * sign_ok > 0).astype(jnp.float32)
