@@ -486,25 +486,12 @@ def _warp_matmul(
         b0 + b1 * px_idx0[None, :] + b2 * py_idx0[:, None]
     ) / jnp.where(jnp.abs(den_full) < 1e-12, 1e-12, den_full)
 
-    from correrender_tpu.ops.pallas.common import on_tpu
-
-    if on_tpu():
-        # Fused VMEM warp: tent weights are built in VMEM per row tile
-        # and consumed immediately — no HBM weight traffic
-        # (ops/pallas/warp_kernel.py; the XLA scan path below streams
-        # ~2 GB of bf16 weights per 1080p frame).
-        from correrender_tpu.ops.pallas.warp_kernel import (
-            resample_rows_pallas,
-        )
-
-        img_t = jnp.transpose(img, (2, 0, 1))  # (4, Hi, Wi)
-        t_a = resample_rows_pallas(img_t, u, w_out)  # (4, Hi, Wo)
-        t_t = jnp.transpose(t_a, (0, 2, 1))  # (4, Wo, Hi)
-        s_b = resample_rows_pallas(t_t, sv_full.T, h_out)  # (4, Wo, Ho)
-        s_img = jnp.transpose(s_b, (2, 1, 0))  # (Ho, Wo, 4)
-        return _warp_finish(s_img, den_full, sign_ok, background,
-                            w_out, h_out)
-
+    # Note: a Pallas warp (VMEM-built per-row tent weights consumed by
+    # (4,K)·(K,tile) dots, bit-identical output) measured 0.88× this
+    # scan — the per-row weights give the MXU only 4 of 128 sublanes
+    # and nothing batches across rows, so eliminating the weight HBM
+    # traffic doesn't pay. Kernel in git history
+    # ("Add Pallas row-resample warp kernel").
     pad_hi = -(-hi // chunk) * chunk
     u_p = jnp.pad(u, ((0, pad_hi - hi), (0, 0)))
     img_p = jnp.pad(img, ((0, pad_hi - hi), (0, 0), (0, 0)))
