@@ -150,6 +150,59 @@ def cmd_similarity(args):
     print(f"{args.measure} similarity({field_a}, {field_b}) = {value:.6f}")
 
 
+def cmd_diagram(args):
+    vd = _load(args)
+    field = args.field or vd.field_names[0]
+    if args.kind == "scatter":
+        from correrender_tpu.diagrams.scatter import render_scatter_svg
+
+        field_b = args.field_b or field
+        a = np.asarray(vd.get_field(field, member=args.member))
+        b = np.asarray(vd.get_field(field_b, member=args.member))
+        svg = render_scatter_svg(a, b, labels=(field, field_b),
+                                 path=args.output)
+    elif args.kind == "matrix":
+        from correrender_tpu.diagrams.matrix import (
+            field_correlation_matrix,
+            render_matrix_svg,
+        )
+
+        names = (
+            [field, args.field_b] if args.field_b else vd.field_names
+        )
+        m, names = field_correlation_matrix(vd, names,
+                                            measure=args.measure)
+        render_matrix_svg(m, labels=names, path=args.output)
+    elif args.kind == "distribution":
+        from correrender_tpu.diagrams.distribution_similarity import (
+            distribution_similarity,
+        )
+        from correrender_tpu.diagrams.scatter import render_scatter_svg
+
+        stack = np.asarray(vd.get_member_stack(field))
+        emb, labels, _ = distribution_similarity(
+            stack, mode=args.mode, max_points=args.max_points
+        )
+        render_scatter_svg(
+            emb[:, 0], emb[:, 1],
+            labels=("t-SNE 1", "t-SNE 2"), colors=labels,
+            path=args.output,
+        )
+        n_clusters = len(set(labels.tolist()) - {-1})
+        print(f"{n_clusters} clusters over {len(labels)} points")
+    else:  # timeseries
+        from correrender_tpu.diagrams.timeseries import (
+            load_time_series,
+            render_heatmap_svg,
+            time_series_correlation,
+        )
+
+        series = load_time_series(args.dataset, variable=args.field)
+        m = time_series_correlation(series, measure=args.measure)
+        render_heatmap_svg(m, path=args.output)
+    print(f"wrote {args.output}")
+
+
 def cmd_state(args):
     from correrender_tpu.app.state import Scene
 
@@ -293,6 +346,25 @@ def build_parser():
     sp.add_argument("--max-chords", type=int, default=100)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_heb)
+
+    sp = sub.add_parser(
+        "diagram",
+        help="2D analysis views: scatter / correlation matrix / "
+             "distribution-similarity (t-SNE+DBSCAN) / time-series "
+             "heatmap → SVG",
+    )
+    add_dataset_args(sp)
+    sp.add_argument("--kind", required=True,
+                    choices=["scatter", "matrix", "distribution",
+                             "timeseries"])
+    sp.add_argument("--field-b", default=None)
+    sp.add_argument("--measure", default="pearson")
+    sp.add_argument("--member", type=int, default=0)
+    sp.add_argument("--mode", default="cell_member_values",
+                    help="distribution feature mode")
+    sp.add_argument("--max-points", type=int, default=400)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_diagram)
 
     sp = sub.add_parser(
         "similarity",

@@ -292,3 +292,31 @@ class TestSimilarityCli:
                   "--all-members"])
         out = capsys.readouterr().out
         assert "similarity(temp, temp) = 1.0" in out
+
+
+class TestDiagramCli:
+    @pytest.fixture
+    def dataset(self, tmp_path):
+        data = fixtures.synth_box_ensemble(xs=10, ys=10, zs=5, members=12)
+        path = str(tmp_path / "d.nc")
+        writers.write_netcdf(path, data[:, None], name="temp")
+        return path
+
+    def test_scatter(self, dataset, tmp_path):
+        out = str(tmp_path / "sc.svg")
+        cli.main(["diagram", "--dataset", dataset, "--kind", "scatter",
+                  "--output", out])
+        assert "<svg" in open(out).read()
+
+    def test_matrix(self, dataset, tmp_path):
+        out = str(tmp_path / "m.svg")
+        cli.main(["diagram", "--dataset", dataset, "--kind", "matrix",
+                  "--measure", "spearman", "--output", out])
+        assert "<svg" in open(out).read()
+
+    def test_distribution(self, dataset, tmp_path, capsys):
+        out = str(tmp_path / "ds.svg")
+        cli.main(["diagram", "--dataset", dataset, "--kind",
+                  "distribution", "--max-points", "60", "--output", out])
+        assert "<svg" in open(out).read()
+        assert "points" in capsys.readouterr().out
