@@ -23,4 +23,23 @@ __all__ = [
     "shard_member_stack",
     "volume_sharding",
     "pearson_member_sharded",
+    "dvr_shearwarp_sharded",
+    "iso_shearwarp_sharded",
 ]
+
+
+def __getattr__(name):
+    # Lazy: the sharded renderers pull in the full render stack.
+    if name == "dvr_shearwarp_sharded":
+        from correrender_tpu.parallel.dvr_sharded import (
+            dvr_shearwarp_sharded,
+        )
+
+        return dvr_shearwarp_sharded
+    if name == "iso_shearwarp_sharded":
+        from correrender_tpu.parallel.iso_sharded import (
+            iso_shearwarp_sharded,
+        )
+
+        return iso_shearwarp_sharded
+    raise AttributeError(name)

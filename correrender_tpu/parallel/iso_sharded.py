@@ -1,0 +1,189 @@
+"""Multi-chip shear-warp isosurface rendering: volume Z-sharded.
+
+New TPU-native design (the reference is single-GPU). "First hit along
+the ray" is an associative fold like OVER, so it factors across the
+mesh the same way parallel/dvr_sharded.py factors compositing:
+
+* each shard runs the first-hit scan (render/iso_fast.py) over its own
+  slab of slices, prefixed with a ONE-SLICE HALO from its near-side
+  neighbour (``lax.ppermute``) so iso-crossings that span the shard
+  boundary are still detected by exactly one shard;
+* per-shard (found, gradient) intermediate images cross the ICI with
+  one ``all_gather``; the combine picks, per ray, the nearest shard
+  (near→far static unroll) that found a hit — the "first-found"
+  monoid;
+* Blinn–Phong shading + the homography warp run replicated via
+  ``render.iso_fast.shade_and_warp``.
+
+Constraint (same as dvr_sharded): the scan axis must be the sharded
+axis (Z). X/Y-principal cameras fall back to a gathered single-device
+render.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from correrender_tpu.render.dvr_fast import _principal_axis
+from correrender_tpu.render.iso_fast import (
+    _first_hit_scan,
+    _gradient_volume,
+    iso_shearwarp,
+    shade_and_warp,
+)
+
+
+def iso_shearwarp_sharded(
+    volume: jnp.ndarray,
+    camera,
+    iso_value: float,
+    mesh: Mesh,
+    surface_color=(0.9, 0.4, 0.2, 1.0),
+    image_size=(1920, 1080),
+    box=None,
+    background=(0.0, 0.0, 0.0, 1.0),
+    intermediate_scale: float = 1.0,
+    axis_name: str = "space",
+) -> jnp.ndarray:
+    """Render a Z-sharded volume's isosurface distributedly."""
+    zs, ys, xs = volume.shape
+    if box is None:
+        dims = np.array(
+            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
+        )
+        normalized = dims / dims.max()
+        box = (-0.25 * normalized, 0.25 * normalized)
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+
+    eye = np.asarray(camera.position, np.float32)
+    forward = np.asarray(camera.look_at_point, np.float32) - eye
+    forward /= np.linalg.norm(forward)
+    a = _principal_axis(forward)
+    n_shards = mesh.shape[axis_name]
+    if a != 2 or zs % n_shards != 0:
+        gathered = jax.device_put(
+            volume, NamedSharding(mesh, P(None, None, None))
+        )
+        return iso_shearwarp(
+            gathered, camera, iso_value, surface_color=surface_color,
+            image_size=image_size, box=box, background=background,
+            intermediate_scale=intermediate_scale,
+        )
+
+    in_plane = [0, 1]  # u = x, v = y
+    flip = bool(forward[2] < 0)
+    s = zs
+    s_loc = s // n_shards
+
+    def centers(world_axis, count):
+        lo, hi_ = box_min[world_axis], box_max[world_axis]
+        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
+
+    slice_coords = centers(2, s)
+    coords_v = centers(1, ys)
+    coords_u = centers(0, xs)
+    if flip:
+        slice_coords = slice_coords[::-1]
+    e_a = eye[2]
+    z_ref = slice_coords[0]
+    denom = z_ref - e_a
+    if abs(denom) < 1e-6:
+        denom = np.sign(denom or 1.0) * 1e-6
+    g = ((slice_coords - e_a) / denom).astype(np.float32)
+
+    e_u, e_v = eye[0], eye[1]
+    lo_u = hi_u = lo_v = hi_v = None
+    for gk in (g.min(), g.max(), 1.0):
+        if gk <= 0:
+            continue
+        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
+        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
+        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
+        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
+        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
+        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
+
+    width, height = image_size
+    hi_res = max(int(height * intermediate_scale), 2 * ys)
+    wi_res = max(int(width * intermediate_scale), 2 * xs)
+    margin_u = 2.0 * (hi_u - lo_u) / wi_res
+    margin_v = 2.0 * (hi_v - lo_v) / hi_res
+    grid_u = np.linspace(lo_u - margin_u, hi_u + margin_u,
+                         wi_res).astype(np.float32)
+    grid_v = np.linspace(lo_v - margin_v, hi_v + margin_v,
+                         hi_res).astype(np.float32)
+
+    # Gradient on the sharded volume with plain ops — GSPMD inserts the
+    # halo exchange for the rolls automatically.
+    vol_sharding = NamedSharding(mesh, P(axis_name, None, None))
+    volume = jax.device_put(volume, vol_sharding)
+    grad = _gradient_volume(volume, box_min, box_max)
+    cvol = jnp.concatenate([volume[..., None], grad], axis=-1)
+
+    # Per-shard g blocks in unflipped global z order (like dvr_sharded).
+    g_unflipped = g[::-1] if flip else g
+    g_blocks = jnp.asarray(g_unflipped.reshape(n_shards, s_loc))
+
+    def local_first_hit(cvol_blk, g_blk):
+        cvol_loc = cvol_blk  # (s_loc, Y, X, 4), global (unflipped) order
+        g_loc = g_blk[0]
+        if flip:
+            cvol_loc = jnp.flip(cvol_loc, axis=0)
+            g_loc = jnp.flip(g_loc, axis=0)
+        # One-slice near-side halo: in near→far order, shard p's
+        # predecessor slice is the last in-order slice of the previous
+        # shard. ppermute leaves the first in-order shard's halo as
+        # zeros (g = 0 ⇒ the scan's inside-gate rejects it).
+        perm = (
+            [(i, i - 1) for i in range(1, n_shards)]
+            if flip
+            else [(i, i + 1) for i in range(n_shards - 1)]
+        )
+        halo_slice = jax.lax.ppermute(
+            cvol_loc[-1:], axis_name, perm
+        )
+        halo_g = jax.lax.ppermute(g_loc[-1:], axis_name, perm)
+        cvol_h = jnp.concatenate([halo_slice, cvol_loc], axis=0)
+        g_h = jnp.concatenate([halo_g, g_loc], axis=0)
+        found, depth, grad_hit = _first_hit_scan(
+            cvol_h,
+            g_h,
+            jnp.asarray(coords_v, jnp.float32),
+            jnp.asarray(coords_u, jnp.float32),
+            jnp.asarray(grid_v),
+            jnp.asarray(grid_u),
+            jnp.asarray([e_u, e_v], jnp.float32),
+            jnp.float32(iso_value),
+            hi_res,
+            wi_res,
+        )
+        del depth  # the combine is ordered; no global depth needed
+        founds = jax.lax.all_gather(found, axis_name)  # (N, hi, wi)
+        grads = jax.lax.all_gather(grad_hit, axis_name)
+        order = range(n_shards - 1, -1, -1) if flip else range(n_shards)
+        acc_found = jnp.zeros_like(found)
+        acc_grad = jnp.zeros_like(grad_hit)
+        for i in order:  # static unroll, near→far: first found wins
+            take = founds[i] & ~acc_found
+            acc_grad = jnp.where(take[..., None], grads[i], acc_grad)
+            acc_found = acc_found | founds[i]
+        return acc_found, acc_grad
+
+    fn = shard_map(
+        local_first_hit,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None, None), P(axis_name, None)),
+        out_specs=(P(None, None), P(None, None, None)),
+        check_rep=False,
+    )
+    found, grad_hit = fn(cvol, g_blocks)
+
+    return shade_and_warp(
+        found, grad_hit, camera, grid_u, grid_v, in_plane, 2, eye,
+        z_ref, surface_color, background, width, height,
+    )

@@ -236,6 +236,20 @@ def iso_shearwarp(
         wi_res,
     )
 
+    return shade_and_warp(
+        found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye,
+        z_ref, surface_color, background, width, height,
+    )
+
+
+def shade_and_warp(
+    found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye, z_ref,
+    surface_color, background, width, height,
+):
+    """Blinn–Phong shade a first-hit map on the intermediate grid and
+    homography-warp it to the screen (shared with the sharded path)."""
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
+    e_a = eye[a]
     # Shade on the intermediate grid (elementwise; rays known per pixel).
     gu, gv = np.meshgrid(grid_u, grid_v)
     dir_u = jnp.asarray(gu - e_u)

@@ -78,3 +78,53 @@ def test_fallback_for_x_principal(smooth_volume):
         )
     )
     _assert_images_match(got, want)
+
+
+class TestIsoSharded:
+    @pytest.mark.parametrize("pos", [(0.05, 0.1, 0.9), (0.1, -0.05, -0.9)])
+    def test_matches_dense_z_principal(self, smooth_volume, pos):
+        from correrender_tpu.parallel.iso_sharded import (
+            iso_shearwarp_sharded,
+        )
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        mesh = make_mesh(space=8, members=1)
+        cam = Camera(position=pos)
+        iso = float(np.quantile(np.asarray(smooth_volume), 0.6))
+        got = np.asarray(
+            iso_shearwarp_sharded(
+                smooth_volume, cam, iso, mesh, image_size=(96, 80),
+                background=(0, 0, 0, 0),
+            )
+        )
+        want = np.asarray(
+            iso_shearwarp(
+                smooth_volume, cam, iso, image_size=(96, 80),
+                background=(0, 0, 0, 0),
+            )
+        )
+        _assert_images_match(got, want)
+        assert (got[..., 3] > 0.5).any()  # surface visible
+
+    def test_x_principal_falls_back(self, smooth_volume):
+        from correrender_tpu.parallel.iso_sharded import (
+            iso_shearwarp_sharded,
+        )
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        mesh = make_mesh(space=8, members=1)
+        cam = Camera(position=(0.9, 0.1, 0.05))
+        iso = float(np.quantile(np.asarray(smooth_volume), 0.6))
+        got = np.asarray(
+            iso_shearwarp_sharded(
+                smooth_volume, cam, iso, mesh, image_size=(64, 48),
+                background=(0, 0, 0, 0),
+            )
+        )
+        want = np.asarray(
+            iso_shearwarp(
+                smooth_volume, cam, iso, image_size=(64, 48),
+                background=(0, 0, 0, 0),
+            )
+        )
+        _assert_images_match(got, want)
