@@ -9,10 +9,11 @@ the per-shard partial images are ordered-OVER-combined with one
 of any volume data). The final homography warp runs on the replicated
 intermediate.
 
-Constraint: the compositing axis must be the sharded axis (Z). For
-cameras whose principal axis is X or Y the volume is re-gathered and
-rendered single-device (exact, just not distributed) — re-sharding over
-the camera axis is a round-2 item.
+Cameras whose principal axis is X or Y re-shard the classified volume
+over their compositing axis with ONE all-to-all (a (slice, v, u)
+transpose under GSPMD) — (N−1)/N of the volume crosses the ICI once,
+instead of every chip holding a full copy. Only uneven shard counts
+fall back to a gathered single-device render.
 """
 
 from __future__ import annotations
@@ -58,9 +59,16 @@ def dvr_shearwarp_sharded(
     forward = np.asarray(camera.look_at_point, np.float32) - eye
     forward /= np.linalg.norm(forward)
     a = _principal_axis(forward)
+    in_plane = [i for i in range(3) if i != a]
+    # Array axes in (slice, v, u) order for this camera.
+    world_to_arr = {2: 0, 1: 1, 0: 2}
+    perm = (world_to_arr[a], world_to_arr[in_plane[1]],
+            world_to_arr[in_plane[0]])
     n_shards = mesh.shape[axis_name]
-    if a != 2 or zs % n_shards != 0:
-        # Camera not Z-principal (or uneven shards): exact fallback.
+    dims_zyx = (zs, ys, xs)
+    s = dims_zyx[perm[0]]
+    if s % n_shards != 0:
+        # Uneven shards along the compositing axis: exact fallback.
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))
         )
@@ -70,28 +78,27 @@ def dvr_shearwarp_sharded(
             intermediate_scale=intermediate_scale,
         )
 
-    # --- replicate the single-device setup math (Z-principal case) ----
-    in_plane = [0, 1]  # u = x, v = y
-    flip = forward[2] < 0
-    s = zs
+    # --- replicate the single-device setup math, parametric in `a` ----
+    nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
+    flip = forward[a] < 0
 
     def centers(world_axis, count):
         lo, hi_ = box_min[world_axis], box_max[world_axis]
         return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
 
-    slice_coords = centers(2, s)
-    coords_v = centers(1, ys)
-    coords_u = centers(0, xs)
+    slice_coords = centers(a, s)
+    coords_v = centers(in_plane[1], nv)
+    coords_u = centers(in_plane[0], nu)
     if flip:
         slice_coords = slice_coords[::-1]
-    e_a = eye[2]
+    e_a = eye[a]
     z_ref = slice_coords[0]
     denom = z_ref - e_a
     if abs(denom) < 1e-6:
         denom = np.sign(denom or 1.0) * 1e-6
     g = ((slice_coords - e_a) / denom).astype(np.float32)
 
-    e_u, e_v = eye[0], eye[1]
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
     lo_u = hi_u = lo_v = hi_v = None
     for gk in (g.min(), g.max(), 1.0):
         if gk <= 0:
@@ -104,8 +111,8 @@ def dvr_shearwarp_sharded(
         hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
 
     width, height = image_size
-    hi_res = max(int(height * intermediate_scale), 2 * ys)
-    wi_res = max(int(width * intermediate_scale), 2 * xs)
+    hi_res = max(int(height * intermediate_scale), 2 * nv)
+    wi_res = max(int(width * intermediate_scale), 2 * nu)
     margin_u = 2.0 * (hi_u - lo_u) / wi_res
     margin_v = 2.0 * (hi_v - lo_v) / hi_res
     grid_u = np.linspace(lo_u - margin_u, hi_u + margin_u,
@@ -119,7 +126,7 @@ def dvr_shearwarp_sharded(
         / max(abs(d_a), 1e-9)
     ).astype(np.float32)
     slab_thickness = float(abs(slice_coords[1] - slice_coords[0])
-                           if s > 1 else (box_max[2] - box_min[2]))
+                           if s > 1 else (box_max[a] - box_min[a]))
 
     # --- classification stays sharded (elementwise) --------------------
     vol_sharding = NamedSharding(mesh, P(axis_name, None, None))
@@ -128,6 +135,13 @@ def dvr_shearwarp_sharded(
         volume, transfer_function.lut,
         jnp.asarray(transfer_function.domain, jnp.float32),
     )  # (Z, Y, X, 4), Z-sharded
+    # Re-layout to (slice, v, u, 4) sharded along the compositing axis.
+    # For non-Z-principal cameras this is ONE all-to-all over the ICI
+    # ((N−1)/N of the volume moves, vs N× memory for a full gather).
+    classified = jax.device_put(
+        jnp.transpose(classified, perm + (3,)),
+        NamedSharding(mesh, P(axis_name, None, None, None)),
+    )
 
     # Per-shard g blocks in *unflipped global z order*; each shard flips
     # locally, and the combine order accounts for the global flip.
@@ -186,19 +200,11 @@ def dvr_shearwarp_sharded(
         classified, g_blocks, jnp.asarray(len_factor)
     )
 
-    # Final warp on the replicated intermediate (reuse the fast path's
-    # warp by calling the single-device renderer machinery).
+    # Final warp on the replicated intermediate (variant selection and
+    # all — shared with the dense path).
     from correrender_tpu.render import dvr_fast as df
 
-    a_coef, b_coef, c_coef = df._homography_coeffs(
-        camera, width, height, in_plane, 2, eye, z_ref, grid_u, grid_v
-    )
-    return df._warp_matmul(
-        inter_rgb, inter_a,
-        jnp.asarray(a_coef, jnp.float32),
-        jnp.asarray(b_coef, jnp.float32),
-        jnp.asarray(c_coef, jnp.float32),
-        jnp.float32(np.sign(z_ref - e_a) or 1.0),
-        jnp.asarray(background, jnp.float32),
-        width, height,
+    return df.warp_to_screen(
+        inter_rgb, inter_a, camera, width, height, in_plane, a, eye,
+        z_ref, grid_u, grid_v, jnp.asarray(background, jnp.float32),
     )

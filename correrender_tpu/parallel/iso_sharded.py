@@ -15,9 +15,9 @@ mesh the same way parallel/dvr_sharded.py factors compositing:
 * Blinn–Phong shading + the homography warp run replicated via
   ``render.iso_fast.shade_and_warp``.
 
-Constraint (same as dvr_sharded): the scan axis must be the sharded
-axis (Z). X/Y-principal cameras fall back to a gathered single-device
-render.
+X/Y-principal cameras re-shard the 4-channel (value, gradient) volume
+over their scan axis with one all-to-all, like parallel/dvr_sharded.py;
+only uneven shard counts fall back to a gathered render.
 """
 
 from __future__ import annotations
@@ -64,8 +64,14 @@ def iso_shearwarp_sharded(
     forward = np.asarray(camera.look_at_point, np.float32) - eye
     forward /= np.linalg.norm(forward)
     a = _principal_axis(forward)
+    in_plane = [i for i in range(3) if i != a]
+    world_to_arr = {2: 0, 1: 1, 0: 2}
+    perm = (world_to_arr[a], world_to_arr[in_plane[1]],
+            world_to_arr[in_plane[0]])
     n_shards = mesh.shape[axis_name]
-    if a != 2 or zs % n_shards != 0:
+    dims_zyx = (zs, ys, xs)
+    s = dims_zyx[perm[0]]
+    if s % n_shards != 0:
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))
         )
@@ -75,28 +81,27 @@ def iso_shearwarp_sharded(
             intermediate_scale=intermediate_scale,
         )
 
-    in_plane = [0, 1]  # u = x, v = y
-    flip = bool(forward[2] < 0)
-    s = zs
+    nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
+    flip = bool(forward[a] < 0)
     s_loc = s // n_shards
 
     def centers(world_axis, count):
         lo, hi_ = box_min[world_axis], box_max[world_axis]
         return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
 
-    slice_coords = centers(2, s)
-    coords_v = centers(1, ys)
-    coords_u = centers(0, xs)
+    slice_coords = centers(a, s)
+    coords_v = centers(in_plane[1], nv)
+    coords_u = centers(in_plane[0], nu)
     if flip:
         slice_coords = slice_coords[::-1]
-    e_a = eye[2]
+    e_a = eye[a]
     z_ref = slice_coords[0]
     denom = z_ref - e_a
     if abs(denom) < 1e-6:
         denom = np.sign(denom or 1.0) * 1e-6
     g = ((slice_coords - e_a) / denom).astype(np.float32)
 
-    e_u, e_v = eye[0], eye[1]
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
     lo_u = hi_u = lo_v = hi_v = None
     for gk in (g.min(), g.max(), 1.0):
         if gk <= 0:
@@ -109,8 +114,8 @@ def iso_shearwarp_sharded(
         hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
 
     width, height = image_size
-    hi_res = max(int(height * intermediate_scale), 2 * ys)
-    wi_res = max(int(width * intermediate_scale), 2 * xs)
+    hi_res = max(int(height * intermediate_scale), 2 * nv)
+    wi_res = max(int(width * intermediate_scale), 2 * nu)
     margin_u = 2.0 * (hi_u - lo_u) / wi_res
     margin_v = 2.0 * (hi_v - lo_v) / hi_res
     grid_u = np.linspace(lo_u - margin_u, hi_u + margin_u,
@@ -124,6 +129,12 @@ def iso_shearwarp_sharded(
     volume = jax.device_put(volume, vol_sharding)
     grad = _gradient_volume(volume, box_min, box_max)
     cvol = jnp.concatenate([volume[..., None], grad], axis=-1)
+    # Re-layout to (slice, v, u, 4) sharded along the scan axis (one
+    # all-to-all when the camera is not Z-principal).
+    cvol = jax.device_put(
+        jnp.transpose(cvol, perm + (3,)),
+        NamedSharding(mesh, P(axis_name, None, None, None)),
+    )
 
     # Per-shard g blocks in unflipped global z order (like dvr_sharded).
     g_unflipped = g[::-1] if flip else g
@@ -184,6 +195,6 @@ def iso_shearwarp_sharded(
     found, grad_hit = fn(cvol, g_blocks)
 
     return shade_and_warp(
-        found, grad_hit, camera, grid_u, grid_v, in_plane, 2, eye,
+        found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye,
         z_ref, surface_color, background, width, height,
     )

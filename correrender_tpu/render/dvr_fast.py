@@ -289,58 +289,89 @@ def dvr_shearwarp(
 
     # Final homography warp to the screen.
     if warp == "matmul":
-        a_coef, b_coef, c_coef = _homography_coeffs(
-            camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
+        return warp_to_screen(
+            inter_rgb, inter_a, camera, width, height, in_plane, a,
+            eye, z_ref, grid_u, grid_v, background,
         )
-        # Catmull–Smith pass-order selection. Four factorizations exist
-        # (intermediate transpose × output transpose); each has a pole
-        # where its per-line inversion denominator vanishes. A variant
-        # is invalid when its inverted coordinate does not influence the
-        # inverted map at all (pure-rotation homographies); otherwise
-        # score by the pole's distance outside the used range. Gather
-        # fallback only if all four fail (extreme perspective).
-        def score(num, den, extent):
-            if abs(den) < 1e-12:
-                return np.inf if abs(num) > 1e-12 else -np.inf
-            pole = num / den
-            if pole < 0:
-                return -pole / extent
-            if pole > extent - 1:
-                return (pole - (extent - 1)) / extent
-            return -np.inf  # pole inside the image
+    origin, directions = camera.rays(width, height)
+    u_axis = np.zeros(3, np.float32)
+    u_axis[in_plane[0]] = 1.0
+    v_axis = np.zeros(3, np.float32)
+    v_axis[in_plane[1]] = 1.0
+    return _warp(
+        inter_rgb, inter_a,
+        jnp.asarray(grid_u), jnp.asarray(grid_v),
+        origin, directions,
+        jnp.asarray(u_axis), jnp.asarray(v_axis),
+        jnp.float32(z_ref),
+        jnp.asarray(np.eye(3)[a], jnp.float32),
+        jnp.asarray(background, jnp.float32),
+    )
 
-        # (score, transpose_intermediate, transpose_output). With the
-        # intermediate transposed, pass A runs over its columns (wi).
-        variants = [
-            (score(b_coef[2], c_coef[2], hi_res), False, False),
-            (score(b_coef[1], c_coef[1], hi_res), False, True),
-            (score(a_coef[2], c_coef[2], wi_res), True, False),
-            (score(a_coef[1], c_coef[1], wi_res), True, True),
-        ]
-        best, t_int, t_out = max(variants, key=lambda v: v[0])
-        if best > -np.inf:
-            idx_swap = lambda c: np.asarray([c[0], c[2], c[1]])
-            ca, cb, cc = a_coef, b_coef, c_coef
-            rgb_in, a_in = inter_rgb, inter_a
-            w_o, h_o = width, height
-            if t_int:
-                ca, cb = cb, ca
-                rgb_in = jnp.swapaxes(rgb_in, 0, 1)
-                a_in = jnp.swapaxes(a_in, 0, 1)
-            if t_out:
-                ca, cb, cc = idx_swap(ca), idx_swap(cb), idx_swap(cc)
-                w_o, h_o = height, width
-            out = _warp_matmul(
-                rgb_in, a_in,
-                jnp.asarray(ca, jnp.float32),
-                jnp.asarray(cb, jnp.float32),
-                jnp.asarray(cc, jnp.float32),
-                jnp.float32(np.sign(z_ref - e_a) or 1.0),
-                jnp.asarray(background, jnp.float32),
-                w_o, h_o,
-            )
-            return jnp.swapaxes(out, 0, 1) if t_out else out
-        # All four factorizations degenerate → gather warp below.
+
+def warp_to_screen(
+    inter_rgb, inter_a, camera, width, height, in_plane, a, eye,
+    z_ref, grid_u, grid_v, background,
+):
+    """Homography-warp an intermediate image to the screen.
+
+    Catmull–Smith pass-order selection: four factorizations exist
+    (intermediate transpose × output transpose); each has a pole where
+    its per-line inversion denominator vanishes. A variant is invalid
+    when its inverted coordinate does not influence the inverted map at
+    all (pure-rotation homographies); otherwise score by the pole's
+    distance outside the used range. Gather fallback only if all four
+    fail (extreme perspective). Shared by the dense and sharded DVR and
+    isosurface renderers.
+    """
+    hi_res, wi_res = inter_a.shape
+    e_a = eye[a]
+    a_coef, b_coef, c_coef = _homography_coeffs(
+        camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
+    )
+
+    def score(num, den, extent):
+        if abs(den) < 1e-12:
+            return np.inf if abs(num) > 1e-12 else -np.inf
+        pole = num / den
+        if pole < 0:
+            return -pole / extent
+        if pole > extent - 1:
+            return (pole - (extent - 1)) / extent
+        return -np.inf  # pole inside the image
+
+    # (score, transpose_intermediate, transpose_output). With the
+    # intermediate transposed, pass A runs over its columns (wi).
+    variants = [
+        (score(b_coef[2], c_coef[2], hi_res), False, False),
+        (score(b_coef[1], c_coef[1], hi_res), False, True),
+        (score(a_coef[2], c_coef[2], wi_res), True, False),
+        (score(a_coef[1], c_coef[1], wi_res), True, True),
+    ]
+    best, t_int, t_out = max(variants, key=lambda v: v[0])
+    if best > -np.inf:
+        idx_swap = lambda c: np.asarray([c[0], c[2], c[1]])
+        ca, cb, cc = a_coef, b_coef, c_coef
+        rgb_in, a_in = inter_rgb, inter_a
+        w_o, h_o = width, height
+        if t_int:
+            ca, cb = cb, ca
+            rgb_in = jnp.swapaxes(rgb_in, 0, 1)
+            a_in = jnp.swapaxes(a_in, 0, 1)
+        if t_out:
+            ca, cb, cc = idx_swap(ca), idx_swap(cb), idx_swap(cc)
+            w_o, h_o = height, width
+        out = _warp_matmul(
+            rgb_in, a_in,
+            jnp.asarray(ca, jnp.float32),
+            jnp.asarray(cb, jnp.float32),
+            jnp.asarray(cc, jnp.float32),
+            jnp.float32(np.sign(z_ref - e_a) or 1.0),
+            jnp.asarray(background, jnp.float32),
+            w_o, h_o,
+        )
+        return jnp.swapaxes(out, 0, 1) if t_out else out
+    # All four factorizations degenerate → gather warp.
     origin, directions = camera.rays(width, height)
     u_axis = np.zeros(3, np.float32)
     u_axis[in_plane[0]] = 1.0

@@ -282,15 +282,7 @@ def shade_and_warp(
     inter_rgb = found_f[..., None] * col * intensity  # premultiplied
     inter_a = found_f
 
-    a_coef, b_coef, c_coef = df._homography_coeffs(
-        camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
-    )
-    return df._warp_matmul(
-        inter_rgb, inter_a,
-        jnp.asarray(a_coef, jnp.float32),
-        jnp.asarray(b_coef, jnp.float32),
-        jnp.asarray(c_coef, jnp.float32),
-        jnp.float32(np.sign(z_ref - e_a) or 1.0),
-        jnp.asarray(background, jnp.float32),
-        width, height,
+    return df.warp_to_screen(
+        inter_rgb, inter_a, camera, width, height, in_plane, a, eye,
+        z_ref, grid_u, grid_v, jnp.asarray(background, jnp.float32),
     )

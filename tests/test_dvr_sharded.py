@@ -62,6 +62,7 @@ def _assert_images_match(got, want, atol=1.5e-2):
 
 
 def test_fallback_for_x_principal(smooth_volume):
+    # xs=28 is not divisible by 8 shards -> gathered fallback path.
     mesh = make_mesh(space=8, members=1)
     cam = Camera(position=(0.9, 0.1, 0.05))
     tf = _tf()
@@ -74,6 +75,39 @@ def test_fallback_for_x_principal(smooth_volume):
     want = np.asarray(
         dvr_shearwarp(
             smooth_volume, cam, tf, image_size=(64, 64),
+            background=(0, 0, 0, 0),
+        )
+    )
+    _assert_images_match(got, want)
+
+
+@pytest.fixture(scope="module")
+def divisible_volume():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(3)
+    return jnp.asarray(
+        gaussian_filter(
+            rng.uniform(size=(16, 24, 32)).astype(np.float32), 2.0
+        )
+    )
+
+
+@pytest.mark.parametrize("pos", [(0.9, 0.1, 0.05), (-0.05, 0.9, 0.1)])
+def test_xy_principal_resharded(divisible_volume, pos):
+    # x=32 / y=24 both divide 8 -> the all-to-all re-shard path runs.
+    mesh = make_mesh(space=8, members=1)
+    cam = Camera(position=pos)
+    tf = _tf()
+    got = np.asarray(
+        dvr_shearwarp_sharded(
+            divisible_volume, cam, tf, mesh, image_size=(64, 64),
+            background=(0, 0, 0, 0),
+        )
+    )
+    want = np.asarray(
+        dvr_shearwarp(
+            divisible_volume, cam, tf, image_size=(64, 64),
             background=(0, 0, 0, 0),
         )
     )
@@ -106,7 +140,7 @@ class TestIsoSharded:
         _assert_images_match(got, want)
         assert (got[..., 3] > 0.5).any()  # surface visible
 
-    def test_x_principal_falls_back(self, smooth_volume):
+    def test_x_principal_resharded(self, divisible_volume):
         from correrender_tpu.parallel.iso_sharded import (
             iso_shearwarp_sharded,
         )
@@ -114,16 +148,39 @@ class TestIsoSharded:
 
         mesh = make_mesh(space=8, members=1)
         cam = Camera(position=(0.9, 0.1, 0.05))
-        iso = float(np.quantile(np.asarray(smooth_volume), 0.6))
+        iso = float(np.quantile(np.asarray(divisible_volume), 0.6))
         got = np.asarray(
             iso_shearwarp_sharded(
-                smooth_volume, cam, iso, mesh, image_size=(64, 48),
+                divisible_volume, cam, iso, mesh, image_size=(64, 48),
                 background=(0, 0, 0, 0),
             )
         )
         want = np.asarray(
             iso_shearwarp(
-                smooth_volume, cam, iso, image_size=(64, 48),
+                divisible_volume, cam, iso, image_size=(64, 48),
+                background=(0, 0, 0, 0),
+            )
+        )
+        _assert_images_match(got, want)
+
+    def test_uneven_shards_fall_back(self, smooth_volume):
+        from correrender_tpu.parallel.iso_sharded import (
+            iso_shearwarp_sharded,
+        )
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        mesh = make_mesh(space=8, members=1)
+        cam = Camera(position=(0.9, 0.1, 0.05))  # xs=28, 28 % 8 != 0
+        iso = float(np.quantile(np.asarray(smooth_volume), 0.6))
+        got = np.asarray(
+            iso_shearwarp_sharded(
+                smooth_volume, cam, iso, mesh, image_size=(48, 36),
+                background=(0, 0, 0, 0),
+            )
+        )
+        want = np.asarray(
+            iso_shearwarp(
+                smooth_volume, cam, iso, image_size=(48, 36),
                 background=(0, 0, 0, 0),
             )
         )
