@@ -82,6 +82,10 @@ class Scene:
         self.dataset_info: Optional[dict] = None
         self.current_time = 0
         self.current_member = 0
+        # Resident shear-warp slice layouts: (field, t, e, tf, camera
+        # axis key, restriction) → prepare_shearwarp result. Keeps the
+        # classify + layout cost per change, not per frame.
+        self._prepared_cache: dict = {}
 
     # -- construction ------------------------------------------------------
 
@@ -172,29 +176,55 @@ class Scene:
                     background=(0, 0, 0, 0),
                 )
                 if fast_dvr:
-                    if restriction is not None:
-                        # Voxel-granular restriction: mask the
-                        # classified volume (render/restriction.py).
-                        from correrender_tpu.render.classify import (
-                            classify_volume,
-                        )
-                        from correrender_tpu.render.restriction import (
-                            apply_restriction_rgba,
-                            restriction_mask,
-                        )
+                    from correrender_tpu.render.dvr_fast import (
+                        prepare_shearwarp,
+                        shearwarp_camera_key,
+                    )
 
-                        center, radius, metric = restriction
-                        classified = apply_restriction_rgba(
-                            classify_volume(
-                                vol, tf.lut,
-                                jnp.asarray(tf.domain, jnp.float32),
-                            ),
-                            restriction_mask(
-                                vol.shape, box, center, radius, metric
-                            ),
+                    rest_sig = (
+                        None if restriction is None else (
+                            tuple(float(c) for c in restriction[0]),
+                            restriction[1], restriction[2],
                         )
-                        kwargs["classified"] = classified
-                    img = dvr_shearwarp(vol, cam, tf, **kwargs)
+                    )
+                    # id(vol) ties the entry to the cached field array:
+                    # mark_dirty → recompute → new array → rebuild.
+                    pkey = (field, self.current_time,
+                            self.current_member, id(vol), id(tf),
+                            shearwarp_camera_key(cam), rest_sig)
+                    prep = self._prepared_cache.get(pkey)
+                    if prep is None:
+                        classified = None
+                        if restriction is not None:
+                            # Voxel-granular restriction: mask the
+                            # classified volume (render/restriction.py).
+                            from correrender_tpu.render.classify import (
+                                classify_volume,
+                            )
+                            from correrender_tpu.render.restriction import (
+                                apply_restriction_rgba,
+                                restriction_mask,
+                            )
+
+                            center, radius, metric = restriction
+                            classified = apply_restriction_rgba(
+                                classify_volume(
+                                    vol, tf.lut,
+                                    jnp.asarray(tf.domain, jnp.float32),
+                                ),
+                                restriction_mask(
+                                    vol.shape, box, center, radius,
+                                    metric,
+                                ),
+                            )
+                        prep = prepare_shearwarp(
+                            vol, tf, cam, classified=classified
+                        )
+                        # Single-entry cache: interactive use renders
+                        # one configuration repeatedly.
+                        self._prepared_cache = {pkey: prep}
+                    img = dvr_shearwarp(vol, cam, tf, prepared=prep,
+                                        **kwargs)
                 else:
                     img = dvr_render(vol, cam, tf,
                                      restriction=restriction, **kwargs)

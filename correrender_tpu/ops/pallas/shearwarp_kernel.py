@@ -118,7 +118,27 @@ def _make_kernel(s: int, yv: int, xv: int, tile_h: int, wi: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("hi", "wi", "interpret"))
+def prepare_cvol_cf(cvol):
+    """Pre-compute the compositor's resident layout.
+
+    (S, Yv, Xv, 4) float32 → (S, 4, Yv_pad, Xv_pad) bf16. The layout
+    transform + cast stream ~3× the volume through HBM — paid once per
+    TF/field/camera-axis change instead of per frame when the caller
+    passes the result via ``cvol_cf`` (the reference's classified
+    texture is resident the same way).
+    """
+    s, yv, xv, _ = cvol.shape
+    yv_pad = round_up(yv, 8)
+    xv_pad = round_up(xv, 128)
+    cf = jnp.transpose(cvol, (0, 3, 1, 2))
+    return jnp.pad(
+        cf, ((0, 0), (0, 0), (0, yv_pad - yv), (0, xv_pad - xv))
+    ).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hi", "wi", "vu", "interpret")
+)
 def shearwarp_composite_pallas(
     cvol,  # (S, Yv, Xv, 4) classified slices, near→far
     g,  # (S,)
@@ -132,22 +152,32 @@ def shearwarp_composite_pallas(
     attenuation,
     hi: int,
     wi: int,
+    cvol_cf=None,  # optional prepare_cvol_cf result (resident layout)
+    vu: tuple | None = None,  # (Yv, Xv) when cvol_cf is passed
     interpret: bool = False,
 ):
-    """Fused composite; returns (rgb (hi, wi, 3), alpha (hi, wi))."""
-    s, yv, xv, _ = cvol.shape
-    yv_pad = round_up(yv, 8)
-    xv_pad = round_up(xv, 128)
+    """Fused composite; returns (rgb (hi, wi, 3), alpha (hi, wi)).
+
+    Pass ``cvol`` for one-shot use, or ``cvol_cf``/``vu`` (see
+    :func:`prepare_cvol_cf`) to skip the per-call layout transform —
+    then ``cvol`` may be None.
+    """
+    if cvol_cf is not None:
+        s = cvol_cf.shape[0]
+        yv, xv = vu
+        yv_pad = round_up(yv, 8)
+        xv_pad = round_up(xv, 128)
+    else:
+        s, yv, xv, _ = cvol.shape
+        yv_pad = round_up(yv, 8)
+        xv_pad = round_up(xv, 128)
     hi_pad = round_up(hi, 128)
     wi_pad = round_up(wi, 128)
     tile_h = 128
     num_tiles = hi_pad // tile_h
 
-    cvol_cf = jnp.transpose(cvol, (0, 3, 1, 2))  # (S, 4, Yv, Xv)
-    cvol_cf = jnp.pad(
-        cvol_cf,
-        ((0, 0), (0, 0), (0, yv_pad - yv), (0, xv_pad - xv)),
-    ).astype(jnp.bfloat16)
+    if cvol_cf is None:
+        cvol_cf = prepare_cvol_cf(cvol)
     dy = (coords_y[1] - coords_y[0]) if yv > 1 else jnp.float32(1.0)
     dx = (coords_x[1] - coords_x[0]) if xv > 1 else jnp.float32(1.0)
     # Padded voxel centers continue the spacing — their classified

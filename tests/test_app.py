@@ -320,3 +320,15 @@ class TestDiagramCli:
                   "distribution", "--max-points", "60", "--output", out])
         assert "<svg" in open(out).read()
         assert "points" in capsys.readouterr().out
+
+
+class TestPreparedCacheInvalidation:
+    def test_reference_point_move_rerenders(self):
+        scene, _ = make_scene(10)
+        calc = CorrelationCalculator("data", reference_point=(2, 2, 4))
+        name = scene.add_calculator(calc)
+        scene.add_renderer("dvr", field=name)
+        img1 = np.asarray(scene.render_view(0, image_size=(48, 36)))
+        calc.set_reference_point(12, 12, 2)  # marks the field dirty
+        img2 = np.asarray(scene.render_view(0, image_size=(48, 36)))
+        assert np.abs(img1 - img2).max() > 0.01  # not the stale frame

@@ -196,3 +196,59 @@ class TestIsoShearwarp:
         # Shading deviates slightly on oblique views (interpolated
         # gradients vs texture probes) — keep a loose bound.
         assert np.abs(f[inter][:, :3] - m[inter][:, :3]).mean() < 0.1
+
+
+class TestPreparedShearwarp:
+    def test_prepared_matches_unprepared(self):
+        from scipy.ndimage import gaussian_filter
+
+        from correrender_tpu.render import Camera, TransferFunction
+        from correrender_tpu.render.dvr_fast import (
+            dvr_shearwarp,
+            prepare_shearwarp,
+        )
+
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(gaussian_filter(
+            rng.uniform(size=(20, 18, 22)).astype(np.float32), 2.0))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0.0, 1.0),
+            opacity_points=((0.0, 0.0), (1.0, 0.9)),
+        )
+        cam = Camera(position=(0.1, 0.25, 0.85))
+        prep = prepare_shearwarp(vol, tf, cam)
+        got = np.asarray(dvr_shearwarp(
+            vol, cam, tf, image_size=(64, 48), background=(0, 0, 0, 0),
+            prepared=prep,
+        ))
+        want = np.asarray(dvr_shearwarp(
+            vol, cam, tf, image_size=(64, 48), background=(0, 0, 0, 0),
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_prepared_rebuilds_on_axis_change(self):
+        from scipy.ndimage import gaussian_filter
+
+        from correrender_tpu.render import Camera, TransferFunction
+        from correrender_tpu.render.dvr_fast import (
+            dvr_shearwarp,
+            prepare_shearwarp,
+        )
+
+        rng = np.random.default_rng(1)
+        vol = jnp.asarray(gaussian_filter(
+            rng.uniform(size=(16, 16, 16)).astype(np.float32), 2.0))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0.0, 1.0),
+            opacity_points=((0.0, 0.0), (1.0, 0.9)),
+        )
+        prep = prepare_shearwarp(vol, tf, Camera(position=(0.0, 0.2, 0.8)))
+        cam_x = Camera(position=(0.8, 0.2, 0.0))  # x-principal now
+        got = np.asarray(dvr_shearwarp(
+            vol, cam_x, tf, image_size=(48, 36), background=(0, 0, 0, 0),
+            prepared=prep,
+        ))
+        want = np.asarray(dvr_shearwarp(
+            vol, cam_x, tf, image_size=(48, 36), background=(0, 0, 0, 0),
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-6)
