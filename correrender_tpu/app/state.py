@@ -230,20 +230,37 @@ class Scene:
                                      restriction=restriction, **kwargs)
                 image = _composite(image, img)
             elif r["type"] == "iso_ray":
-                vol = vd.get_field(field, self.current_time,
-                                   self.current_member)
-                vol = self._restrict_iso_volume(vol, box, restriction)
+                raw_vol = vd.get_field(field, self.current_time,
+                                       self.current_member)
+                vol = self._restrict_iso_volume(raw_vol, box, restriction)
                 if fast_dvr:
+                    from correrender_tpu.render.dvr_fast import (
+                        shearwarp_camera_key,
+                    )
                     from correrender_tpu.render.iso_fast import (
                         iso_shearwarp,
+                        prepare_iso_shearwarp,
                     )
 
+                    rest_sig = (
+                        None if restriction is None else (
+                            tuple(float(c) for c in restriction[0]),
+                            restriction[1], restriction[2],
+                        )
+                    )
+                    pkey = ("iso", field, self.current_time,
+                            self.current_member, id(raw_vol),
+                            shearwarp_camera_key(cam), rest_sig)
+                    prep = self._prepared_cache.get(pkey)
+                    if prep is None:
+                        prep = prepare_iso_shearwarp(vol, cam, box=box)
+                        self._prepared_cache = {pkey: prep}
                     img = iso_shearwarp(
                         vol, cam, r.get("iso_value", 0.5),
                         surface_color=r.get("color",
                                             (0.9, 0.4, 0.2, 1.0)),
                         image_size=image_size, box=box,
-                        background=(0, 0, 0, 0),
+                        background=(0, 0, 0, 0), prepared=prep,
                     )
                 else:
                     img = iso_render(

@@ -252,3 +252,28 @@ class TestPreparedShearwarp:
             vol, cam_x, tf, image_size=(48, 36), background=(0, 0, 0, 0),
         ))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_prepared_iso_matches(self):
+        from scipy.ndimage import gaussian_filter
+
+        from correrender_tpu.render import Camera
+        from correrender_tpu.render.iso_fast import (
+            iso_shearwarp,
+            prepare_iso_shearwarp,
+        )
+
+        rng = np.random.default_rng(2)
+        vol = jnp.asarray(gaussian_filter(
+            rng.uniform(size=(18, 20, 16)).astype(np.float32), 2.0))
+        for pos in ((0.1, 0.25, 0.85), (0.1, 0.2, -0.85)):
+            cam = Camera(position=pos)
+            prep = prepare_iso_shearwarp(vol, cam)
+            got = np.asarray(iso_shearwarp(
+                vol, cam, 0.5, image_size=(64, 48),
+                background=(0, 0, 0, 0), prepared=prep,
+            ))
+            want = np.asarray(iso_shearwarp(
+                vol, cam, 0.5, image_size=(64, 48),
+                background=(0, 0, 0, 0),
+            ))
+            np.testing.assert_allclose(got, want, atol=1e-6)
