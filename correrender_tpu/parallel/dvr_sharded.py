@@ -119,12 +119,13 @@ def dvr_shearwarp_sharded(
                          wi_res).astype(np.float32)
     grid_v = np.linspace(lo_v - margin_v, hi_v + margin_v,
                          hi_res).astype(np.float32)
-    gu, gv = np.meshgrid(grid_u, grid_v)
-    d_a = z_ref - e_a
-    len_factor = (
-        np.sqrt((gu - e_u) ** 2 + (gv - e_v) ** 2 + d_a**2)
-        / max(abs(d_a), 1e-9)
-    ).astype(np.float32)
+    # On-device (host meshgrids cost a full-image H2D per call).
+    d_u2 = jnp.asarray(grid_u)[None, :] - e_u
+    d_v2 = jnp.asarray(grid_v)[:, None] - e_v
+    d_a = float(z_ref - e_a)
+    len_factor = jnp.sqrt(d_u2**2 + d_v2**2 + d_a**2) / max(
+        abs(d_a), 1e-9
+    )
     slab_thickness = float(abs(slice_coords[1] - slice_coords[0])
                            if s > 1 else (box_max[a] - box_min[a]))
 

@@ -298,11 +298,17 @@ def shade_and_warp(
     homography-warp it to the screen (shared with the sharded path)."""
     e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
     e_a = eye[a]
-    # Shade on the intermediate grid (elementwise; rays known per pixel).
-    gu, gv = np.meshgrid(grid_u, grid_v)
-    dir_u = jnp.asarray(gu - e_u)
-    dir_v = jnp.asarray(gv - e_v)
-    dir_a = jnp.full_like(dir_u, float(z_ref - e_a))
+    # Shade on the intermediate grid (elementwise; rays known per
+    # pixel). Directions are broadcast ON DEVICE from the 1D grids — a
+    # host meshgrid would upload two full-image arrays per frame.
+    shape2 = (len(grid_v), len(grid_u))
+    dir_u = jnp.broadcast_to(
+        jnp.asarray(grid_u)[None, :] - e_u, shape2
+    )
+    dir_v = jnp.broadcast_to(
+        jnp.asarray(grid_v)[:, None] - e_v, shape2
+    )
+    dir_a = jnp.full(shape2, float(z_ref - e_a), jnp.float32)
     d3 = jnp.zeros(dir_u.shape + (3,))
     d3 = d3.at[..., in_plane[0]].set(dir_u)
     d3 = d3.at[..., in_plane[1]].set(dir_v)
