@@ -74,6 +74,7 @@ def cmd_render(args):
     if args.measure:
         calc = CorrelationCalculator(
             field_name=field, measure=args.measure,
+            field_name_ref=args.field_ref,
             reference_point=_parse_ref(args.ref),
             num_bins=args.mi_bins, k=args.kmi_neighbors,
             kraskov_estimator=args.kraskov_estimator,
@@ -101,7 +102,10 @@ def cmd_export(args):
     if args.measure:
         calc = CorrelationCalculator(
             field_name=field, measure=args.measure,
+            field_name_ref=getattr(args, "field_ref", None),
             reference_point=_parse_ref(args.ref),
+            num_bins=args.mi_bins, k=args.kmi_neighbors,
+            kraskov_estimator=args.kraskov_estimator,
         )
         vd.add_calculator(calc)
         field = calc.output_name
@@ -308,6 +312,9 @@ def build_parser():
     add_dataset_args(sp)
     sp.add_argument("--measure", default=None,
                     help="correlation measure id (omit: render raw field)")
+    sp.add_argument("--field-ref", default=None,
+                    help="reference-point field for SEPARATE-fields "
+                         "correlation (default: same field)")
     sp.add_argument("--ref", default="0,0,0", help="reference voxel x,y,z")
     sp.add_argument("--renderer", default="dvr",
                     choices=["dvr", "iso_ray", "iso_raster", "slice"])
@@ -327,7 +334,12 @@ def build_parser():
     sp = sub.add_parser("export", help="export a (derived) field")
     add_dataset_args(sp)
     sp.add_argument("--measure", default=None)
+    sp.add_argument("--field-ref", default=None)
     sp.add_argument("--ref", default="0,0,0")
+    sp.add_argument("--mi-bins", type=int, default=80)
+    sp.add_argument("--kmi-neighbors", type=int, default=3)
+    sp.add_argument("--kraskov-estimator", type=int, default=1,
+                    choices=[1, 2])
     sp.add_argument("--time", type=int, default=0)
     sp.add_argument("--member", type=int, default=0)
     sp.add_argument("--output", required=True, help=".nc or .cvol")

@@ -332,3 +332,26 @@ class TestPreparedCacheInvalidation:
         calc.set_reference_point(12, 12, 2)  # marks the field dirty
         img2 = np.asarray(scene.render_view(0, image_size=(48, 36)))
         assert np.abs(img1 - img2).max() > 0.01  # not the stale frame
+
+
+class TestSeparateFieldsCli:
+    def test_export_separate_fields(self, tmp_path):
+        rng = np.random.default_rng(9)
+        a = rng.normal(size=(12, 1, 5, 10, 10)).astype(np.float32)
+        path = str(tmp_path / "two.nc")
+        from correrender_tpu.io.writers import write_netcdf
+
+        write_netcdf(path, a, name="temp")
+        # Add a second variable by writing a separate file and using
+        # field-ref = same field (functional smoke: flag plumbs through).
+        out = str(tmp_path / "sep.nc")
+        cli.main([
+            "export", "--dataset", path, "--measure", "spearman",
+            "--field-ref", "temp", "--ref", "2,2,2",
+            "--kraskov-estimator", "2", "--output", out,
+        ])
+        from correrender_tpu.io import load_volume
+
+        vd = load_volume(out)
+        field = np.asarray(vd.get_field(vd.field_names[0]))
+        assert field[2, 2, 2] == pytest.approx(1.0, abs=1e-4)
