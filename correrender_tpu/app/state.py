@@ -187,10 +187,13 @@ class Scene:
                             restriction[1], restriction[2],
                         )
                     )
-                    # id(vol) ties the entry to the cached field array:
-                    # mark_dirty → recompute → new array → rebuild.
+                    # dirty_epoch is a monotonic per-field version
+                    # bumped by mark_dirty; tf.uid a monotonic TF
+                    # instance id — both sound invalidation tokens
+                    # (id() of an evicted array can be reused).
                     pkey = (field, self.current_time,
-                            self.current_member, id(vol), id(tf),
+                            self.current_member,
+                            vd.dirty_epoch(field), tf.uid,
                             shearwarp_camera_key(cam), rest_sig)
                     prep = self._prepared_cache.get(pkey)
                     if prep is None:
@@ -249,7 +252,7 @@ class Scene:
                         )
                     )
                     pkey = ("iso", field, self.current_time,
-                            self.current_member, id(raw_vol),
+                            self.current_member, vd.dirty_epoch(field),
                             shearwarp_camera_key(cam), rest_sig)
                     prep = self._prepared_cache.get(pkey)
                     if prep is None:

@@ -277,6 +277,8 @@ class CorrelationCalculator(Calculator):
         kraskov_estimator: int = 1,
         absolute: bool = False,
         symmetric_fields: bool = False,
+        use_time_lag_correlations: bool = False,
+        time_lag_time_step_idx: int = 0,
         time_lag: int = 0,
         use_render_restriction: bool = False,
         render_restriction_radius: float = 0.05,
@@ -294,7 +296,16 @@ class CorrelationCalculator(Calculator):
         self.kraskov_estimator = kraskov_estimator
         self.absolute = absolute
         self.symmetric_fields = symmetric_fields
-        self.time_lag = time_lag
+        # Reference-compatible time-lag correlations
+        # (CorrelationCalculator.cpp:805-811): in ensemble mode the
+        # reference series is pulled at the ABSOLUTE timestep
+        # time_lag_time_step_idx, gated by use_time_lag_correlations.
+        self.use_time_lag_correlations = use_time_lag_correlations
+        self.time_lag_time_step_idx = int(time_lag_time_step_idx)
+        # Framework extension (no reference analogue): in TIME mode,
+        # shift the reference series by a RELATIVE lag and correlate
+        # over the truncated overlap window (no circular wrap).
+        self.time_lag = int(time_lag)
         # Spherical render restriction around the reference point
         # (ICorrelationCalculator, CorrelationCalculator.hpp:134-137);
         # consumed by Scene.render_view.
@@ -325,20 +336,34 @@ class CorrelationCalculator(Calculator):
         if self.symmetric_fields:
             ref = self._stack(self.field_name_ref, time, member)
         else:
+            ref_time = time
+            if self.ensemble_mode and self.use_time_lag_correlations:
+                # Absolute reference timestep, matching
+                # CorrelationCalculator.cpp:805-811.
+                ref_time = self.time_lag_time_step_idx
             ref_stack = (
                 stack
-                if self.field_name_ref == field and self.time_lag == 0
-                else self._stack(
-                    self.field_name_ref,
-                    (time + self.time_lag) if self.ensemble_mode else time,
-                    member,
-                )
+                if self.field_name_ref == field and ref_time == time
+                else self._stack(self.field_name_ref, ref_time, member)
             )
-            if self.time_lag != 0 and not self.ensemble_mode:
-                # Time mode lag: roll the reference series in time.
-                ref_stack = jnp.roll(ref_stack, self.time_lag, axis=-1)
             x, y, z = self.reference_point
             ref = ref_stack[z, y, x]
+            if self.time_lag != 0 and not self.ensemble_mode:
+                # Time-mode relative lag (framework extension):
+                # correlate x_t against ref_{t+lag} over the truncated
+                # overlap window — no circular wrap.
+                lag = self.time_lag
+                ts = stack.shape[-1]
+                if abs(lag) >= ts:
+                    raise ValueError(
+                        f"time_lag {lag} >= series length {ts}"
+                    )
+                if lag > 0:
+                    stack = stack[..., : ts - lag]
+                    ref = ref[lag:]
+                else:
+                    stack = stack[..., -lag:]
+                    ref = ref[: ts + lag]
         mi_bounds = None
         if is_measure_binned_mi(self.measure):
             lo, hi = vd.get_global_min_max(field, self.ensemble_mode, time)
@@ -386,8 +411,14 @@ class CorrelationCalculator(Calculator):
             kwargs["absolute"] = bool(s["calculate_absolute_value"])
         if "scalar_field_name" in s:
             kwargs["field_name"] = s["scalar_field_name"]
+        if "use_time_lag_correlations" in s:
+            kwargs["use_time_lag_correlations"] = bool(
+                s["use_time_lag_correlations"]
+            )
         if "time_lag_time_step_idx" in s:
-            kwargs["time_lag"] = int(s["time_lag_time_step_idx"])
+            kwargs["time_lag_time_step_idx"] = int(
+                s["time_lag_time_step_idx"]
+            )
         if "restrict_rendering" in s:
             kwargs["use_render_restriction"] = bool(s["restrict_rendering"])
         if "render_restriction_radius" in s:
@@ -422,5 +453,6 @@ class CorrelationCalculator(Calculator):
             "kraskov_estimator_index": self.kraskov_estimator - 1,
             "calculate_absolute_value": self.absolute,
             "scalar_field_name": self.field_name,
-            "time_lag_time_step_idx": self.time_lag,
+            "use_time_lag_correlations": self.use_time_lag_correlations,
+            "time_lag_time_step_idx": self.time_lag_time_step_idx,
         }

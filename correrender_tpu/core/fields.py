@@ -100,6 +100,7 @@ class VolumeData:
         self._providers: dict[str, tuple] = {}
         self._calculators: dict[str, object] = {}
         self.cache = LRUFieldCache(max_bytes=cache_bytes)
+        self._dirty_epochs: dict[str, int] = {}
         self.current_time = 0
         self.current_member = 0
 
@@ -228,3 +229,12 @@ class VolumeData:
         recomputes — the functional analogue of the reference's dirty
         flag protocol (Calculator::setDirty)."""
         self.cache.invalidate_field(name)
+        self._dirty_epochs[name] = self._dirty_epochs.get(name, 0) + 1
+
+    def dirty_epoch(self, name: str) -> int:
+        """Monotonic per-field version counter, bumped by mark_dirty.
+
+        A sound cache-invalidation token for derived render state
+        (prepared shear-warp layouts etc.) — unlike id(array), which
+        CPython can reuse after the LRU cache frees an entry."""
+        return self._dirty_epochs.get(name, 0)

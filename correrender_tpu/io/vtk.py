@@ -41,25 +41,38 @@ _LEGACY_DTYPES = {
 }
 
 
+def _b64_len(nbytes: int) -> int:
+    """Length in base64 characters of an ``nbytes``-byte stream."""
+    return 4 * ((nbytes + 2) // 3)
+
+
 def _decode_b64_block(data_b64: str, dtype, compressed: bool,
                       header_type=np.uint32):
-    raw = base64.b64decode(re.sub(r"\s", "", data_b64))
+    text = re.sub(r"\s", "", data_b64)
     hsize = np.dtype(header_type).itemsize
     if compressed:
-        # Header: [nblocks, blocksize, lastsize, sizes...] then blocks.
-        nblocks = int(np.frombuffer(raw[:hsize], header_type)[0])
-        header_len = hsize * (3 + nblocks)
-        # vtk encodes header and payload as separate base64 streams; we
-        # already concatenated — re-split defensively.
-        header = np.frombuffer(raw[:header_len], header_type)
+        # Compressed inline data is TWO separate base64 streams
+        # (VtkXmlLoader.cpp): first base64(header) where header =
+        # [nblocks, blocksize, lastsize, sizes...], then
+        # base64(concatenated compressed blocks). Each stream is padded
+        # independently, so the whole text cannot be decoded in one
+        # call — b64decode would stop at the header stream's padding.
+        first = base64.b64decode(text[: _b64_len(hsize)])
+        nblocks = int(np.frombuffer(first[:hsize], header_type)[0])
+        header_chars = _b64_len(hsize * (3 + nblocks))
+        header = np.frombuffer(
+            base64.b64decode(text[:header_chars]), header_type
+        )
         sizes = header[3 : 3 + nblocks]
-        payload = raw[header_len:]
+        payload = base64.b64decode(text[header_chars:])
         out = b""
         off = 0
         for s in sizes:
-            out += zlib.decompress(payload[off : off + s])
-            off += s
+            out += zlib.decompress(payload[off : off + int(s)])
+            off += int(s)
         return np.frombuffer(out, dtype)
+    # Uncompressed inline data is ONE stream: base64(header + data).
+    raw = base64.b64decode(text)
     n = int(np.frombuffer(raw[:hsize], header_type)[0])
     return np.frombuffer(raw[hsize : hsize + n], dtype)
 

@@ -12,14 +12,15 @@ src/Calculators/Correlation.cpp:305-465, note ``IntType n3 = 0``).
 A per-voxel merge sort is a poor fit for the VPU. Instead we evaluate
 the *pairwise* form directly:
 
-    numerator = sum_{i<j} sign(x_i - x_j) · sign(y_i - y_j)
-              = n0 - n1 - n2 + n3 - 2·S
+    sum_{i<j} sign(x_i - x_j) · sign(y_i - y_j) = n0 - n1 - n2 + n3 - 2·S
 
-which is identical to the reference's numerator whenever no pair is
-tied in both variables (n3 = 0), i.e. for generic float ensembles. The
-O(n²) pair sweep vectorizes perfectly and is tiled over the member
-axis to bound memory: per step we materialize ``(..., n, chunk)``
-sign products only.
+The reference forces n3 = 0 (``IntType n3 = 0; // TODO``), so we count
+the joint-tie pairs in the same sweep ((dx==0) & (dy==0)) and subtract
+them from the numerator, reproducing the reference's convention exactly
+— including on quantized/integer ensembles where pairs tie in both
+variables. The O(n²) pair sweep vectorizes perfectly and is tiled over
+the member axis to bound memory: per step we materialize
+``(..., n, chunk)`` sign products only.
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def kendall(
     zero = jnp.zeros(batch_shape, dtype)
 
     def body(c, acc):
-        num, tie_x, tie_y = acc
+        num, tie_x, tie_y, tie_xy = acc
         start = c * chunk
         xs = jax.lax.dynamic_slice_in_dim(xp, start, chunk, axis=-1)
         ys = jax.lax.dynamic_slice_in_dim(yp, start, chunk, axis=-1)
@@ -80,20 +81,28 @@ def kendall(
         dy = y[..., :, None] - ys[..., None, :]
         sx = jnp.sign(dx).astype(dtype)
         sy = jnp.sign(dy).astype(dtype)
+        tx = (dx == 0).astype(dtype)
+        ty = (dy == 0).astype(dtype)
         m = ms.astype(dtype)  # (chunk,) masks padded columns
         num = num + jnp.sum(sx * sy * m, axis=(-2, -1))
-        tie_x = tie_x + jnp.sum((dx == 0).astype(dtype) * m, axis=(-2, -1))
-        tie_y = tie_y + jnp.sum((dy == 0).astype(dtype) * m, axis=(-2, -1))
-        return num, tie_x, tie_y
+        tie_x = tie_x + jnp.sum(tx * m, axis=(-2, -1))
+        tie_y = tie_y + jnp.sum(ty * m, axis=(-2, -1))
+        tie_xy = tie_xy + jnp.sum(tx * ty * m, axis=(-2, -1))
+        return num, tie_x, tie_y, tie_xy
 
-    num, tie_x, tie_y = jax.lax.fori_loop(
-        0, num_chunks, body, (zero, zero, zero)
+    num, tie_x, tie_y, tie_xy = jax.lax.fori_loop(
+        0, num_chunks, body, (zero, zero, zero, zero)
     )
     # Full double sum counted both (i,j) and (j,i); diagonal is zero for
     # num and n for the tie counts (every element ties with itself).
     num = num * 0.5
     n1 = (tie_x - n) * 0.5
     n2 = (tie_y - n) * 0.5
+    n3 = (tie_xy - n) * 0.5
+    # The pairwise sum equals n0-n1-n2+n3-2S, but the reference forces
+    # n3 = 0 in its numerator (Correlation.cpp:444) — subtract the
+    # joint-tie count to match its convention bit-for-bit.
+    num = num - n3
     n0 = 0.5 * n * (n - 1)
     den = jnp.sqrt(n0 - n1) * jnp.sqrt(n0 - n2)
     return (num / den).astype(jnp.float32)

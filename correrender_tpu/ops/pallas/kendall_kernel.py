@@ -1,8 +1,9 @@
 """Pallas Kendall tau-b kernel.
 
-Same pairwise formulation as ops/kendall.py (numerator
-Σ_{i<j} sign(x_i−x_j)·sign(y_i−y_j), reference semantics with joint
-ties n3 = 0 — src/Calculators/Correlation.cpp:305-465), with the
+Same pairwise formulation as ops/kendall.py (pairwise sum
+Σ_{i<j} sign(x_i−x_j)·sign(y_i−y_j) minus the joint-tie count, to
+reproduce the reference's forced n3 = 0 convention —
+src/Calculators/Correlation.cpp:305-465), with the
 (n, n) pair matrix kept in VMEM row-chunks per voxel instead of the
 XLA path's (V, n, chunk) HBM intermediates. The reference series'
 pairwise signs are precomputed once (voxel-independent) and streamed
@@ -51,17 +52,19 @@ def _make_kernel(n: int, npad: int, rows: int):
             jnp.int32, (rows, npad), 1
         ).astype(jnp.float32)
         real_col = (col_ids < n).astype(jnp.float32)
-        ty_partial = jnp.sum(
-            valid * jnp.sum(
-                (dys == 0.0).astype(jnp.float32) * real_col,
-                axis=1, keepdims=True,
-            )
-        )
-        partial = jnp.stack([num_partial, ty_partial]).reshape(1, 2)
+        ty = (dys == 0.0).astype(jnp.float32) * real_col
+        ty_partial = jnp.sum(valid * jnp.sum(ty, axis=1, keepdims=True))
+        # Joint ties: for real pairs sign(dx)==0 ⟺ dx==0 (padding is
+        # excluded by real_col/valid), so (sx==0)&(dy==0) counts n3.
+        txy = (sx == 0.0).astype(jnp.float32) * ty
+        txy_partial = jnp.sum(valid * jnp.sum(txy, axis=1, keepdims=True))
+        partial = jnp.stack(
+            [num_partial, ty_partial, txy_partial]
+        ).reshape(1, 3)
 
         @pl.when(c == 0)
         def _():
-            out_ref[0] = jnp.zeros((1, 2), jnp.float32)
+            out_ref[0] = jnp.zeros((1, 3), jnp.float32)
 
         out_ref[0] += partial
 
@@ -95,7 +98,7 @@ def _kendall_flat(series, x, interpret):
     kernel, num_chunks = _make_kernel(n, npad, rows)
     acc = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((v, 1, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v, 1, 3), jnp.float32),
         grid=(v, num_chunks),
         in_specs=[
             pl.BlockSpec((rows, npad), lambda i, c: (c, 0),
@@ -103,7 +106,7 @@ def _kendall_flat(series, x, interpret):
             pl.BlockSpec((1, 1, npad), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 2), lambda i, c: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 3), lambda i, c: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx, sp.reshape(v, 1, npad))
@@ -111,6 +114,10 @@ def _kendall_flat(series, x, interpret):
     num = acc[:, 0, 0] * 0.5  # double-counted symmetric sum
     n1 = tie_x_pairs
     n2 = (acc[:, 0, 1] - n) * 0.5
+    # Reference forces n3 = 0 in its numerator (Correlation.cpp:444):
+    # subtract the joint-tie count from the pairwise sum to match.
+    n3 = (acc[:, 0, 2] - n) * 0.5
+    num = num - n3
     n0 = 0.5 * n * (n - 1)
     den = jnp.sqrt(n0 - n1) * jnp.sqrt(n0 - n2)
     return (num / den).astype(jnp.float32)

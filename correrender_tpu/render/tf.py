@@ -10,9 +10,12 @@ domain; lookup is linear interpolation — identical semantics to a GL
 from __future__ import annotations
 
 import dataclasses
+import itertools
 
 import jax.numpy as jnp
 import numpy as np
+
+_TF_UID = itertools.count()
 
 # Small built-in colormaps as control points (positions in [0,1], rgb).
 _COLORMAPS = {
@@ -60,6 +63,11 @@ class TransferFunction:
 
     lut: jnp.ndarray
     domain: tuple = (0.0, 1.0)
+    #: Monotonic instance id — a sound cache-invalidation token (unlike
+    #: id(), which CPython may reuse after an object is freed).
+    uid: int = dataclasses.field(
+        default_factory=lambda: next(_TF_UID), compare=False
+    )
 
     @classmethod
     def from_colormap(

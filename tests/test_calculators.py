@@ -197,6 +197,57 @@ class TestCalculators:
         assert np.isfinite(out).all()
         assert (out >= 0).all()
 
+    def test_time_lag_absolute_reference_timestep(self):
+        # Reference semantics (CorrelationCalculator.cpp:805-811):
+        # use_time_lag_correlations pulls the reference series at the
+        # ABSOLUTE timestep time_lag_time_step_idx, not time + lag.
+        rng = np.random.default_rng(3)
+        ts, es, zs, ys, xs = 4, 16, 2, 4, 4
+        data = rng.normal(size=(ts, es, zs, ys, xs)).astype(np.float32)
+        grid = GridMetadata(xs=xs, ys=ys, zs=zs, ts=ts, es=es)
+        vd = VolumeData(grid)
+        vd.add_field("data", lambda t, e: data[t, e])
+        c = calc.CorrelationCalculator(
+            field_name="data", measure="pearson",
+            reference_point=(1, 2, 1), ensemble_mode=True,
+            use_time_lag_correlations=True, time_lag_time_step_idx=3,
+        )
+        c.bind(vd)
+        out = np.asarray(c.compute(time=1, member=0))
+        # Expected: members at t=1 vs reference series at ABSOLUTE t=3.
+        ref_series = data[3, :, 1, 2, 1]
+        voxel = data[1, :, 0, 0, 0]
+        expected = np.corrcoef(voxel, ref_series)[0, 1]
+        np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-5)
+        # Gate off → same-timestep correlation.
+        c.use_time_lag_correlations = False
+        vd.mark_dirty(c.output_name)
+        out2 = np.asarray(c.compute(time=1, member=0))
+        expected2 = np.corrcoef(voxel, data[1, :, 1, 2, 1])[0, 1]
+        np.testing.assert_allclose(out2[0, 0, 0], expected2, atol=1e-5)
+
+    def test_time_mode_lag_truncates_not_wraps(self):
+        rng = np.random.default_rng(4)
+        ts, zs, ys, xs = 12, 2, 3, 3
+        data = rng.normal(size=(ts, zs, ys, xs)).astype(np.float32)
+        grid = GridMetadata(xs=xs, ys=ys, zs=zs, ts=ts, es=1)
+        vd = VolumeData(grid)
+        vd.add_field("data", lambda t, e: data[t])
+        lag = 3
+        c = calc.CorrelationCalculator(
+            field_name="data", measure="pearson",
+            reference_point=(1, 1, 1), ensemble_mode=False, time_lag=lag,
+        )
+        c.bind(vd)
+        out = np.asarray(c.compute(time=0, member=0))
+        ref = data[:, 1, 1, 1]
+        voxel = data[:, 0, 0, 0]
+        # Truncated overlap: x_t vs ref_{t+lag}, NO circular wrap.
+        expected = np.corrcoef(voxel[: ts - lag], ref[lag:])[0, 1]
+        np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-5)
+        wrapped = np.corrcoef(voxel, np.roll(ref, lag))[0, 1]
+        assert abs(expected - wrapped) > 1e-4  # the old bug would match
+
     def test_settings_roundtrip(self):
         c = calc.CorrelationCalculator(
             field_name="data", measure="kendall",

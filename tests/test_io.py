@@ -135,6 +135,39 @@ class TestVtk:
         ld = loader_for_path(str(vti)).open(str(vti))
         np.testing.assert_allclose(ld.load_field("s"), vol_zyx, atol=1e-5)
 
+    def test_vti_inline_binary_compressed(self, tmp_path, vol_zyx):
+        # VTK writes compressed inline data as TWO base64 streams:
+        # base64(header) + base64(blocks), each padded independently.
+        import base64
+        import zlib
+
+        raw = vol_zyx.astype("<f4").tobytes()
+        block_size = 256
+        blocks = [
+            zlib.compress(raw[i : i + block_size])
+            for i in range(0, len(raw), block_size)
+        ]
+        last = len(raw) - (len(blocks) - 1) * block_size
+        header = np.array(
+            [len(blocks), block_size, last] + [len(b) for b in blocks],
+            np.uint32,
+        ).tobytes()
+        text = (
+            base64.b64encode(header).decode()
+            + base64.b64encode(b"".join(blocks)).decode()
+        )
+        vti = tmp_path / "c.vti"
+        vti.write_text(
+            '<VTKFile type="ImageData" version="1.0"'
+            ' compressor="vtkZLibDataCompressor">'
+            '<ImageData WholeExtent="0 7 0 5 0 3" Spacing="1 1 1">'
+            "<Piece><PointData>"
+            f'<DataArray type="Float32" Name="s" format="binary">{text}'
+            "</DataArray></PointData></Piece></ImageData></VTKFile>"
+        )
+        ld = loader_for_path(str(vti)).open(str(vti))
+        np.testing.assert_allclose(ld.load_field("s"), vol_zyx, rtol=1e-6)
+
     def test_legacy_vtk_binary(self, tmp_path, vol_zyx):
         header = (
             "# vtk DataFile Version 3.0\ntest\nBINARY\n"

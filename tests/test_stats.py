@@ -104,6 +104,41 @@ class TestKendall:
         want = scipy.stats.kendalltau(x, y).statistic
         assert got == pytest.approx(want, abs=2e-5)
 
+    def test_joint_ties_match_reference_convention(self):
+        # Quantized data where pairs tie in BOTH variables: the
+        # reference forces n3 = 0 (Correlation.cpp:444), so its tau
+        # differs from scipy's C−D numerator by n3. We must match the
+        # reference, not scipy.
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 4, size=40).astype(np.float32)
+        y = (x + rng.integers(0, 3, size=40)).astype(np.float32)
+
+        def reference_tau(x, y):
+            n = len(x)
+            num = n1 = n2 = n3 = 0.0
+            for i in range(n):
+                for j in range(i + 1, n):
+                    dx, dy = x[i] - x[j], y[i] - y[j]
+                    num += np.sign(dx) * np.sign(dy)
+                    n1 += dx == 0
+                    n2 += dy == 0
+                    n3 += (dx == 0) and (dy == 0)
+            n0 = n * (n - 1) / 2
+            # num == n0-n1-n2+n3-2S; reference numerator drops n3.
+            return (num - n3) / (np.sqrt(n0 - n1) * np.sqrt(n0 - n2))
+
+        want = reference_tau(x, y)
+        got = float(ops.kendall(jnp.asarray(x), jnp.asarray(y)))
+        assert got == pytest.approx(want, abs=2e-5)
+        # Sanity: the convention actually diverges from scipy here.
+        assert abs(want - scipy.stats.kendalltau(x, y).statistic) > 1e-4
+
+        from correrender_tpu.ops.pallas.kendall_kernel import kendall_pallas
+
+        got_pl = float(kendall_pallas(jnp.asarray(x)[None, :],
+                                      jnp.asarray(y))[0])
+        assert got_pl == pytest.approx(want, abs=2e-5)
+
     def test_chunking_invariance(self, series):
         x, y = series
         a = float(ops.kendall(jnp.asarray(x), jnp.asarray(y), chunk=7))
