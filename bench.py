@@ -17,8 +17,12 @@ src/Calculators/Correlation.cpp:42-99), measured by a native C++
 baseline compiled on this machine (correrender_tpu/native/cpu_baseline.cpp),
 extrapolated from a subgrid.
 
-Extras: KSG-MI field throughput, DVR 1080p frame time via the
-shear-warp matmul renderer (render/dvr_fast.py).
+Extras: KSG-MI field throughput + its own CPU-reference ratio
+(mi_vs_baseline; CPU path = k-d tree KSG of MutualInformation.cpp:
+399-509 reimplemented in native/cpu_baseline.cpp), DVR 1080p frame
+time via the shear-warp matmul renderer (render/dvr_fast.py), and a
+real-hardware kernel-equality sweep (max|Δ| of every Pallas stat
+kernel vs its XLA formulation).
 
 Note: timings synchronize via scalar materialization
 (float(jnp.sum(x))) because block_until_ready does not actually block
@@ -39,7 +43,7 @@ import jax.numpy as jnp  # noqa: E402
 GRID = 250  # headline grid (BASELINE.json: 250³ × 1000 members)
 MEMBERS = 1000
 MEMBER_CHUNK = 50
-MI_GRID = 32  # KSG MI side config (full member count)
+MI_GRID = 48  # KSG MI side config (full member count)
 MI_MEMBERS = 1000
 
 
@@ -90,47 +94,110 @@ def bench_pearson_streaming():
     acc = (zero, zero, zero)
     num_chunks = MEMBERS // MEMBER_CHUNK
 
-    # Warm up compiles outside the timed section.
-    warm = gen_chunk(jax.random.key(0))
-    _sync(warm)
-    acc_w = accumulate(warm, ref_full[:MEMBER_CHUNK], acc)
-    _sync(assemble(acc_w, ref_full))
-    del acc_w, warm
+    # Two resident chunk buffers, alternated: the member stream never
+    # waits on generation and — crucially — the accumulate chain is
+    # enqueued WITHOUT per-chunk syncs, so the device pipelines all
+    # chunks back-to-back (round 1 paid 20 forced pipeline drains at
+    # ~9% of HBM bandwidth; a single end-of-stream sync is the real
+    # steady-state shape of the streaming path).
+    chunk_a = gen_chunk(jax.random.key(0))
+    chunk_b = gen_chunk(jax.random.key(1))
+    _sync(chunk_a)
+    _sync(chunk_b)
+    ref_chunks = [
+        ref_full[c * MEMBER_CHUNK:(c + 1) * MEMBER_CHUNK]
+        for c in range(num_chunks)
+    ]
 
-    compute_s = 0.0
-    for c in range(num_chunks):
-        chunk = gen_chunk(jax.random.key(c))
-        ref_chunk = jax.lax.dynamic_slice_in_dim(
-            ref_full, c * MEMBER_CHUNK, MEMBER_CHUNK
-        )
-        _sync(chunk)
-        t0 = time.perf_counter()
-        acc = accumulate(chunk, ref_chunk, acc)
-        _sync(acc)
-        compute_s += time.perf_counter() - t0
+    # Warm up compiles outside the timed section.
+    acc_w = accumulate(chunk_a, ref_chunks[0], acc)
+    _sync(assemble(acc_w, ref_full))
+    del acc_w
+
     t0 = time.perf_counter()
+    for c in range(num_chunks):
+        chunk = chunk_a if c % 2 == 0 else chunk_b
+        acc = accumulate(chunk, ref_chunks[c], acc)
     field = assemble(acc, ref_full)
-    total = _sync(field)
-    compute_s += time.perf_counter() - t0
-    assert np.isfinite(total) or True  # NaNs possible; just force exec
+    _sync(field)  # single end-of-stream drain
+    compute_s = time.perf_counter() - t0
     return nvox / compute_s  # voxels/sec at 1000 members
 
 
 def bench_mi_ksg():
-    """KSG MI throughput at MI_GRID³ × 1000 members (resident)."""
-    from correrender_tpu.calculators.correlation import correlate_field
+    """KSG MI throughput at MI_GRID³ × 1000 members (banded kernel)."""
+    from correrender_tpu.ops.pallas.ksg_banded import mi_ksg_banded
 
     stack = jax.random.normal(
-        jax.random.key(1), (MI_GRID, MI_GRID, MI_GRID, MI_MEMBERS),
+        jax.random.key(1), (MI_GRID * MI_GRID * MI_GRID, MI_MEMBERS),
         jnp.float32,
     )
-    ref = stack[MI_GRID // 2, MI_GRID // 2, MI_GRID // 2]
-    out = correlate_field(stack, ref, "mi_kraskov", k=3)
+    ref = stack[0]
+    out = mi_ksg_banded(stack, ref, k=3, estimator=1)
     _sync(out)  # compile
     t0 = time.perf_counter()
-    out = correlate_field(stack, ref, "mi_kraskov", k=3)
+    out = mi_ksg_banded(stack, ref, k=3, estimator=1)
     _sync(out)
     return MI_GRID**3 / (time.perf_counter() - t0)
+
+
+def cpu_ksg_baseline_vox_per_s():
+    """Reference-CPU-path KSG throughput (native C++ k-d tree)."""
+    cache = os.path.join(os.path.dirname(__file__),
+                         ".cpu_ksg_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["vox_per_s"]
+    from correrender_tpu.native import cpu_baseline
+
+    dll = cpu_baseline()
+    vox_per_s = dll.ksg_throughput_cpu(256, MI_MEMBERS, 3, 1)
+    with open(cache, "w") as f:
+        json.dump({"vox_per_s": vox_per_s, "members": MI_MEMBERS}, f)
+    return vox_per_s
+
+
+def kernel_equality_sweep():
+    """max|Δ| of each Pallas stat kernel vs its XLA formulation, ON THE
+    REAL DEVICE (VERDICT r1: interpret-mode CI never exercised Mosaic
+    numerics). Small shapes — this is a correctness tripwire, not a
+    perf probe."""
+    from correrender_tpu import ops
+    from correrender_tpu.ops.mi_ksg import mutual_information_kraskov
+    from correrender_tpu.ops.pallas import (
+        mi_ksg_banded,
+        mi_ksg_pallas,
+        pearson_pallas,
+    )
+    from correrender_tpu.ops.pallas.kendall_kernel import kendall_pallas
+    from correrender_tpu.ops.pallas.spearman_kernel import spearman_pallas
+
+    rng = np.random.default_rng(0)
+    n, v = 200, 64
+    ref = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    series = rng.normal(size=(v, n)).astype(np.float32)
+    series[:16] = np.asarray(ref)[None, :] * 0.9 + 0.3 * series[:16]
+    series = jnp.asarray(series)
+
+    def mx(a, b):
+        return round(float(jnp.max(jnp.abs(a - b))), 8)
+
+    out = {}
+    out["pearson"] = mx(pearson_pallas(series, ref),
+                        ops.pearson(ref, series))
+    out["spearman"] = mx(spearman_pallas(series, ref),
+                         ops.spearman(ref, series))
+    out["kendall"] = mx(kendall_pallas(series, ref),
+                        ops.kendall(ref, series))
+    for est in (1, 2):
+        want = mutual_information_kraskov(ref, series, k=3, estimator=est)
+        out[f"ksg_exact_est{est}"] = mx(
+            mi_ksg_pallas(series, ref, k=3, estimator=est), want
+        )
+        out[f"ksg_banded_est{est}"] = mx(
+            mi_ksg_banded(series, ref, k=3, estimator=est), want
+        )
+    return out
 
 
 def bench_dvr():
@@ -199,18 +266,24 @@ def main():
         return
     t_start = time.time()
     cpu_vox_s = cpu_baseline_vox_per_s()
+    cpu_ksg_vox_s = cpu_ksg_baseline_vox_per_s()
     pearson_vox_s = bench_pearson_streaming()
     mi_vox_s = bench_mi_ksg()
     dvr_ms, classify_ms = bench_dvr()
+    equality = kernel_equality_sweep()
     result = {
         "metric": "pearson_field_throughput_250c_1000m",
         "value": round(pearson_vox_s / 1e9, 6),
         "unit": "Gvoxel/s",
         "vs_baseline": round(pearson_vox_s / cpu_vox_s, 2),
         "cpu_baseline_gvoxel_s": round(cpu_vox_s / 1e9, 8),
-        "mi_ksg_voxel_s_32c_1000m": round(mi_vox_s, 1),
+        "mi_ksg_voxel_s_48c_1000m": round(mi_vox_s, 1),
+        "mi_vs_baseline": round(mi_vox_s / cpu_ksg_vox_s, 2),
+        "cpu_ksg_baseline_voxel_s": round(cpu_ksg_vox_s, 1),
+        "mi_250c_projected_s": round(250**3 / mi_vox_s, 1),
         "dvr_1080p_250c_frame_ms": round(dvr_ms, 2),
         "dvr_classify_ms": round(classify_ms, 2),
+        "kernel_equality_max_abs_delta": equality,
         "device": str(jax.devices()[0]),
         "bench_wall_s": round(time.time() - t_start, 1),
     }

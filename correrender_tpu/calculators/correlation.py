@@ -186,9 +186,11 @@ def correlate_field(
             from correrender_tpu.ops.mi_ksg import (
                 kmi_correlation_coefficient,
             )
-            from correrender_tpu.ops.pallas import mi_ksg_pallas
+            from correrender_tpu.ops.pallas.ksg_banded import (
+                mi_ksg_banded,
+            )
 
-            out = mi_ksg_pallas(
+            out = mi_ksg_banded(
                 series, ref, k=k, estimator=kraskov_estimator
             )
             if m == CorrelationMeasure.KMI_CORRELATION_COEFFICIENT:

@@ -49,4 +49,35 @@ def cpu_baseline():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    dll.ksg_throughput_cpu.restype = ctypes.c_double
+    dll.ksg_throughput_cpu.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    dll.ksg_field_cpu.restype = None
+    dll.ksg_field_cpu.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     return dll
+
+
+def ksg_field_cpu(reference, fields, k=3, estimator=1):
+    """KSG MI field on the CPU baseline (fields: (es, V) member-major)."""
+    import numpy as np
+
+    dll = cpu_baseline()
+    reference = np.ascontiguousarray(reference, np.float32)
+    fields = np.ascontiguousarray(fields, np.float32)
+    es, num_voxels = fields.shape
+    out = np.empty(num_voxels, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    dll.ksg_field_cpu(
+        reference.ctypes.data_as(fp), fields.ctypes.data_as(fp),
+        num_voxels, es, k, estimator, out.ctypes.data_as(fp),
+    )
+    return out

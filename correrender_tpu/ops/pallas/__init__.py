@@ -16,5 +16,6 @@ code paths are testable on CPU.
 
 from correrender_tpu.ops.pallas.pearson_kernel import pearson_pallas
 from correrender_tpu.ops.pallas.ksg_kernel import mi_ksg_pallas
+from correrender_tpu.ops.pallas.ksg_banded import mi_ksg_banded
 
-__all__ = ["pearson_pallas", "mi_ksg_pallas"]
+__all__ = ["pearson_pallas", "mi_ksg_pallas", "mi_ksg_banded"]

@@ -178,3 +178,85 @@ class TestSpearmanPallas:
         got = np.asarray(spearman_pallas(stack, ref, interpret=True))
         want = np.asarray(ops.spearman(ref, stack))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestKsgBanded:
+    """Banded KSG (ops/pallas/ksg_banded.py) must equal the exact
+    XLA/Pallas paths — the band only affects speed, never values."""
+
+    def _ab(self, series, ref, est, noise=True, **kw):
+        from correrender_tpu.ops.mi_ksg import mutual_information_kraskov
+        from correrender_tpu.ops.pallas.ksg_banded import mi_ksg_banded
+
+        got = np.asarray(
+            mi_ksg_banded(series, ref, k=3, estimator=est,
+                          use_noise=noise, **kw)
+        )
+        want = np.asarray(
+            mutual_information_kraskov(ref, series, k=3, estimator=est,
+                                       use_noise=noise)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    @pytest.mark.parametrize("est", [1, 2])
+    def test_matches_exact(self, est):
+        rng = np.random.default_rng(0)
+        n, v = 150, 20
+        ref = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        series = rng.normal(size=(v, n)).astype(np.float32)
+        series[:6] = np.asarray(ref)[None, :] * 0.9 + 0.3 * series[:6]
+        self._ab(jnp.asarray(series), ref, est)
+
+    def test_narrow_band_forces_repairs(self):
+        # A tiny band makes most points invalid: exercises the repair
+        # kernel heavily and the per-point ψ corrections.
+        rng = np.random.default_rng(1)
+        n, v = 120, 12
+        ref = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        series = jnp.asarray(rng.normal(size=(v, n)).astype(np.float32))
+        self._ab(series, ref, 1, w_band=16)
+
+    def test_ties_no_noise(self):
+        # Quantized values: duplicate distances exercise the
+        # tie-counting order statistic on both paths.
+        rng = np.random.default_rng(2)
+        n, v = 100, 8
+        ref = jnp.asarray(
+            rng.integers(0, 6, size=n).astype(np.float32)
+        )
+        series = jnp.asarray(
+            rng.integers(0, 6, size=(v, n)).astype(np.float32)
+        )
+        self._ab(series, ref, 1, noise=False)
+
+    def test_unaligned_voxel_count(self):
+        rng = np.random.default_rng(3)
+        n, v = 130, 13  # v not a multiple of the per-step batch
+        ref = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        series = jnp.asarray(rng.normal(size=(v, n)).astype(np.float32))
+        self._ab(series, ref, 2)
+
+
+class TestCpuKsgBaseline:
+    """native/cpu_baseline.cpp KSG (k-d tree + sorted-marginal binary
+    searches, MutualInformation.cpp:399-509 semantics) vs the XLA
+    estimator."""
+
+    @pytest.mark.parametrize("est", [1, 2])
+    def test_matches_xla(self, est):
+        from correrender_tpu.native import ksg_field_cpu
+        from correrender_tpu.ops.mi_ksg import mutual_information_kraskov
+
+        rng = np.random.default_rng(0)
+        n, v = 150, 24
+        ref = rng.normal(size=n).astype(np.float32)
+        fields = rng.normal(size=(n, v)).astype(np.float32)
+        fields[:, :8] = ref[:, None] * 0.9 + 0.3 * fields[:, :8]
+        cpu = ksg_field_cpu(ref, fields, k=3, estimator=est)
+        ours = np.asarray(
+            mutual_information_kraskov(
+                jnp.asarray(ref), jnp.asarray(fields.T), k=3,
+                estimator=est, use_noise=False,
+            )
+        )
+        np.testing.assert_allclose(cpu, ours, atol=5e-5)
