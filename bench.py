@@ -219,13 +219,20 @@ def bench_dvr():
         "coolwarm", domain=(0.0, 1.0),
         opacity_points=((0.0, 0.0), (1.0, 0.9)),
     )
-    # Classification + resident slice layout: paid per TF/field change
-    # (and when the camera crosses an axis boundary), not per frame.
+    # Resident slice layout: the scalar (slice, v, u) volume is
+    # TF-independent, so a transfer-function change re-runs only the
+    # fused classify_to_cf pass (prior reuse) — measure exactly that.
     prep = prepare_shearwarp(vol, tf, cam)
     _sync(prep["cf"] if prep["cf"] is not None else prep["cvol"])
+    tf2 = TransferFunction.from_colormap(
+        "viridis", domain=(0.0, 1.0),
+        opacity_points=((0.0, 0.0), (1.0, 0.8)),
+    )
+    prep2 = prepare_shearwarp(vol, tf2, cam, prior=prep)
+    _sync(prep2["cf"] if prep2["cf"] is not None else prep2["cvol"])
     t0 = time.perf_counter()
-    prep = prepare_shearwarp(vol, tf, cam)
-    _sync(prep["cf"] if prep["cf"] is not None else prep["cvol"])
+    prep2 = prepare_shearwarp(vol, tf2, cam, prior=prep)
+    _sync(prep2["cf"] if prep2["cf"] is not None else prep2["cvol"])
     classify_ms = (time.perf_counter() - t0) * 1000.0
 
     kwargs = dict(image_size=(1920, 1080), prepared=prep,

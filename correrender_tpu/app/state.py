@@ -191,12 +191,24 @@ class Scene:
                     # bumped by mark_dirty; tf.uid a monotonic TF
                     # instance id — both sound invalidation tokens
                     # (id() of an evicted array can be reused).
-                    pkey = (field, self.current_time,
-                            self.current_member,
-                            vd.dirty_epoch(field), tf.uid,
+                    vol_part = (field, self.current_time,
+                                self.current_member,
+                                vd.dirty_epoch(field))
+                    pkey = (vol_part, tf.uid,
                             shearwarp_camera_key(cam), rest_sig)
                     prep = self._prepared_cache.get(pkey)
                     if prep is None:
+                        # A TF-only change can reuse the resident
+                        # scalar layout: pass the stale entry as prior
+                        # (prepare_shearwarp revalidates its axis key).
+                        prior = None
+                        if rest_sig is None and self._prepared_cache:
+                            (old_key, old_prep), = (
+                                self._prepared_cache.items()
+                            )
+                            if (old_key[0] == vol_part
+                                    and old_key[3] is None):
+                                prior = old_prep
                         classified = None
                         if restriction is not None:
                             # Voxel-granular restriction: mask the
@@ -221,7 +233,8 @@ class Scene:
                                 ),
                             )
                         prep = prepare_shearwarp(
-                            vol, tf, cam, classified=classified
+                            vol, tf, cam, classified=classified,
+                            prior=prior,
                         )
                         # Single-entry cache: interactive use renders
                         # one configuration repeatedly.

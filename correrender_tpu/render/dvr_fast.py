@@ -149,17 +149,23 @@ def prepare_shearwarp(
     transfer_function,
     camera,
     classified: jnp.ndarray | None = None,
+    prior: dict | None = None,
 ) -> dict:
     """Build the compositor's resident slice layout for a camera.
 
-    Classification + the (slice, v, u) transpose + the channel-first
-    bf16 cast stream several volume-sized arrays through HBM; in
-    steady-state interactive use (the reference keeps its classified
-    texture resident) they only change when the TF/field changes or
-    the camera's principal axis / slice order flips. Pass the result
-    to :func:`dvr_shearwarp` via ``prepared=``; it is keyed by
-    (principal axis, slice order) and rebuilt automatically when the
-    camera crosses an axis boundary.
+    On TPU the entry keeps TWO resident arrays: the (slice, v, u)
+    SCALAR volume (transfer-function independent — rebuilt only when
+    the field or the camera's principal axis / slice order changes)
+    and the classified channel-first bf16 volume derived from it with
+    one fused Pallas pass (ops/pallas/shearwarp_kernel.classify_to_cf).
+    A transfer-function change therefore re-runs only the fused
+    classify pass (~10 ms at 250³) instead of classify + transpose +
+    cast (~100 ms in round 1); pass the previous entry as ``prior`` to
+    reuse its scalar layout.
+
+    Pass the result to :func:`dvr_shearwarp` via ``prepared=``; it is
+    keyed by (principal axis, slice order) and rebuilt automatically
+    when the camera crosses an axis boundary.
     """
     eye = np.asarray(camera.position, np.float32)
     forward = np.asarray(camera.look_at_point, np.float32) - eye
@@ -167,28 +173,53 @@ def prepare_shearwarp(
     a = _principal_axis(forward)
     in_plane = [i for i in range(3) if i != a]
     flip = bool(forward[a] < 0)
+    world_to_arr = {2: 0, 1: 1, 0: 2}
+    perm = (world_to_arr[a], world_to_arr[in_plane[1]],
+            world_to_arr[in_plane[0]])
+
+    from correrender_tpu.ops.pallas.common import on_tpu
+
+    if on_tpu() and classified is None:
+        from correrender_tpu.ops.pallas.shearwarp_kernel import (
+            classify_to_cf,
+        )
+
+        if (prior is not None and prior.get("key") == (a, flip)
+                and prior.get("svol") is not None):
+            svol = prior["svol"]
+        else:
+            svol = jnp.transpose(volume, perm)
+            if flip:
+                svol = svol[::-1]
+        cf = classify_to_cf(
+            svol, transfer_function.lut,
+            jnp.asarray(transfer_function.domain, jnp.float32),
+        )
+        return {
+            "key": (a, flip),
+            "s": svol.shape[0],
+            "vu": (svol.shape[1], svol.shape[2]),
+            "svol": svol,
+            "cvol": None,
+            "cf": cf,
+        }
+
     if classified is None:
         classified = classify_volume(
             volume, transfer_function.lut,
             jnp.asarray(transfer_function.domain, jnp.float32),
         )
-    world_to_arr = {2: 0, 1: 1, 0: 2}
-    cvol = jnp.transpose(
-        classified,
-        (world_to_arr[a], world_to_arr[in_plane[1]],
-         world_to_arr[in_plane[0]], 3),
-    )
+    cvol = jnp.transpose(classified, perm + (3,))
     if flip:
         cvol = cvol[::-1]
     entry = {
         "key": (a, flip),
         "s": cvol.shape[0],
         "vu": (cvol.shape[1], cvol.shape[2]),
+        "svol": None,
         "cvol": cvol,
         "cf": None,
     }
-    from correrender_tpu.ops.pallas.common import on_tpu
-
     if on_tpu():
         from correrender_tpu.ops.pallas.shearwarp_kernel import (
             prepare_cvol_cf,

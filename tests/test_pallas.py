@@ -260,3 +260,33 @@ class TestCpuKsgBaseline:
             )
         )
         np.testing.assert_allclose(cpu, ours, atol=5e-5)
+
+
+class TestClassifyToCf:
+    def test_matches_classify_transpose_cast(self):
+        # Fused classify→cf must equal the classify + transpose + cast
+        # path (which the TF-change flow replaced).
+        from correrender_tpu.ops.pallas.shearwarp_kernel import (
+            classify_to_cf,
+            prepare_cvol_cf,
+        )
+        from correrender_tpu.render.classify import classify
+
+        rng = np.random.default_rng(0)
+        svol = rng.random(size=(6, 10, 20)).astype(np.float32)
+        svol[0, 0, 0] = np.nan
+        lut = rng.random(size=(256, 4)).astype(np.float32)
+        dom = jnp.asarray([0.0, 1.0], jnp.float32)
+        got = np.asarray(
+            classify_to_cf(jnp.asarray(svol), jnp.asarray(lut), dom,
+                           interpret=True).astype(jnp.float32)
+        )
+        cls = classify(jnp.asarray(svol), jnp.asarray(lut), dom)
+        want = np.asarray(
+            prepare_cvol_cf(cls).astype(jnp.float32)
+        )
+        assert got.shape == want.shape
+        # bf16 matmul accumulation differs slightly from the f32
+        # classify + bf16 cast; NaN voxels map to transparent black.
+        np.testing.assert_allclose(got, want, atol=0.02)
+        assert (got[0, :, 0, 0] == 0).all()
