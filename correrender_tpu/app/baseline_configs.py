@@ -183,17 +183,28 @@ def config4_timelag_zarr_flythrough(tmp_dir=None):
     )
     name = scene.add_calculator(calc)
     scene.add_renderer("dvr", field=name)
+    times = list(range(vd.grid.ts - 2))
+    # Warm-up pass compiles every (camera-variant × time) executable;
+    # the timed pass measures the steady-state animation rate — the
+    # reference's perf harness likewise times a camera flight, not
+    # first-use shader compiles (AutomaticPerformanceMeasurer.hpp:39).
+    t = _timer()
+    render_flythrough(
+        scene, orbit_path(4), os.path.join(tmp_dir, "warm"),
+        image_size=(320, 240), time_indices=times,
+    )
+    warm_ms = t()
     t = _timer()
     frames = render_flythrough(
         scene, orbit_path(4), os.path.join(tmp_dir, "fly"),
-        image_size=(320, 240),
-        time_indices=list(range(vd.grid.ts - 2)),
+        image_size=(320, 240), time_indices=times,
     )
     ms = t()
     return {
         "config": "timelag_zarr_flythrough",
         "zarr_shape": list(data.shape),
         "frames": len(frames),
+        "compile_pass_ms": round(warm_ms, 1),
         "total_ms": round(ms, 1),
         "ms_per_frame": round(ms / len(frames), 1),
     }
@@ -233,24 +244,24 @@ def config5_sharded_batch_render(grid=None, members=64):
     _sync(field)
     corr_ms = t()
 
-    cam = Camera(position=(0.05, 0.2, 0.9))
     tf = TransferFunction.from_colormap("coolwarm", domain=(-1, 1))
-    img = dvr_shearwarp_sharded(
-        field, cam, tf, mesh, image_size=(1280, 720),
-        intermediate_scale=0.5,
-    )
-    _sync(img)
+
+    def batch():
+        imgs = []
+        for k in range(4):  # batch of headless renders
+            cam_k = Camera(position=(0.05 + 0.1 * k, 0.2, 0.9))
+            imgs.append(dvr_shearwarp_sharded(
+                field, cam_k, tf, mesh, image_size=(1280, 720),
+                intermediate_scale=0.5,
+            ))
+        for img in imgs:
+            _sync(img)
+
+    # Warm-up pass compiles every camera's warp variant; the timed
+    # pass measures the steady-state batch rate.
+    batch()
     t = _timer()
-    imgs = []
-    for k in range(4):  # batch of headless renders
-        cam_k = Camera(position=(0.05 + 0.1 * k, 0.2, 0.9))
-        img = dvr_shearwarp_sharded(
-            field, cam_k, tf, mesh, image_size=(1280, 720),
-            intermediate_scale=0.5,
-        )
-        imgs.append(img)
-    for img in imgs:
-        _sync(img)
+    batch()
     render_ms = t()
 
     tmp = tempfile.mkdtemp()

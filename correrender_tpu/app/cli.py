@@ -224,10 +224,13 @@ def cmd_state(args):
 
 
 def cmd_sampling(args):
-    from correrender_tpu.app.sampling_test import run_sampling_tests
+    from correrender_tpu.app.sampling_test import run_sampling_test_index
 
-    rows = run_sampling_tests(
-        csv_path=args.output, synthetic=True,
+    rows = run_sampling_test_index(
+        args.test_index,
+        dataset=getattr(args, "dataset", None),
+        field=getattr(args, "field", None),
+        csv_path=args.output,
         num_pairs=args.num_pairs, block=args.block,
     )
     for row in rows:
@@ -403,6 +406,11 @@ def build_parser():
     sp.set_defaults(fn=cmd_state)
 
     sp = sub.add_parser("sampling", help="sampling-method eval (CSV)")
+    sp.add_argument("--test-index", type=int, default=0,
+                    help="0 synth-error | 1 data-error | 2 data-max | "
+                         "3 data-max-subsampled (SamplingTest.cpp:150)")
+    sp.add_argument("--dataset", help="dataset for the data-driven tests")
+    sp.add_argument("--field", help="scalar field name (default: first)")
     sp.add_argument("--num-pairs", type=int, default=4)
     sp.add_argument("--block", type=int, default=8)
     sp.add_argument("--output", required=True)

@@ -40,6 +40,7 @@ class SamplingTestCase:
     num_samples: int = 100
     num_init: int = 20  # Bayesian-opt initial probes
     num_runs: int = 4
+    subsample: int = 1  # mean-field subsampling factor f
 
 
 DEFAULT_CASES = [
@@ -79,14 +80,18 @@ def evaluate_case(stack, ra, rb, case, measure="pearson",
     found, micros = [], []
     for run in range(case.num_runs):
         t0 = time.perf_counter()
+        extra = {}
+        if case.method == "bayesian":
+            extra["num_init"] = case.num_init
+        if case.method == "mean":
+            extra["subsample"] = case.subsample
         est = sampling.sample_block_pair_max(
             stack, ra, rb, measure,
             method=case.method,
             num_samples=case.num_samples,
             stack_means=stack_means,
             seed=run,
-            **({"num_init": case.num_init}
-               if case.method == "bayesian" else {}),
+            **extra,
             **kw,
         )
         micros.append((time.perf_counter() - t0) * 1e6)
@@ -172,3 +177,70 @@ def run_sampling_tests(
             writer.writeheader()
             writer.writerows(rows)
     return rows
+
+
+#: Reference test indices (SamplingTest.cpp:150-153).
+TEST_CASE_SYNTH_ERROR = 0
+TEST_CASE_DATA_ERROR = 1
+TEST_CASE_DATA_MAX = 2
+TEST_CASE_DATA_MAX_SUBSAMPLED = 3
+
+_EQUAL_BUDGET_CASES = [
+    # Equal-budget comparison: does BayOpt's model-guided probing beat
+    # the quasirandom samplers at the same evaluation count?
+    SamplingTestCase("random", 60),
+    SamplingTestCase("halton", 60),
+    SamplingTestCase("plastic", 60),
+    SamplingTestCase("bayesian", 60, num_init=20, num_runs=2),
+]
+
+_SUBSAMPLED_CASES = [
+    SamplingTestCase("mean", 1, subsample=f) for f in (1, 2, 4, 8)
+]
+
+
+def _load_stack(dataset: str, field: str | None = None):
+    from correrender_tpu.io import load_volume
+
+    vd = load_volume(dataset)
+    name = field or vd.field_names[0]
+    import numpy as _np
+
+    return _np.asarray(vd.get_member_stack(name))
+
+
+def run_sampling_test_index(
+    test_index: int,
+    dataset: str | None = None,
+    field: str | None = None,
+    csv_path: str | None = None,
+    num_pairs: int = 4,
+    block: int = 8,
+    seed: int = 0,
+):
+    """Run one of the reference's four indexed sampling tests
+    (runSamplingTests(dataSetPath, testIdx), SamplingTest.cpp:150-155).
+
+    SYNTH_ERROR uses the correlated synthetic ensemble; the DATA_*
+    cases run against a real dataset file (any registered loader).
+    """
+    stack = None
+    synthetic = test_index == TEST_CASE_SYNTH_ERROR
+    if not synthetic:
+        if dataset is None:
+            raise ValueError(
+                f"test index {test_index} is data-driven; pass a dataset"
+            )
+        stack = _load_stack(dataset, field)
+    if test_index in (TEST_CASE_SYNTH_ERROR, TEST_CASE_DATA_ERROR):
+        cases = DEFAULT_CASES
+    elif test_index == TEST_CASE_DATA_MAX:
+        cases = _EQUAL_BUDGET_CASES
+    elif test_index == TEST_CASE_DATA_MAX_SUBSAMPLED:
+        cases = _SUBSAMPLED_CASES
+    else:
+        raise ValueError(f"unknown sampling test index {test_index}")
+    return run_sampling_tests(
+        stack=stack, cases=cases, num_pairs=num_pairs, block=block,
+        csv_path=csv_path, synthetic=synthetic, seed=seed,
+    )

@@ -3,12 +3,17 @@
 Reference: src/Renderers/Diagram/BayOpt.hpp (limbo GP, UCB acquisition,
 nlopt inner optimizer, used per block pair at
 HEBChartCorrelation.cpp:909-918). JAX re-design: the GP posterior is a
-small dense solve (≤ ~100 points/pair), and the inner acquisition
-"optimizer" is a dense quasirandom candidate sweep — vmappable across
-candidates, no nlopt.
+small dense solve (≤ ~100 points/pair), the inner acquisition
+"optimizer" is a dense quasirandom candidate sweep, and — like limbo's
+hyperparameter optimization (BayOpt.hpp:86-127) — the kernel length
+scale is refit by maximum marginal likelihood over the observed points
+(signal variance profiled out in closed form). A fixed wrong-scale
+kernel degrades UCB to quasirandom sampling on 6D pair spaces.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -21,9 +26,12 @@ from correrender_tpu.diagrams.sampling import (
     _region_points,
 )
 
+#: Candidate length scales for the marginal-likelihood refit.
+_LS_GRID = np.geomspace(0.05, 2.0, 12).astype(np.float32)
 
-def matern52(x1: jnp.ndarray, x2: jnp.ndarray, length_scale: float = 0.3,
-             variance: float = 1.0) -> jnp.ndarray:
+
+def matern52(x1: jnp.ndarray, x2: jnp.ndarray, length_scale=0.3,
+             variance=1.0) -> jnp.ndarray:
     """Matern-5/2 kernel matrix between (N, D) and (M, D) points."""
     d = jnp.sqrt(
         jnp.maximum(
@@ -35,23 +43,45 @@ def matern52(x1: jnp.ndarray, x2: jnp.ndarray, length_scale: float = 0.3,
 
 
 @jax.jit
-def gp_posterior(x_train, y_train, x_query, noise=1e-4):
+def gp_posterior(x_train, y_train, x_query, length_scale, variance,
+                 noise=1e-4):
     """GP mean/std at query points (zero-mean prior, Matern-5/2)."""
-    k = matern52(x_train, x_train)
+    k = matern52(x_train, x_train, length_scale, variance)
     k = k + noise * jnp.eye(k.shape[0])
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y_train)
-    k_star = matern52(x_query, x_train)  # (Q, N)
+    k_star = matern52(x_query, x_train, length_scale, variance)  # (Q, N)
     mean = k_star @ alpha
     v = jax.scipy.linalg.solve_triangular(chol, k_star.T, lower=True)
-    var = jnp.maximum(
-        matern52(x_query, x_query)[
-            jnp.arange(x_query.shape[0]), jnp.arange(x_query.shape[0])
-        ]
-        - jnp.sum(v * v, axis=0),
-        1e-10,
-    )
+    var = jnp.maximum(variance - jnp.sum(v * v, axis=0), 1e-10)
     return mean, jnp.sqrt(var)
+
+
+@jax.jit
+def fit_gp_hyperparams(x_train, y_train, noise=1e-4):
+    """Max-marginal-likelihood (length_scale, variance) over a grid.
+
+    With a unit-variance correlation matrix K_ls, the optimal signal
+    variance is closed-form (σ² = yᵀK⁻¹y / N), so the profiled log
+    marginal likelihood reduces to
+        LML(ls) ∝ −N/2 · log σ²(ls) − ½ log|K_ls|.
+    Vectorized over the candidate grid (limbo optimizes the same
+    likelihood with gradient steps, BayOpt.hpp:86-127).
+    """
+    n = x_train.shape[0]
+
+    def lml(ls):
+        k = matern52(x_train, x_train, ls, 1.0)
+        k = k + noise * jnp.eye(n)
+        chol = jnp.linalg.cholesky(k)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), y_train)
+        sigma2 = jnp.maximum(jnp.dot(y_train, alpha) / n, 1e-10)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        return -0.5 * n * jnp.log(sigma2) - 0.5 * logdet, sigma2
+
+    scores, sigma2s = jax.vmap(lml)(jnp.asarray(_LS_GRID))
+    best = jnp.argmax(scores)
+    return jnp.asarray(_LS_GRID)[best], sigma2s[best]
 
 
 def bayesian_opt_max(
@@ -61,9 +91,10 @@ def bayesian_opt_max(
     measure="pearson",
     num_init: int = 20,
     num_iters: int = 60,
-    kappa: float = 2.0,
+    kappa: float = 1.5,
     num_candidates: int = 512,
     seed: int = 0,
+    refit_every: int = 10,
     **measure_kw,
 ) -> float:
     """Max |corr| over A×B via GP-UCB on the 6D pair-position space."""
@@ -86,14 +117,22 @@ def bayesian_opt_max(
     y = evaluate(x)
 
     rng = np.random.default_rng(seed)
-    for _ in range(num_iters):
+    ls, var = 0.3, 1.0
+    for it in range(num_iters):
+        if it % refit_every == 0:
+            y_c = y - y.mean()
+            ls_j, var_j = fit_gp_hyperparams(
+                jnp.asarray(x, jnp.float32), jnp.asarray(y_c, jnp.float32)
+            )
+            ls, var = float(ls_j), float(var_j)
         candidates = rng.random((num_candidates, 6))
         mean, std = gp_posterior(
             jnp.asarray(x, jnp.float32),
-            jnp.asarray(y, jnp.float32),
+            jnp.asarray(y - y.mean(), jnp.float32),
             jnp.asarray(candidates, jnp.float32),
+            jnp.float32(ls), jnp.float32(var),
         )
-        ucb = np.asarray(mean) + kappa * np.asarray(std)
+        ucb = np.asarray(mean) + y.mean() + kappa * np.asarray(std)
         best = np.argmax(ucb)
         x_new = candidates[best : best + 1]
         y_new = evaluate(x_new)

@@ -129,6 +129,24 @@ class HEBChart:
             )
             iu, ju = np.triu_indices(L, k=1)
             flat = vals[iu, ju]
+        elif self.sampling_method in ("random", "halton", "plastic"):
+            # One batched request-mode dispatch per chunk instead of a
+            # device round-trip per pair (the reference's GPU request
+            # path, HEBChartCorrelation.cpp:1261).
+            from correrender_tpu.diagrams.sampling import (
+                batched_block_pairs_max,
+            )
+
+            iu, ju = np.triu_indices(L, k=1)
+            flat = batched_block_pairs_max(
+                self.stack,
+                [self._upscale(self.leaves[i]) for i in iu],
+                [self._upscale(self.leaves[j]) for j in ju],
+                self.measure,
+                method=self.sampling_method,
+                num_samples=self.num_samples,
+                **self.measure_kw,
+            )
         else:
             iu, ju = np.triu_indices(L, k=1)
             flat = np.array(

@@ -70,16 +70,18 @@ def _eval_max(sa, sb, measure, **kw):
 
 
 def sample_mean(stack, region_a, region_b, measure, num_samples=None,
-                seed=None, **kw):
+                seed=None, subsample: int = 1, **kw):
     """Mean method: correlation of the two regions' block-mean series
     (computeCorrelationsMean on downscaled fields,
-    HEBChartCorrelation.cpp:457)."""
+    HEBChartCorrelation.cpp:457). ``subsample`` strides the voxels
+    entering the mean — the reference's mean-field subsampling factor
+    f (SamplingTest.cpp test-case parameter)."""
 
     def region_mean_series(r):
         sub = stack[
-            r.z_min : r.z_max + 1,
-            r.y_min : r.y_max + 1,
-            r.x_min : r.x_max + 1,
+            r.z_min : r.z_max + 1 : subsample,
+            r.y_min : r.y_max + 1 : subsample,
+            r.x_min : r.x_max + 1 : subsample,
         ]
         with np.errstate(invalid="ignore"):
             return np.nanmean(
@@ -148,6 +150,81 @@ def sample_block_pair_max(
     """
     del stack_means
     return SAMPLING_METHODS[method](stack, region_a, region_b, measure, **kw)
+
+
+def batched_block_pairs_max(
+    stack,
+    regions_a,
+    regions_b,
+    measure="pearson",
+    method="plastic",
+    num_samples=100,
+    seed=0,
+    request_chunk=16384,
+    **kw,
+):
+    """Max |corr| for MANY region pairs in batched device dispatches.
+
+    The reference batches all block-pair probes of a sampling round
+    through one GPU request-mode dispatch
+    (HEBChartCorrelation.cpp:1261); the per-pair Python loop this
+    replaces cost one device round-trip per pair (130k sequential
+    dispatches at 512 leaves). Quasirandom sample positions are shared
+    across pairs — exactly what the per-pair path produced with its
+    fixed seeds.
+
+    Args:
+      regions_a / regions_b: sequences of GridRegion (len P).
+      method: "random" | "halton" | "plastic".
+
+    Returns:
+      (P,) float max |corr| per pair (NaN where all probes are NaN).
+    """
+    from correrender_tpu.calculators.correlation import (
+        correlate_requests,
+    )
+
+    s = num_samples
+    if method == "random":
+        rng = np.random.default_rng(seed)
+        ua = rng.random((s, 3))
+        ub = rng.random((s, 3))
+    elif method == "halton":
+        idx = np.arange(1, s + 1)
+        ua = np.stack([halton(idx, b) for b in (2, 3, 5)], axis=-1)
+        ub = np.stack([halton(idx, b) for b in (7, 11, 13)], axis=-1)
+    elif method == "plastic":
+        u = plastic_sequence(s, 6)
+        ua, ub = u[:, :3], u[:, 3:]
+    else:
+        raise ValueError(f"batched sampling: unknown method {method!r}")
+
+    def coords(regions, u):
+        lo = np.array([[r.x_min, r.y_min, r.z_min] for r in regions])
+        hi = np.array([[r.x_max, r.y_max, r.z_max] for r in regions])
+        pts = np.minimum(
+            (lo[:, None, :] + u[None] * (hi - lo + 1)[:, None, :])
+            .astype(np.int64),
+            hi[:, None, :],
+        )  # (P, S, 3) xyz
+        return pts[..., ::-1]  # zyx for correlate_requests
+
+    pa = coords(regions_a, ua).reshape(-1, 3)
+    pb = coords(regions_b, ub).reshape(-1, 3)
+    p = len(regions_a)
+    vals = np.empty(p * s, np.float32)
+    for start in range(0, p * s, request_chunk):
+        end = min(start + request_chunk, p * s)
+        vals[start:end] = np.asarray(correlate_requests(
+            stack, jnp.asarray(pa[start:end]), jnp.asarray(pb[start:end]),
+            measure, absolute=True, **kw,
+        ))
+    vals = vals.reshape(p, s)
+    with np.errstate(invalid="ignore"):
+        out = np.nanmax(
+            np.where(np.isfinite(vals), vals, np.nan), axis=1
+        )
+    return out
 
 
 def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",

@@ -1,0 +1,181 @@
+"""Native Blosc1 frame decoder (Zarr's default compressor family).
+
+The reference reads blosc-compressed Zarr stores through z5 + c-blosc
+(CMakeLists.txt:401-411); this image ships neither python-blosc nor
+numcodecs, so nearly every real-world Zarr ensemble store was
+unreadable in round 1. This module decodes the c-blosc1 container
+format directly:
+
+  16-byte header: version, versionlz, flags, typesize, nbytes,
+  blocksize, cbytes (little-endian); then either the raw buffer
+  (memcpy flag) or an int32 offset table addressing per-block streams,
+  each ``[int32 csize][payload]`` — stored verbatim when csize equals
+  the block's uncompressed size.
+
+Inner codecs: zlib (stdlib), zstd (the ``zstandard`` wheel), lz4
+(ctypes onto the system ``liblz4.so`` — ``LZ4_decompress_safe``; the
+lz4hc encoder emits plain lz4 block streams). Byte-shuffle is undone
+per block with a numpy transpose; bitshuffle and snappy raise clear
+errors (not seen in practice for Zarr stores).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+import zlib
+
+import numpy as np
+
+_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+
+_MEMCPYED = 0x2
+_BYTE_SHUFFLE = 0x1
+_BIT_SHUFFLE = 0x4
+
+_lz4 = None
+
+
+def _lz4_lib():
+    global _lz4
+    if _lz4 is None:
+        name = ctypes.util.find_library("lz4") or "liblz4.so.1"
+        lib = ctypes.CDLL(name)
+        lib.LZ4_decompress_safe.restype = ctypes.c_int
+        lib.LZ4_decompress_safe.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ]
+        _lz4 = lib
+    return _lz4
+
+
+def _decompress_block(codec: int, payload: bytes, dst_size: int) -> bytes:
+    if codec == 1:  # lz4 / lz4hc
+        out = ctypes.create_string_buffer(dst_size)
+        n = _lz4_lib().LZ4_decompress_safe(
+            payload, out, len(payload), dst_size
+        )
+        if n != dst_size:
+            raise ValueError(
+                f"lz4 block decode failed (got {n}, want {dst_size})"
+            )
+        return out.raw
+    if codec == 3:
+        return zlib.decompress(payload)
+    if codec == 4:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=dst_size
+        )
+    raise NotImplementedError(
+        f"blosc inner codec {_CODEC_NAMES.get(codec, codec)!r} not "
+        "supported (lz4/zlib/zstd only)"
+    )
+
+
+def _unshuffle(block: bytes, typesize: int) -> bytes:
+    """Inverse byte shuffle: c-blosc shuffles whole items only; any
+    trailing remainder bytes are stored unshuffled."""
+    if typesize <= 1:
+        return block
+    items = len(block) // typesize
+    split = items * typesize
+    body = np.frombuffer(block[:split], np.uint8)
+    out = body.reshape(typesize, items).T.tobytes()
+    return out + block[split:]
+
+
+def blosc_decompress(frame: bytes) -> bytes:
+    """Decode one Blosc1 frame to its raw bytes."""
+    if len(frame) < 16:
+        raise ValueError("blosc frame shorter than its header")
+    _version, _versionlz, flags, typesize = frame[0], frame[1], frame[2], \
+        frame[3]
+    nbytes, blocksize, cbytes = struct.unpack("<III", frame[4:16])
+    if cbytes != len(frame):
+        # Tolerate trailing bytes (some writers pad) but not short reads.
+        if cbytes > len(frame):
+            raise ValueError("truncated blosc frame")
+    if flags & _BIT_SHUFFLE:
+        raise NotImplementedError("blosc bitshuffle not supported")
+    if flags & _MEMCPYED:
+        return frame[16:16 + nbytes]
+    if nbytes == 0:
+        return b""
+
+    codec = (flags >> 5) & 0x7
+    nblocks = -(-nbytes // blocksize)
+    offsets = struct.unpack(
+        f"<{nblocks}i", frame[16:16 + 4 * nblocks]
+    )
+    shuffle = bool(flags & _BYTE_SHUFFLE)
+    out = bytearray()
+    for b, off in enumerate(offsets):
+        dst_size = min(blocksize, nbytes - b * blocksize)
+        (csize,) = struct.unpack("<i", frame[off:off + 4])
+        payload = frame[off + 4:off + 4 + csize]
+        if csize == dst_size:  # stored verbatim
+            block = payload
+        else:
+            block = _decompress_block(codec, payload, dst_size)
+        if shuffle:
+            block = _unshuffle(block, typesize)
+        out += block
+    return bytes(out)
+
+
+def blosc_compress(
+    data: bytes,
+    typesize: int = 4,
+    cname: str = "lz4",
+    blocksize: int = 1 << 18,
+    shuffle: bool = True,
+) -> bytes:
+    """Encode a Blosc1 frame (round-trip/testing counterpart).
+
+    Uses zlib or zstd encoders (lz4 encoding would need the system
+    lib's compress entry points; decode-side lz4 support is what
+    matters for reading real stores)."""
+    codec = {"zlib": 3, "zstd": 4}.get(cname)
+    if codec is None:
+        raise NotImplementedError(
+            f"blosc_compress supports zlib/zstd, not {cname!r}"
+        )
+    nbytes = len(data)
+    nblocks = -(-nbytes // blocksize)
+    flags = (codec << 5) | (_BYTE_SHUFFLE if shuffle else 0)
+    blocks = []
+    for b in range(nblocks):
+        raw = data[b * blocksize:(b + 1) * blocksize]
+        if shuffle and typesize > 1:
+            items = len(raw) // typesize
+            split = items * typesize
+            body = np.frombuffer(raw[:split], np.uint8)
+            raw = body.reshape(items, typesize).T.tobytes() + raw[split:]
+        if codec == 3:
+            comp = zlib.compress(raw)
+        else:
+            import zstandard
+
+            comp = zstandard.ZstdCompressor().compress(raw)
+        if len(comp) >= len(raw):
+            comp = raw  # store verbatim
+        blocks.append(comp)
+    header_len = 16 + 4 * nblocks
+    offsets = []
+    pos = header_len
+    for b, comp in enumerate(blocks):
+        offsets.append(pos)
+        pos += 4 + len(comp)
+    frame = bytearray()
+    frame += struct.pack(
+        "<BBBB", 2, 0, flags, min(typesize, 255)
+    )
+    frame += struct.pack("<III", nbytes, blocksize, pos)
+    frame += struct.pack(f"<{nblocks}i", *offsets)
+    for b, comp in enumerate(blocks):
+        frame += struct.pack("<i", len(comp))
+        frame += comp
+    return bytes(frame)

@@ -1,30 +1,366 @@
-"""GRIB loader — gated (eccodes/cfgrib are not in this image).
+"""Native GRIB2 loader (and a minimal writer for round-trips/tests).
 
-Reference: src/Loaders/GribLoader.cpp (eccodes). This stub registers
-the extension so catalog entries resolve, and raises a clear error
-with remediation instead of failing opaquely.
+Replaces the reference's eccodes-backed loader
+(src/Loaders/GribLoader.cpp) with a dependency-free decoder in the
+spirit of the repo's other native format codecs (NetCDF3, Zarr,
+NIfTI). Capability matches the reference's used subset:
+
+* messages grouped into time steps by (dataDate, dataTime)
+  (GribLoader.cpp:152-168), fields named by parameter short name
+  (``shortName``, :165 — here from a (discipline, category, number)
+  table with a systematic fallback), vertical levels from the level
+  value (:182-194, isobaric levels sorted descending pressure so z
+  ascends with altitude);
+* grid definition template 3.0 (regular lat/lon incl. scan-order
+  normalization), data representation template 5.0 (simple packing:
+  ``Y = (R + X·2^E) / 10^D``), optional bitmap (section 6) → NaN,
+  constant fields (nbits = 0);
+* lat/lon metadata for the world-map renderer.
+
+Decoding is lazy per (field, time): ``open()`` only indexes message
+byte ranges.
 """
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
+
 from correrender_tpu.io.base import VolumeLoader, register_loader
+
+# (discipline, parameterCategory, parameterNumber) → WMO short name
+# for the common meteorological fields (eccodes paramId table subset).
+_SHORT_NAMES = {
+    (0, 0, 0): "t",
+    (0, 0, 6): "dpt",
+    (0, 1, 0): "q",
+    (0, 1, 1): "r",
+    (0, 1, 52): "tp",
+    (0, 2, 2): "u",
+    (0, 2, 3): "v",
+    (0, 2, 8): "w",
+    (0, 2, 10): "vo",
+    (0, 2, 12): "d",
+    (0, 3, 0): "pres",
+    (0, 3, 1): "msl",
+    (0, 3, 4): "gh",
+    (0, 3, 5): "z",
+    (0, 6, 1): "tcc",
+    (2, 0, 0): "lsm",
+}
+
+
+def _short_name(discipline: int, category: int, number: int) -> str:
+    return _SHORT_NAMES.get(
+        (discipline, category, number),
+        f"p{discipline}.{category}.{number}",
+    )
+
+
+def _sint(raw: int, bits: int) -> int:
+    """GRIB sign-magnitude integer (MSB is the sign bit)."""
+    sign_bit = 1 << (bits - 1)
+    if raw & sign_bit:
+        return -(raw & (sign_bit - 1))
+    return raw
+
+
+def _unpack_bits(data: bytes, nbits: int, count: int) -> np.ndarray:
+    """Unpack ``count`` big-endian ``nbits``-wide unsigned ints."""
+    if nbits == 0:
+        return np.zeros(count, np.int64)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    bits = bits[: count * nbits].reshape(count, nbits).astype(np.int64)
+    weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+    return bits @ weights
+
+
+class _Message:
+    __slots__ = (
+        "discipline", "date", "time", "short_name", "level",
+        "ni", "nj", "la1", "lo1", "la2", "lo2", "scan",
+        "ref", "bin_scale", "dec_scale", "nbits", "npoints",
+        "bitmap_span", "data_span",
+    )
+
+
+def _parse_message(buf: bytes, start: int) -> tuple["_Message", int]:
+    if buf[start:start + 4] != b"GRIB":
+        raise ValueError("not a GRIB message")
+    edition = buf[start + 7]
+    if edition != 2:
+        raise NotImplementedError(
+            f"GRIB edition {edition} not supported (GRIB2 only)"
+        )
+    total_len = struct.unpack(">Q", buf[start + 8:start + 16])[0]
+    end = start + total_len
+    if buf[end - 4:end] != b"7777":
+        raise ValueError("GRIB message missing 7777 terminator")
+
+    msg = _Message()
+    msg.discipline = buf[start + 6]
+    msg.bitmap_span = None
+    msg.data_span = None
+    pos = start + 16
+    while pos < end - 4:
+        sec_len, sec_num = struct.unpack(">IB", buf[pos:pos + 5])
+        body = buf[pos:pos + sec_len]
+        if sec_num == 1:  # identification
+            year, month, day, hour, minute = struct.unpack(
+                ">HBBBB", body[12:18]
+            )
+            msg.date = year * 10000 + month * 100 + day
+            msg.time = hour * 100 + minute
+        elif sec_num == 3:  # grid definition
+            template = struct.unpack(">H", body[12:14])[0]
+            if template != 0:
+                raise NotImplementedError(
+                    f"grid definition template 3.{template} not "
+                    "supported (regular lat/lon only)"
+                )
+            msg.ni = struct.unpack(">I", body[30:34])[0]
+            msg.nj = struct.unpack(">I", body[34:38])[0]
+            la1 = struct.unpack(">I", body[46:50])[0]
+            lo1 = struct.unpack(">I", body[50:54])[0]
+            la2 = struct.unpack(">I", body[55:59])[0]
+            lo2 = struct.unpack(">I", body[59:63])[0]
+            msg.la1 = _sint(la1, 32) / 1e6
+            msg.lo1 = _sint(lo1, 32) / 1e6
+            msg.la2 = _sint(la2, 32) / 1e6
+            msg.lo2 = _sint(lo2, 32) / 1e6
+            msg.scan = body[71]
+        elif sec_num == 4:  # product definition
+            category = body[9]
+            number = body[10]
+            msg.short_name = _short_name(
+                msg.discipline, category, number
+            )
+            surface_type = body[22]
+            scale = body[23]
+            value = struct.unpack(">I", body[24:28])[0]
+            lvl = float(_sint(value, 32)) / (10.0 ** _sint(scale, 8))
+            if surface_type == 100:  # isobaric surface: Pa → hPa
+                lvl /= 100.0
+            msg.level = lvl
+        elif sec_num == 5:  # data representation
+            msg.npoints = struct.unpack(">I", body[5:9])[0]
+            template = struct.unpack(">H", body[9:11])[0]
+            if template != 0:
+                raise NotImplementedError(
+                    f"data representation template 5.{template} not "
+                    "supported (simple packing only)"
+                )
+            msg.ref = struct.unpack(">f", body[11:15])[0]
+            msg.bin_scale = _sint(
+                struct.unpack(">H", body[15:17])[0], 16
+            )
+            msg.dec_scale = _sint(
+                struct.unpack(">H", body[17:19])[0], 16
+            )
+            msg.nbits = body[19]
+        elif sec_num == 6:  # bitmap
+            indicator = body[5]
+            if indicator == 0:
+                msg.bitmap_span = (pos + 6, pos + sec_len)
+            elif indicator != 255:
+                raise NotImplementedError(
+                    f"bitmap indicator {indicator} not supported"
+                )
+        elif sec_num == 7:  # data
+            msg.data_span = (pos + 5, pos + sec_len)
+        pos += sec_len
+    return msg, end
+
+
+def _decode_values(buf: bytes, msg: "_Message") -> np.ndarray:
+    d0, d1 = msg.data_span
+    x = _unpack_bits(buf[d0:d1], msg.nbits, msg.npoints)
+    y = (msg.ref + x.astype(np.float64) * 2.0 ** msg.bin_scale) \
+        / 10.0 ** msg.dec_scale
+    y = y.astype(np.float32)
+    if msg.bitmap_span is not None:
+        b0, b1 = msg.bitmap_span
+        mask = np.unpackbits(
+            np.frombuffer(buf[b0:b1], np.uint8)
+        )[: msg.ni * msg.nj].astype(bool)
+        full = np.full(msg.ni * msg.nj, np.nan, np.float32)
+        full[mask] = y
+        y = full
+    grid = y.reshape(msg.nj, msg.ni)
+    if msg.scan & 0x80:  # -i scan: east → west
+        grid = grid[:, ::-1]
+    if not (msg.scan & 0x40):  # first row is northernmost: flip so
+        grid = grid[::-1]      # row index ascends with latitude
+    return grid
 
 
 @register_loader
 class GribLoader(VolumeLoader):
+    """Native GRIB2 reader (see module docstring for capability)."""
+
     extensions = ("grb", "grib", "grb2", "grib2")
 
     def open(self, path, dataset_info=None):
-        try:
-            import cfgrib  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                f"cannot load {path!r}: GRIB decoding requires the "
-                "'cfgrib'/'eccodes' packages, which are not installed in "
-                "this environment. Convert the file to NetCDF "
-                "(`grib_to_netcdf`/`cdo -f nc copy`) or install cfgrib."
-            )
-        raise NotImplementedError("cfgrib backend not wired yet")
+        self.path = path
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        buf = self._buf
+        messages = []
+        pos = 0
+        while True:
+            idx = buf.find(b"GRIB", pos)
+            if idx < 0:
+                break
+            msg, pos = _parse_message(buf, idx)
+            messages.append(msg)
+        if not messages:
+            raise ValueError(f"{path}: no GRIB2 messages found")
 
-    def load_field(self, name, time=0, member=0):  # pragma: no cover
-        raise NotImplementedError
+        times = sorted({(m.date, m.time) for m in messages})
+        # Isobaric levels: descending pressure so z ascends with
+        # altitude (matches the reference's level handling).
+        levels = sorted({m.level for m in messages}, reverse=True)
+        names = []
+        for m in messages:
+            if m.short_name not in names:
+                names.append(m.short_name)
+
+        self._index = {}
+        for m in messages:
+            key = (m.short_name, times.index((m.date, m.time)),
+                   levels.index(m.level))
+            self._index[key] = m
+
+        m0 = messages[0]
+        self.xs, self.ys, self.zs = m0.ni, m0.nj, len(levels)
+        self.ts = len(times)
+        self.es = 1
+        self.field_names = names
+        self.levels = levels
+        self.time_steps = times
+        la_lo, la_hi = sorted((m0.la1, m0.la2))
+        lo_lo, lo_hi = sorted((m0.lo1, m0.lo2))
+        self.lat = np.linspace(la_lo, la_hi, m0.nj).astype(np.float32)
+        self.lon = np.linspace(lo_lo, lo_hi, m0.ni).astype(np.float32)
+        return self
+
+    def load_field(self, name, time=0, member=0):
+        out = np.full((self.zs, self.ys, self.xs), np.nan, np.float32)
+        for z in range(self.zs):
+            msg = self._index.get((name, time, z))
+            if msg is not None:
+                out[z] = _decode_values(self._buf, msg)
+        return out
+
+
+def write_grib2(
+    path: str,
+    fields: dict,
+    levels=None,
+    date: int = 20200101,
+    time: int = 0,
+    lat=(-90.0, 90.0),
+    lon=(0.0, 359.0),
+    nbits: int = 16,
+):
+    """Minimal GRIB2 writer (template 3.0 / 5.0 simple packing).
+
+    Args:
+      fields: ``{short_name: (L, Nj, Ni) array}``.
+      levels: per-z level values in hPa (default 1000, 900, ...).
+
+    One message per (field, level). Exists for round-trip tests and
+    as a field-export target; inverse of :class:`GribLoader`.
+    """
+    name_to_code = {v: k for k, v in _SHORT_NAMES.items()}
+    out = bytearray()
+    first = next(iter(fields.values()))
+    nz, nj, ni = first.shape
+    if levels is None:
+        levels = [1000.0 - 100.0 * z for z in range(nz)]
+
+    for name, vol in fields.items():
+        disc, cat, num = name_to_code.get(name, (0, 254, 0))
+        for z in range(nz):
+            grid = np.asarray(vol[z], np.float64)
+            lo = float(np.nanmin(grid))
+            hi = float(np.nanmax(grid))
+            span = max(hi - lo, 0.0)
+            if span == 0.0 or nbits == 0:
+                nb, scale = 0, 0
+                packed = b""
+            else:
+                nb = nbits
+                # binary scale s.t. (hi-lo) fits in nbits.
+                scale = int(np.ceil(np.log2(span / (2**nb - 1))))
+                x = np.round(
+                    (grid - lo) / 2.0 ** scale
+                ).astype(np.int64).ravel()
+                x = np.clip(x, 0, 2**nb - 1)
+                bits = (
+                    (x[:, None] >> np.arange(nb - 1, -1, -1)) & 1
+                ).astype(np.uint8).ravel()
+                packed = np.packbits(bits).tobytes()
+
+            def sec(num_, body):
+                return struct.pack(">IB", len(body) + 5, num_) + body
+
+            def usint(v, bits):
+                """Encode a sign-magnitude GRIB integer."""
+                v = int(round(v))
+                if v < 0:
+                    return (1 << (bits - 1)) | (-v)
+                return v
+
+            # Section 1 — identification (octets 6..21).
+            s1 = sec(1, struct.pack(
+                ">HHBBBHBBBBBBB",
+                0, 0, 2, 1, 1,  # centre, subcentre, tables, ref-time
+                date // 10000, (date // 100) % 100, date % 100,
+                time // 100, time % 100, 0, 0, 1,
+            ))
+            # Section 3 — grid definition template 3.0 (octets 6..72).
+            s3 = sec(3, (
+                struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0)  # 6..14
+                + struct.pack(">BBIBIBI", 6, 0, 0, 0, 0, 0, 0)  # 15..30
+                + struct.pack(">II", ni, nj)  # 31..38
+                + struct.pack(">II", 0, 0)  # 39..46 basic angle
+                + struct.pack(">II", usint(lat[0] * 1e6, 32),
+                              usint(lon[0] * 1e6, 32))  # 47..54
+                + struct.pack(">B", 0x30)  # 55 resolution flags
+                + struct.pack(">II", usint(lat[1] * 1e6, 32),
+                              usint(lon[1] * 1e6, 32))  # 56..63
+                + struct.pack(
+                    ">II",
+                    int(abs(lon[1] - lon[0]) / max(ni - 1, 1) * 1e6),
+                    int(abs(lat[1] - lat[0]) / max(nj - 1, 1) * 1e6),
+                )  # 64..71 Di, Dj
+                + struct.pack(">B", 0x40)  # 72 scan: +i, +j (S → N)
+            ))
+            # Section 4 — product definition template 4.0 (octets 6..34).
+            s4 = sec(4, (
+                struct.pack(">HH", 0, 0)  # 6..9 coords, template
+                + struct.pack(">BBBBB", cat, num, 0, 0, 0)  # 10..14
+                + struct.pack(">HBB", 0, 0, 1)  # 15..18 cutoff, unit
+                + struct.pack(">I", 0)  # 19..22 forecast time
+                + struct.pack(">BBI", 100, 0,
+                              usint(levels[z] * 100, 32))  # 23..28
+                + struct.pack(">BBI", 255, 0, 0)  # 29..34 2nd surface
+            ))
+            # Section 5 — data representation template 5.0 (6..21).
+            s5 = sec(5, struct.pack(
+                ">IHfHHBB",
+                ni * nj, 0, np.float32(lo),
+                usint(scale, 16), 0, nb, 0,
+            ))
+            s6 = sec(6, struct.pack(">B", 255))
+            s7 = sec(7, packed)
+            body = s1 + s3 + s4 + s5 + s6 + s7
+            total = 16 + len(body) + 4
+            out += (
+                b"GRIB" + struct.pack(">HBB", 0, disc, 2)
+                + struct.pack(">Q", total) + body + b"7777"
+            )
+    with open(path, "wb") as f:
+        f.write(bytes(out))

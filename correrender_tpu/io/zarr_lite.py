@@ -2,8 +2,9 @@
 
 Reference: src/Loaders/ZarrLoader.cpp (via z5/xtensor). Supports
 directory stores with ``.zarray``/``.zattrs`` JSON metadata, C-order
-chunks, raw / zlib / gzip compression (blosc is unavailable without
-native blosc — gated with a clear error).
+chunks, raw / zlib / gzip / blosc compression (blosc frames decoded
+natively — io/blosc.py — with lz4/zstd/zlib inner codecs and byte
+shuffle).
 """
 
 from __future__ import annotations
@@ -33,10 +34,10 @@ class ZarrArray:
         self.order = meta.get("order", "C")
         comp = meta.get("compressor")
         self.compressor = comp["id"] if comp else None
-        if self.compressor not in (None, "zlib", "gzip"):
+        if self.compressor not in (None, "zlib", "gzip", "blosc"):
             raise ValueError(
                 f"{path}: compressor {self.compressor!r} not supported "
-                "(raw/zlib/gzip only; re-encode or install blosc)"
+                "(raw/zlib/gzip/blosc)"
             )
         self.sep = meta.get("dimension_separator", ".")
 
@@ -49,6 +50,10 @@ class ZarrArray:
             raw = f.read()
         if self.compressor in ("zlib", "gzip"):
             raw = zlib.decompress(raw, zlib.MAX_WBITS | 32)
+        elif self.compressor == "blosc":
+            from correrender_tpu.io.blosc import blosc_decompress
+
+            raw = blosc_decompress(raw)
         arr = np.frombuffer(raw, self.dtype)
         if self.order == "F":
             return arr.reshape(self.chunks, order="F")

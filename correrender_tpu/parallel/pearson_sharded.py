@@ -17,6 +17,8 @@ block (members ≤ a few thousand — cheap relative to the O(n²) math).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -25,23 +27,12 @@ from jax.experimental.shard_map import shard_map
 from correrender_tpu.ops.registry import CorrelationMeasure, measure_from_id
 
 
-def pearson_member_sharded(
-    stack: jnp.ndarray,
-    ref: jnp.ndarray,
-    mesh: Mesh,
-) -> jnp.ndarray:
-    """Pearson field with (Z, Y, X, E) sharded (space, -, -, members).
-
-    Args:
-      stack: member stack, sharded or shardable over ``mesh``.
-      ref: ``(E,)`` reference series (sharded over ``members``).
-      mesh: 2D ("space", "members") mesh.
-
-    Returns:
-      ``(Z, Y, X)`` field sharded over "space", replicated over
-      "members".
-    """
-    n = stack.shape[-1]
+@functools.lru_cache(maxsize=32)
+def _pearson_sharded_fn(mesh: Mesh, n: int):
+    """Build + jit once per (mesh, member count): a fresh shard_map
+    closure per call would retrace AND recompile every invocation
+    (measured: ~12 s per 'warm' call through the tunnel in round 1's
+    config-5 run)."""
 
     def local_moments(stack_blk, ref_blk):
         # stack_blk: (Zb, Y, X, Eb); ref_blk: (Eb,)
@@ -65,13 +56,31 @@ def pearson_member_sharded(
         )
         return num / den
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_moments,
         mesh=mesh,
         in_specs=(P("space", None, None, "members"), P("members")),
         out_specs=P("space", None, None),
-    )
-    return fn(stack, ref)
+    ))
+
+
+def pearson_member_sharded(
+    stack: jnp.ndarray,
+    ref: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Pearson field with (Z, Y, X, E) sharded (space, -, -, members).
+
+    Args:
+      stack: member stack, sharded or shardable over ``mesh``.
+      ref: ``(E,)`` reference series (sharded over ``members``).
+      mesh: 2D ("space", "members") mesh.
+
+    Returns:
+      ``(Z, Y, X)`` field sharded over "space", replicated over
+      "members".
+    """
+    return _pearson_sharded_fn(mesh, stack.shape[-1])(stack, ref)
 
 
 def correlate_member_sharded(
@@ -91,6 +100,14 @@ def correlate_member_sharded(
     m = measure_from_id(measure)
     if m == CorrelationMeasure.PEARSON:
         return pearson_member_sharded(stack, ref, mesh)
+    return _gather_sharded_fn(
+        mesh, m, tuple(sorted(kwargs.items()))
+    )(stack, ref)
+
+
+@functools.lru_cache(maxsize=32)
+def _gather_sharded_fn(mesh: Mesh, m, kwargs_items):
+    kwargs = dict(kwargs_items)
 
     from correrender_tpu.calculators.correlation import correlate_field
 
@@ -101,11 +118,10 @@ def correlate_member_sharded(
         full_ref = jax.lax.all_gather(ref_blk, "members", axis=0, tiled=True)
         return correlate_field(full_stack, full_ref, m, **kwargs)
 
-    fn = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=(P("space", None, None, "members"), P("members")),
         out_specs=P("space", None, None),
         check_rep=False,
     )
-    return fn(stack, ref)

@@ -195,3 +195,79 @@ class TestDistributionSimilarity:
         )
         assert emb.shape[1] == 2
         assert len(labels) == len(emb) == len(ids)
+
+
+class TestBatchedSampling:
+    def test_matches_per_pair_loop(self):
+        # The batched request-mode path must reproduce the per-pair
+        # loop exactly (same quasirandom positions for every pair).
+        from correrender_tpu.diagrams.octree import GridRegion
+        from correrender_tpu.diagrams.sampling import (
+            batched_block_pairs_max,
+            sample_block_pair_max,
+        )
+        from correrender_tpu.utils import fixtures
+
+        data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8, members=40)
+        stack = np.moveaxis(data, 0, -1)
+        regions = [
+            GridRegion(0, 0, 0, 7, 7, 3),
+            GridRegion(8, 8, 4, 15, 15, 7),
+            GridRegion(4, 0, 2, 11, 7, 5),
+        ]
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        for method in ("plastic", "halton", "random"):
+            batched = batched_block_pairs_max(
+                stack,
+                [regions[i] for i, _ in pairs],
+                [regions[j] for _, j in pairs],
+                "pearson", method=method, num_samples=24,
+            )
+            looped = [
+                sample_block_pair_max(
+                    stack, regions[i], regions[j], "pearson",
+                    method=method, num_samples=24, seed=0,
+                )
+                for i, j in pairs
+            ]
+            np.testing.assert_allclose(batched, looped, atol=1e-5)
+
+    def test_gp_hyperparam_fit_recovers_scale(self):
+        import jax.numpy as jnp
+
+        from correrender_tpu.diagrams.bayopt import (
+            fit_gp_hyperparams,
+            matern52,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.random((60, 2)).astype(np.float32)
+        true_ls = 0.15
+        k = np.asarray(matern52(jnp.asarray(x), jnp.asarray(x),
+                                true_ls, 1.0))
+        y = rng.multivariate_normal(np.zeros(60), k + 1e-6 * np.eye(60))
+        ls, var = fit_gp_hyperparams(
+            jnp.asarray(x), jnp.asarray(y, jnp.float32)
+        )
+        # Wide tolerance: ML on 60 points — but must land near 0.15,
+        # far from the old hardcoded 0.3 when the data says otherwise.
+        assert 0.05 <= float(ls) <= 0.3
+
+    def test_sampling_test_indices(self, tmp_path):
+        from correrender_tpu.app.sampling_test import (
+            TEST_CASE_DATA_MAX_SUBSAMPLED,
+            run_sampling_test_index,
+        )
+        from correrender_tpu.io import writers
+        from correrender_tpu.utils import fixtures
+
+        data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8,
+                                           members=30)
+        path = str(tmp_path / "d.nc")
+        writers.write_netcdf(path, data[:, None], name="q")  # (E,T,Z,Y,X)
+        rows = run_sampling_test_index(
+            TEST_CASE_DATA_MAX_SUBSAMPLED, dataset=path,
+            csv_path=str(tmp_path / "s.csv"), num_pairs=2, block=6,
+        )
+        assert [r["method"] for r in rows] == ["mean"] * 4
+        assert (tmp_path / "s.csv").exists()

@@ -376,3 +376,105 @@ class TestCatalogAxes:
         assert vd.grid.shape_zyx == (5, 6, 4)
         got = np.asarray(vd.get_field("temp"))
         np.testing.assert_allclose(got, data[0, 0].transpose(1, 0, 2))
+
+
+class TestBlosc:
+    def _roundtrip(self, cname, shuffle, n=10000):
+        from correrender_tpu.io.blosc import blosc_compress, blosc_decompress
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=n).astype(np.float32).tobytes()
+        frame = blosc_compress(data, typesize=4, cname=cname,
+                               blocksize=8192, shuffle=shuffle)
+        assert blosc_decompress(frame) == data
+
+    def test_zstd_shuffle(self):
+        self._roundtrip("zstd", True)
+
+    def test_zlib_no_shuffle(self):
+        self._roundtrip("zlib", False)
+
+    def test_verbatim_blocks(self):
+        # Incompressible data → blocks stored raw (csize == dst_size).
+        from correrender_tpu.io.blosc import blosc_compress, blosc_decompress
+
+        data = np.random.default_rng(1).bytes(40000)
+        frame = blosc_compress(data, typesize=1, cname="zlib",
+                               blocksize=8192, shuffle=False)
+        assert blosc_decompress(frame) == data
+
+    def test_lz4_inner_codec(self):
+        # Encode an lz4 frame with the system liblz4 to exercise the
+        # decode path real Zarr stores use.
+        import ctypes
+        import ctypes.util
+        import struct
+
+        from correrender_tpu.io.blosc import blosc_decompress
+
+        lib = ctypes.CDLL(ctypes.util.find_library("lz4") or "liblz4.so.1")
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        data = (np.arange(5000, dtype=np.float32) * 0.5).tobytes()
+        bound = lib.LZ4_compressBound(len(data))
+        out = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_default(data, out, len(data), bound)
+        assert n > 0
+        comp = out.raw[:n]
+        header = struct.pack("<BBBB", 2, 0, 1 << 5, 4)
+        header += struct.pack("<III", len(data), len(data),
+                              16 + 4 + 4 + len(comp))
+        frame = header + struct.pack("<i", 20) + struct.pack(
+            "<i", len(comp)) + comp
+        assert blosc_decompress(frame) == data
+
+    def test_zarr_blosc_store(self, tmp_path):
+        # End-to-end: blosc-compressed zarr chunk through the loader.
+        from correrender_tpu.io.blosc import blosc_compress
+        from correrender_tpu.io.zarr_lite import ZarrArray
+
+        data = np.arange(4 * 6 * 8, dtype="<f4").reshape(4, 6, 8)
+        adir = tmp_path / "a.zarr" / "q"
+        adir.mkdir(parents=True)
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [4, 6, 8], "chunks": [4, 6, 8],
+            "dtype": "<f4",
+            "compressor": {"id": "blosc", "cname": "zstd",
+                           "clevel": 5, "shuffle": 1},
+            "fill_value": 0, "order": "C", "filters": None,
+        }))
+        (adir / "0.0.0").write_bytes(
+            blosc_compress(data.tobytes(), typesize=4, cname="zstd")
+        )
+        arr = ZarrArray(str(adir))
+        np.testing.assert_array_equal(arr[:, :, :], data)
+
+
+class TestGrib:
+    def test_roundtrip_multilevel(self, tmp_path):
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(0)
+        t_f = (250 + 30 * rng.random(size=(3, 10, 16))).astype(np.float32)
+        u_f = (rng.normal(size=(3, 10, 16)) * 10).astype(np.float32)
+        path = str(tmp_path / "f.grb2")
+        write_grib2(path, {"t": t_f, "u": u_f},
+                    lat=(-30.0, 60.0), lon=(0.0, 150.0), nbits=20)
+        ld = GribLoader().open(path)
+        assert ld.field_names == ["t", "u"]
+        assert (ld.zs, ld.ys, ld.xs, ld.ts) == (3, 10, 16, 1)
+        assert ld.levels == [1000.0, 900.0, 800.0]
+        np.testing.assert_allclose(ld.load_field("t"), t_f, atol=1e-3)
+        np.testing.assert_allclose(ld.load_field("u"), u_f, atol=1e-3)
+        np.testing.assert_allclose(
+            [ld.lat[0], ld.lat[-1]], [-30.0, 60.0], atol=1e-5
+        )
+
+    def test_constant_field_and_registry(self, tmp_path):
+        from correrender_tpu.io.base import loader_for_path
+        from correrender_tpu.io.grib import write_grib2
+
+        const = np.full((1, 4, 5), 7.25, np.float32)
+        path = str(tmp_path / "c.grib")
+        write_grib2(path, {"t": const})
+        ld = loader_for_path(path).open(path)
+        np.testing.assert_allclose(ld.load_field("t"), const, atol=1e-6)
