@@ -30,6 +30,7 @@ class NeuralCorrelationCalculator(Calculator):
         model: CorrelationSRN | None = None,
         params=None,
         train_steps: int = 300,
+        weights_path: str | None = None,
         output_name=None,
     ):
         super().__init__(output_name)
@@ -39,9 +40,52 @@ class NeuralCorrelationCalculator(Calculator):
         self.model = model or CorrelationSRN.create()
         self.params = params
         self.train_steps = train_steps
+        self._stencil = None  # lazy NaN stencil (valid-voxel mask)
+        if weights_path is not None:
+            self.load_weights(weights_path)
 
     def default_output_name(self):
         return f"Neural Correlation ({self.field_name})"
+
+    # -- pretrained weights (reference loads TorchScript modules,
+    # -- PyTorchCorrelationCalculator.cpp:261; here: .npz presets
+    # -- carrying the model hyperparameters alongside the pytree) ------
+
+    def save_weights(self, path: str) -> None:
+        """Persist trained params + model config as one .npz preset."""
+        if self.params is None:
+            raise ValueError("no trained parameters to save")
+        from correrender_tpu.models.checkpoint import save_params
+
+        save_params(path, {
+            "config": self.model.config_array(),
+            "params": self.params,
+        })
+
+    def load_weights(self, path: str) -> None:
+        """Load an .npz preset; rebuilds the model from its config."""
+        import numpy as _np
+
+        with _np.load(path) as data:
+            cfg = data["config"]
+        self.model = CorrelationSRN.from_config_array(cfg)
+        from correrender_tpu.models.checkpoint import load_params
+
+        template = {
+            "config": cfg,
+            "params": self.model.init(__import__("jax").random.key(0)),
+        }
+        self.params = load_params(path, template)["params"]
+
+    # -- NaN stencil (DeepLearningCorrelationCalculator.hpp:101-104):
+    # -- voxels whose member series contains NaN are excluded from
+    # -- training and rendered as NaN at inference ---------------------
+
+    def _nan_stencil(self, stack):
+        """(Z, Y, X) bool — True where the full series is finite."""
+        if self._stencil is None:
+            self._stencil = jnp.all(jnp.isfinite(stack), axis=-1)
+        return self._stencil
 
     def _grid_positions(self):
         g = self.volume_data.grid
@@ -65,18 +109,24 @@ class NeuralCorrelationCalculator(Calculator):
         )
         rng = np.random.default_rng(seed)
         pos = self._grid_positions().reshape(-1, 3)
+        stencil = np.asarray(self._nan_stencil(stack)).reshape(-1)
         pos_ref_list, pos_query_list, target_list = [], [], []
         for _ in range(num_reference_points):
-            rx = int(rng.integers(0, g.xs))
-            ry = int(rng.integers(0, g.ys))
-            rz = int(rng.integers(0, g.zs))
+            # Reference points are drawn from the valid-voxel stencil
+            # only (NaN series would poison the target field).
+            while True:
+                rx = int(rng.integers(0, g.xs))
+                ry = int(rng.integers(0, g.ys))
+                rz = int(rng.integers(0, g.zs))
+                if stencil[(rz * g.ys + ry) * g.xs + rx]:
+                    break
             field = correlate_field(
                 stack, stack[rz, ry, rx], self.measure
             ).reshape(-1)
             ref_pos = jnp.asarray(
                 [(rx + 0.5) / g.xs, (ry + 0.5) / g.ys, (rz + 0.5) / g.zs]
             )
-            ok = jnp.isfinite(field)
+            ok = jnp.isfinite(field) & jnp.asarray(stencil)
             pos_ref_list.append(
                 jnp.broadcast_to(ref_pos, pos.shape)[ok]
             )
@@ -94,7 +144,8 @@ class NeuralCorrelationCalculator(Calculator):
     def compute(self, time: int, member: int):
         if self.params is None:
             self.fit(time)
-        g = self.volume_data.grid
+        vd = self.volume_data
+        g = vd.grid
         x, y, z = self.reference_point
         ref_pos = jnp.asarray(
             [(x + 0.5) / g.xs, (y + 0.5) / g.ys, (z + 0.5) / g.zs]
@@ -103,7 +154,13 @@ class NeuralCorrelationCalculator(Calculator):
         out = self.model.apply(
             self.params, jnp.broadcast_to(ref_pos, pos.shape), pos
         )
-        return out
+        # NaN-stencil the output like the reference masks invalid
+        # voxels (DeepLearningCorrelationCalculator.hpp:101-104).
+        stack = vd.get_member_stack(
+            self.field_name or vd.field_names[0], time
+        )
+        stencil = self._nan_stencil(stack)
+        return jnp.where(stencil, out, jnp.nan)
 
     def set_reference_point(self, x, y, z):
         self.reference_point = (x, y, z)

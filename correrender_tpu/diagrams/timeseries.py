@@ -39,17 +39,65 @@ def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
         return np.asarray(f[name][...], np.float32)
 
 
+def time_series_correlation_neural(
+    series: np.ndarray,
+    steps: int = 300,
+    hidden: int = 32,
+    seed: int = 0,
+) -> np.ndarray:
+    """Pairwise MI heatmap from per-pair MINE statistic networks.
+
+    The reference's neural estimator mode
+    (TimeSeriesCorrelationRenderer.cu, SSDBM 2024): one tiny network
+    per heatmap cell estimates the Donsker–Varadhan MI bound between
+    the two series; all P = S(S+1)/2 nets train simultaneously via a
+    vmapped Adam loop (models/mine.py::train_mine_batched).
+    """
+    from correrender_tpu.models.mine import (
+        MineEstimator,
+        train_mine_batched,
+    )
+    import jax.numpy as jnp
+
+    s = np.asarray(series, np.float32)
+    # Normalize each series (MINE statistic nets are scale-sensitive).
+    s = (s - s.mean(axis=1, keepdims=True)) / (
+        s.std(axis=1, keepdims=True) + 1e-8
+    )
+    n = s.shape[0]
+    iu, ju = np.triu_indices(n, k=0)
+    est = MineEstimator.create(hidden=hidden, num_layers=3)
+    mi = np.asarray(train_mine_batched(
+        est, jnp.asarray(s[iu]), jnp.asarray(s[ju]),
+        steps=steps, seed=seed,
+    ))
+    out = np.zeros((n, n), np.float32)
+    out[iu, ju] = mi
+    out[ju, iu] = mi
+    return out
+
+
 def time_series_correlation(
     series: np.ndarray,
     measure: str = "pearson",
     window: int | None = None,
+    estimator: str = "classical",
     **measure_kw,
 ) -> np.ndarray:
     """Pairwise correlation of (S, T) series → (S, S) heatmap.
 
+    ``estimator="mine"`` switches to the neural MI estimator
+    (:func:`time_series_correlation_neural`; pairwise mode only).
+
     With ``window``, computes the time-lag correlation map instead:
     out[i, lag] = corr(series[i, :T-window], shifted window at lag).
     """
+    if estimator == "mine":
+        if window is not None:
+            raise ValueError(
+                "the neural estimator supports the pairwise mode only"
+            )
+        return time_series_correlation_neural(series, **measure_kw)
     s = np.asarray(series, np.float32)
     if window is None:
         x = jnp.asarray(s)

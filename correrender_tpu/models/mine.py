@@ -64,6 +64,28 @@ class CorrelationSRN:
         return cls(encoding=enc, encoder=encoder, decoder=decoder,
                    symmetrizer=symmetrizer)
 
+    _SYMMETRIZERS = ("add", "add_diff", "mul")
+
+    def config_array(self):
+        """Hyperparameters as a small int array (rides inside .npz
+        weight presets so loading needs no side-channel config)."""
+        import numpy as np
+
+        return np.asarray([
+            self.encoder.hidden,
+            self.encoder.out_features,
+            self.encoding.num_frequencies,
+            self._SYMMETRIZERS.index(self.symmetrizer),
+        ], np.int64)
+
+    @classmethod
+    def from_config_array(cls, cfg):
+        return cls.create(
+            hidden=int(cfg[0]), latent=int(cfg[1]),
+            num_frequencies=int(cfg[2]),
+            symmetrizer=cls._SYMMETRIZERS[int(cfg[3])],
+        )
+
     def init(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
         return {
@@ -180,3 +202,58 @@ def train_mine(
         params, opt_state, key, loss = step_fn(params, opt_state, key, t)
         mi = -float(loss)
     return params, mi
+
+
+def train_mine_batched(
+    estimator: MineEstimator,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    steps: int = 300,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Train P independent MINE statistic nets at once.
+
+    The reference's neural time-series mode evaluates an estimator per
+    heatmap cell on the GPU (TimeSeriesCorrelationRenderer.cu); here
+    the per-pair networks are vmapped — parameters carry a leading
+    pair axis and every Adam step updates all P nets in one XLA
+    program.
+
+    Args:
+      xs, ys: ``(P, n)`` sample series per pair.
+
+    Returns:
+      ``(P,)`` MI lower-bound estimates (nats) from the trained nets.
+    """
+    p_count = xs.shape[0]
+    keys = jax.random.split(jax.random.key(seed), p_count)
+    params = jax.vmap(estimator.init)(keys)
+
+    def loss_one(p, x, y, k):
+        return -estimator.mi_lower_bound(p, x, y, k)
+
+    grad_all = jax.vmap(jax.value_and_grad(loss_one))
+
+    @jax.jit
+    def run(params, keys):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
+
+        def body(t, carry):
+            params, opt_state, keys = carry
+            split = jax.vmap(jax.random.split)(keys)
+            keys, subs = split[:, 0], split[:, 1]
+            _, grads = grad_all(params, xs, ys, subs)
+            params, opt_state = _adam_update(
+                params, grads, opt_state, lr, t.astype(jnp.float32)
+            )
+            return params, opt_state, keys
+
+        params, opt_state, keys = jax.lax.fori_loop(
+            1, steps + 1, body, (params, opt_state, keys)
+        )
+        mi = jax.vmap(estimator.mi_lower_bound)(params, xs, ys, keys)
+        return jnp.maximum(mi, 0.0)
+
+    return run(params, keys)

@@ -198,3 +198,70 @@ class TestCheckpoint:
         with pytest.raises(KeyError):
             load_params(str(tmp_path / "p.npz"),
                         {"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+class TestNeuralDepth:
+    def test_weight_presets_roundtrip(self, tmp_path):
+        import jax
+
+        from correrender_tpu.calculators.neural import (
+            NeuralCorrelationCalculator,
+        )
+        from correrender_tpu.models.mine import CorrelationSRN
+
+        model = CorrelationSRN.create(hidden=16, latent=8,
+                                      num_frequencies=2)
+        c = NeuralCorrelationCalculator(field_name="q", model=model)
+        c.params = model.init(jax.random.key(0))
+        path = str(tmp_path / "w.npz")
+        c.save_weights(path)
+        c2 = NeuralCorrelationCalculator(field_name="q",
+                                         weights_path=path)
+        # Model rebuilt from the embedded config, params identical.
+        assert c2.model.encoder.hidden == 16
+        pr = np.ones((4, 3), np.float32) * 0.5
+        a = np.asarray(c.model.apply(c.params, pr, pr))
+        b = np.asarray(c2.model.apply(c2.params, pr, pr))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_nan_stencil_masks_output(self):
+        from correrender_tpu.calculators.neural import (
+            NeuralCorrelationCalculator,
+        )
+        from correrender_tpu.core import GridMetadata, VolumeData
+        from correrender_tpu.models.mine import CorrelationSRN
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(20, 4, 6, 6)).astype(np.float32)
+        data[:, 1, 2, 3] = np.nan  # one invalid voxel series
+        vd = VolumeData(GridMetadata(xs=6, ys=6, zs=4, ts=1, es=20))
+        vd.add_field("q", lambda t, e: data[e])
+        c = NeuralCorrelationCalculator(
+            field_name="q", model=CorrelationSRN.create(
+                hidden=8, latent=4, num_frequencies=2),
+            train_steps=5, reference_point=(0, 0, 0),
+        )
+        vd.add_calculator(c)
+        out = np.asarray(vd.get_field(c.output_name))
+        assert np.isnan(out[1, 2, 3])
+        assert np.isfinite(out[0, 0, 0])
+
+    def test_mine_timeseries_heatmap(self):
+        from correrender_tpu.diagrams.timeseries import (
+            time_series_correlation,
+        )
+
+        rng = np.random.default_rng(0)
+        t = 200
+        a = rng.normal(size=t).astype(np.float32)
+        series = np.stack([
+            a,
+            a * 0.95 + 0.1 * rng.normal(size=t),  # dependent on a
+            rng.normal(size=t),  # independent
+        ]).astype(np.float32)
+        mi = time_series_correlation(series, estimator="mine",
+                                     steps=150, hidden=16)
+        assert mi.shape == (3, 3)
+        # Dependent pair must score clearly above the independent one.
+        assert mi[0, 1] > mi[0, 2] + 0.1
+        assert np.allclose(mi, mi.T)
