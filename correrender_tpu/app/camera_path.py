@@ -69,9 +69,13 @@ def render_flythrough(
     time_indices=None,
     view: int = 0,
     prefix: str = "frame",
+    video_path: str | None = None,
+    fps: int = 30,
 ):
     """Render a camera path (optionally stepping time per frame — the
-    time-lag animation mode) to numbered PNGs; returns the file list."""
+    time-lag animation mode) to numbered PNGs; returns the file list.
+    With ``video_path``, additionally encodes the frames as an MJPEG
+    AVI (write_mjpeg_avi)."""
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
@@ -86,4 +90,97 @@ def render_flythrough(
             (np.clip(img, 0, 1) * 255).astype(np.uint8)
         ).save(path)
         files.append(path)
+    if video_path:
+        write_mjpeg_avi(files, video_path, fps=fps)
     return files
+
+
+def write_mjpeg_avi(frames, path: str, fps: int = 30,
+                    quality: int = 90) -> str:
+    """Encode frames into an MJPEG AVI — flythrough video export.
+
+    The reference records camera-path videos through sgl's video
+    writer; this image has no ffmpeg, so the RIFF/AVI container is
+    written directly with PIL-encoded JPEG frames (universally
+    playable, dependency-free).
+
+    Args:
+      frames: iterable of (H, W, 3/4) float [0,1] / uint8 arrays OR
+        image file paths.
+      fps: playback rate.
+      quality: JPEG quality (1-100).
+
+    Returns:
+      ``path``.
+    """
+    import io as _io
+    import struct as _struct
+
+    import numpy as _np
+    from PIL import Image
+
+    encoded = []
+    size = None
+    for fr in frames:
+        if isinstance(fr, (str, bytes)):
+            img = Image.open(fr).convert("RGB")
+        else:
+            arr = _np.asarray(fr)
+            if arr.dtype != _np.uint8:
+                arr = (_np.clip(arr, 0, 1) * 255).astype(_np.uint8)
+            img = Image.fromarray(arr[..., :3])
+        if size is None:
+            size = img.size
+        elif img.size != size:
+            img = img.resize(size)
+        buf = _io.BytesIO()
+        img.save(buf, "JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:
+            data += b"\0"
+        encoded.append(data)
+    if not encoded:
+        raise ValueError("no frames to encode")
+    w, h = size
+    n = len(encoded)
+    max_size = max(len(d) for d in encoded)
+
+    def chunk(fourcc, payload):
+        out = fourcc + _struct.pack("<I", len(payload)) + payload
+        return out + (b"\0" if len(payload) % 2 else b"")
+
+    def lst(fourcc, payload):
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                       max_size, 0, 0)
+        + _struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_items = b"".join(chunk(b"00dc", d) for d in encoded)
+    movi = lst(b"movi", movi_items)
+    idx = b""
+    off = 4
+    for d in encoded:
+        idx += b"00dc" + _struct.pack("<III", 0x10, off, len(d))
+        off += 8 + len(d) + (len(d) % 2)
+    idx1 = chunk(b"idx1", idx)
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + _struct.pack("<I", len(riff_payload))
+                + riff_payload)
+    return path

@@ -202,7 +202,10 @@ def cmd_diagram(args):
         )
 
         series = load_time_series(args.dataset, variable=args.field)
-        m = time_series_correlation(series, measure=args.measure)
+        m = time_series_correlation(
+            series, measure=args.measure,
+            estimator=getattr(args, "estimator", "classical"),
+        )
         render_heatmap_svg(m, path=args.output)
     print(f"wrote {args.output}")
 
@@ -239,18 +242,18 @@ def cmd_sampling(args):
 
 
 def cmd_perf(args):
-    from correrender_tpu.app.perf import PerfState, run_perf_sweep
+    from correrender_tpu.app.perf import default_perf_states, run_perf_sweep
     from correrender_tpu.app.state import Scene
 
     vd = _load(args)
     scene = Scene(vd)
-    sizes = [(1920, 1080), (1280, 720)] if args.full else [(640, 480)]
-    states = [
-        PerfState(f"{r}_{w}x{h}", renderer=r, image_size=(w, h),
-                  num_frames=args.frames)
-        for r in ("dvr", "iso_ray")
-        for (w, h) in sizes
-    ]
+    fields = (
+        [f.strip() for f in args.fields.split(",")]
+        if getattr(args, "fields", None) else [None]
+    )
+    states = default_perf_states(full=args.full, fields=fields)
+    for s in states:
+        s.num_frames = args.frames
     rows = run_perf_sweep(scene, states, csv_path=args.output)
     for row in rows:
         print(row)
@@ -281,8 +284,10 @@ def cmd_flythrough(args):
     files = render_flythrough(
         scene, orbit_path(args.frames), args.output_dir,
         image_size=(w, h), time_indices=time_indices,
+        video_path=args.video, fps=args.fps,
     )
-    print(f"wrote {len(files)} frames to {args.output_dir}")
+    print(f"wrote {len(files)} frames to {args.output_dir}"
+          + (f" + video {args.video}" if args.video else ""))
 
 
 def cmd_replicability(args):
@@ -375,6 +380,9 @@ def build_parser():
     sp.add_argument("--field-b", default=None)
     sp.add_argument("--measure", default="pearson")
     sp.add_argument("--member", type=int, default=0)
+    sp.add_argument("--estimator", default="classical",
+                    choices=["classical", "mine"],
+                    help="timeseries heatmap estimator (mine = neural)")
     sp.add_argument("--mode", default="cell_member_values",
                     help="distribution feature mode")
     sp.add_argument("--max-points", type=int, default=400)
@@ -420,7 +428,10 @@ def build_parser():
     add_dataset_args(sp)
     sp.add_argument("--frames", type=int, default=8)
     sp.add_argument("--full", action="store_true",
-                    help="full-resolution sweep")
+                    help="full resolution x renderer matrix")
+    sp.add_argument("--fields",
+                    help="comma-separated fields to sweep (default: "
+                         "the dataset default)")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_perf)
 
@@ -434,6 +445,8 @@ def build_parser():
     sp.add_argument("--size", default="640x480")
     sp.add_argument("--animate-time", action="store_true")
     sp.add_argument("--output-dir", default="flythrough_out")
+    sp.add_argument("--video", help="also encode an MJPEG .avi")
+    sp.add_argument("--fps", type=int, default=30)
     sp.set_defaults(fn=cmd_flythrough)
 
     sp = sub.add_parser("replicability",

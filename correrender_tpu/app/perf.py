@@ -37,6 +37,39 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
+def _device_memory_mib():
+    """Device memory in use (the reference's VRAM column,
+    AutomaticPerformanceMeasurer.hpp:84); None off-TPU."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["bytes_in_use"] / 2**20, 1)
+    except Exception:  # noqa: BLE001 - CPU backend has no stats
+        return None
+
+
+def default_perf_states(full: bool = False, fields=None):
+    """The reference-style state matrix: renderer × resolution
+    (× field), InternalState.cpp:39-110 analogue."""
+    sizes = (
+        [(1920, 1080), (1280, 720), (640, 480)] if full
+        else [(640, 480)]
+    )
+    renderers = ["dvr", "iso_ray", "outline", "slice"]
+    states = []
+    for field in (fields or [None]):
+        for r in renderers:
+            for (w, h) in sizes:
+                suffix = f"_{field}" if field else ""
+                states.append(PerfState(
+                    f"{r}_{w}x{h}{suffix}", renderer=r,
+                    image_size=(w, h), field=field,
+                    num_frames=16 if full else 8,
+                ))
+    return states
+
+
 def run_perf_sweep(scene, states, csv_path=None):
     """Render each state over a camera orbit; returns row dicts."""
     rows = []
@@ -70,6 +103,7 @@ def run_perf_sweep(scene, states, csv_path=None):
                 "cache_used_mib": round(
                     scene.volume_data.cache.used_bytes / 2**20, 1
                 ),
+                "device_mem_mib": _device_memory_mib(),
             }
         )
     if csv_path:

@@ -65,6 +65,7 @@ class HEBChart:
         num_samples: int = 64,
         max_chords: int = 100,
         threshold: float = 0.0,
+        octree_mode: str = "topdown",
         **measure_kw,
     ):
         self.stack = np.asarray(stack)
@@ -78,7 +79,7 @@ class HEBChart:
 
         self.means = downsample_fields(self.stack, self.factor)
         zs, ys, xs, _ = self.means.shape
-        self.octree = Octree(xs, ys, zs, leaf_size=1)
+        self.octree = Octree(xs, ys, zs, leaf_size=1, mode=octree_mode)
         self.leaves = self.octree.leaves
         self.num_leaves = len(self.leaves)
         self.chords: list[tuple[int, int, float]] = []

@@ -51,24 +51,79 @@ class OctreeNode:
 
 
 class Octree:
-    """Top-down octree over an (xs, ys, zs) grid.
+    """Octree over an (xs, ys, zs) grid.
+
+    Two subdivision variants, mirroring the reference
+    (Octree.cpp:58,151):
+
+    * ``mode="topdown"`` — midpoint splits of the actual extents
+      (buildHebTreeIterativeTopDown);
+    * ``mode="zorder"`` — the grid is conceptually padded to the next
+      power of two and split with uniform power-of-two cell sizes, so
+      leaves follow a true Morton order even on non-pow2 grids
+      (buildHebTreeIterativeTopDownZOrder).
 
     Nodes are stored level-ordered; ``leaves`` are the terminal regions
     in Z-order, which is what the HEB chart lays out on its circle.
     """
 
-    def __init__(self, xs: int, ys: int, zs: int, leaf_size: int = 1):
+    def __init__(self, xs: int, ys: int, zs: int, leaf_size: int = 1,
+                 mode: str = "topdown"):
+        if mode not in ("topdown", "zorder"):
+            raise ValueError(f"unknown octree mode {mode!r}")
         self.xs, self.ys, self.zs = xs, ys, zs
         self.leaf_size = leaf_size
+        self.mode = mode
         self.nodes: list[OctreeNode] = []
         root = OctreeNode(
             GridRegion(0, 0, 0, xs - 1, ys - 1, zs - 1), [], -1, 0
         )
         self.nodes.append(root)
-        self._subdivide(0)
+        if mode == "zorder":
+            max_dim = max(xs, ys, zs)
+            pow2 = 1
+            while pow2 < max_dim:
+                pow2 *= 2
+            self._subdivide_zorder(0, max(pow2 // 2, 1))
+        else:
+            self._subdivide(0)
         self.leaves = [
             n.region for n in self.nodes if not n.children
         ]
+
+    def _subdivide_zorder(self, idx: int, subdiv: int):
+        node = self.nodes[idx]
+        r = node.region
+        sx = r.x_max - r.x_min + 1
+        sy = r.y_max - r.y_min + 1
+        sz = r.z_max - r.z_min + 1
+        if max(sx, sy, sz) <= self.leaf_size or subdiv < 1:
+            return
+        # Fixed power-of-two cell size (not the extent midpoint): the
+        # split plane sits at min + subdiv on each axis.
+        for cz in range(2):
+            z0 = r.z_min + cz * subdiv
+            z1 = min(r.z_min + (cz + 1) * subdiv - 1, r.z_max)
+            if z0 > r.z_max:
+                continue
+            for cy in range(2):
+                y0 = r.y_min + cy * subdiv
+                y1 = min(r.y_min + (cy + 1) * subdiv - 1, r.y_max)
+                if y0 > r.y_max:
+                    continue
+                for cx in range(2):
+                    x0 = r.x_min + cx * subdiv
+                    x1 = min(r.x_min + (cx + 1) * subdiv - 1, r.x_max)
+                    if x0 > r.x_max:
+                        continue
+                    child = OctreeNode(
+                        GridRegion(x0, y0, z0, x1, y1, z1),
+                        [], idx, node.depth + 1,
+                    )
+                    self.nodes.append(child)
+                    child_idx = len(self.nodes) - 1
+                    node.children.append(child_idx)
+                    self._subdivide_zorder(child_idx, subdiv // 2)
 
     def _subdivide(self, idx: int):
         node = self.nodes[idx]

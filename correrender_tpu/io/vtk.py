@@ -79,7 +79,9 @@ def _decode_b64_block(data_b64: str, dtype, compressed: bool,
 
 @register_loader
 class VtkXmlLoader(VolumeLoader):
-    extensions = ("vti",)
+    """XML ImageData (.vti) and StructuredGrid (.vts) reader."""
+
+    extensions = ("vti", "vts")
 
     def open(self, path, dataset_info=None):
         self.path = path
@@ -106,7 +108,11 @@ class VtkXmlLoader(VolumeLoader):
         )
         image = self._root.find(".//ImageData")
         if image is None:
-            raise ValueError(f"{path}: no ImageData element")
+            image = self._root.find(".//StructuredGrid")
+        if image is None:
+            raise ValueError(
+                f"{path}: no ImageData/StructuredGrid element"
+            )
         extent = [int(v) for v in image.get("WholeExtent").split()]
         self.xs = extent[1] - extent[0] + 1
         self.ys = extent[3] - extent[2] + 1
@@ -116,13 +122,37 @@ class VtkXmlLoader(VolumeLoader):
         self._arrays = {}
         for da in image.iter("DataArray"):
             name = da.get("Name")
-            if name:
+            if name and name != "Points":
                 self._arrays[name] = da
+        # Structured grids carry explicit point coordinates; derive the
+        # mean spacing from the coordinate bounds (curvilinear warping
+        # is dropped — fields resample onto the regular index grid, the
+        # same simplification the reference's structured-grid loader
+        # applies for its volume pipeline).
+        pts = image.find(".//Points/DataArray")
+        if pts is not None:
+            coords = self._decode_array(pts, ncomp_keep=3)
+            if coords.size:
+                xyz = coords.reshape(-1, 3)
+                span = xyz.max(axis=0) - xyz.min(axis=0)
+                self.dx = float(span[0]) / max(self.xs - 1, 1) or 1.0
+                self.dy = float(span[1]) / max(self.ys - 1, 1) or 1.0
+                self.dz = float(span[2]) / max(self.zs - 1, 1) or 1.0
         self.field_names = list(self._arrays)
         return self
 
-    def load_field(self, name, time=0, member=0):
-        da = self._arrays[name]
+    def _decode_array(self, da, ncomp_keep: int | None = None):
+        """Decode one DataArray to a flat float32 array (all formats)."""
+        arr = self._decode_raw(da)
+        ncomp = int(da.get("NumberOfComponents", "1"))
+        arr = np.asarray(arr, np.float32)
+        if ncomp_keep is not None:
+            return arr
+        if ncomp > 1:
+            arr = arr.reshape(-1, ncomp)[:, 0]
+        return arr
+
+    def _decode_raw(self, da):
         dtype = _VTK_DTYPES[da.get("type", "Float32")]
         fmt = da.get("format", "ascii")
         if fmt == "ascii":
@@ -161,10 +191,10 @@ class VtkXmlLoader(VolumeLoader):
                 )
         else:
             raise ValueError(f"unknown DataArray format {fmt!r}")
-        ncomp = int(da.get("NumberOfComponents", "1"))
-        arr = np.asarray(arr, np.float32)
-        if ncomp > 1:
-            arr = arr.reshape(-1, ncomp)[:, 0]
+        return arr
+
+    def load_field(self, name, time=0, member=0):
+        arr = self._decode_array(self._arrays[name])
         return arr[: self.xs * self.ys * self.zs].reshape(
             self.zs, self.ys, self.xs
         )

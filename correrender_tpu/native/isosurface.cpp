@@ -33,12 +33,18 @@ const int kCornerOffset[8][3] = {
     {0, 0, 1}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1},
 };
 
+// SnapMC-style vertex snapping (reference IsoSurfaces.hpp:32-34):
+// intersections within gamma of a grid vertex snap onto it, removing
+// the sliver triangles plain marching produces near corners. gamma=0
+// recovers exact interpolation.
 inline V3 lerpVertex(const V3& p0, const V3& p1, float v0, float v1,
-                     float iso) {
+                     float iso, float gamma) {
     float denom = v1 - v0;
     float t = std::abs(denom) < 1e-30f ? 0.5f : (iso - v0) / denom;
     if (t < 0.0f) t = 0.0f;
     if (t > 1.0f) t = 1.0f;
+    if (t < gamma) t = 0.0f;
+    else if (t > 1.0f - gamma) t = 1.0f;
     return V3{p0.x + t * (p1.x - p0.x), p0.y + t * (p1.y - p0.y),
               p0.z + t * (p1.z - p0.z)};
 }
@@ -52,7 +58,7 @@ struct MeshBuffers {
 // val < iso side (down-gradient), giving a globally consistent
 // orientation regardless of case.
 void marchTet(const V3 pos[4], const float val[4], float iso,
-              MeshBuffers* out) {
+              float gamma, MeshBuffers* out) {
     int code = 0;
     for (int i = 0; i < 4; ++i) {
         if (val[i] >= iso) code |= 1 << i;
@@ -87,14 +93,16 @@ void marchTet(const V3 pos[4], const float val[4], float iso,
     }
 
     auto edge = [&](int a, int b) {
-        return lerpVertex(pos[a], pos[b], val[a], val[b], iso);
+        return lerpVertex(pos[a], pos[b], val[a], val[b], iso, gamma);
     };
     auto emit = [&](V3 a, V3 b, V3 c) {
-        // Orient: face normal down-gradient (toward val < iso).
+        // Snapped vertices can coincide: drop degenerate triangles.
         V3 e1{b.x - a.x, b.y - a.y, b.z - a.z};
         V3 e2{c.x - a.x, c.y - a.y, c.z - a.z};
         V3 fn{e1.y * e2.z - e1.z * e2.y, e1.z * e2.x - e1.x * e2.z,
               e1.x * e2.y - e1.y * e2.x};
+        float area2 = fn.x * fn.x + fn.y * fn.y + fn.z * fn.z;
+        if (area2 < 1e-14f) return;
         if (fn.x * g.x + fn.y * g.y + fn.z * g.z > 0.0f) {
             V3 tmp = b; b = c; c = tmp;
         }
@@ -139,7 +147,7 @@ extern "C" {
 // isosurface_free. Vertex coordinates are in voxel space (x, y, z).
 int64_t isosurface_extract(
         const float* grid, int64_t zs, int64_t ys, int64_t xs,
-        float iso, float** out_vertices) {
+        float iso, float gamma, float** out_vertices) {
     MeshBuffers mesh;
     mesh.vertices.reserve(1 << 16);
 
@@ -169,7 +177,7 @@ int64_t isosurface_extract(
                         tpos[i] = cpos[tet[i]];
                         tval[i] = cval[tet[i]];
                     }
-                    marchTet(tpos, tval, iso, &mesh);
+                    marchTet(tpos, tval, iso, gamma, &mesh);
                 }
             }
         }

@@ -2,10 +2,10 @@
 
 Reference: src/Renderers/IsoSurfaceRayCastingRenderer.* +
 Data/Shaders/Renderers/IsoSurfaceRayCasting.glsl — fixed-step marching
-with sign-change detection, bisection hit refinement, gradient normals
-and Blinn-Phong shading (Lighting.glsl). The analytic cubic-solver
-variant of the reference is replaced by more bisection iterations
-(equivalent visual accuracy, branch-free).
+with sign-change detection, hit refinement (iterative bisection or
+the reference's analytic cubic-root mode — both supported via
+``intersection_mode``), gradient normals and Blinn-Phong shading
+(Lighting.glsl).
 """
 
 from __future__ import annotations
@@ -20,7 +20,81 @@ from correrender_tpu.render.sampling import sample_trilinear, ray_box_intersect
 from correrender_tpu.render.dvr import num_steps_for, world_step_size
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "refine_steps"))
+def _smallest_cubic_root01(f0, f1, f2, f3):
+    """Smallest root in [0, 1] of the cubic through samples at
+    τ = 0, 1/3, 2/3, 1 (vectorized Cardano/trigonometric solver).
+
+    The trilinear interpolant along a ray segment inside one cell is
+    exactly cubic, so this reproduces the reference's analytic
+    intersection option (IsoSurfaceRayCasting.glsl:34-36,185 — the
+    Graphics-Gems cubic solver) without per-pixel iteration. Returns
+    NaN where no root lies in [0, 1].
+    """
+    a = 4.5 * (-f0 + 3.0 * f1 - 3.0 * f2 + f3)
+    b = 4.5 * (2.0 * f0 - 5.0 * f1 + 4.0 * f2 - f3)
+    c = 0.5 * (-11.0 * f0 + 18.0 * f1 - 9.0 * f2 + 2.0 * f3)
+    d = f0
+
+    tiny = 1e-7
+    nan = jnp.float32(jnp.nan)
+
+    def pick(*roots):
+        best = jnp.full_like(f0, jnp.inf)
+        for r in roots:
+            ok = jnp.isfinite(r) & (r >= -1e-4) & (r <= 1.0 + 1e-4)
+            best = jnp.where(ok & (r < best), r, best)
+        return jnp.where(jnp.isfinite(best),
+                         jnp.clip(best, 0.0, 1.0), nan)
+
+    # Linear: c τ + d = 0.
+    lin = jnp.where(jnp.abs(c) > tiny, -d / c, nan)
+
+    # Quadratic: b τ² + c τ + d = 0.
+    disc_q = c * c - 4.0 * b * d
+    sq = jnp.sqrt(jnp.maximum(disc_q, 0.0))
+    bq = jnp.where(jnp.abs(b) > tiny, b, 1.0)
+    q1 = (-c - sq) / (2.0 * bq)
+    q2 = (-c + sq) / (2.0 * bq)
+    quad_valid = disc_q >= 0.0
+    quad = pick(jnp.where(quad_valid, q1, nan),
+                jnp.where(quad_valid, q2, nan))
+
+    # Cubic (depressed: s = τ + b/(3a); s³ + p s + q = 0).
+    an = jnp.where(jnp.abs(a) > tiny, a, 1.0)
+    bn, cn, dn = b / an, c / an, d / an
+    p = cn - bn * bn / 3.0
+    q = 2.0 * bn**3 / 27.0 - bn * cn / 3.0 + dn
+    shift = -bn / 3.0
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # One real root (disc > 0): Cardano.
+    sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sd)
+    v = jnp.cbrt(-q / 2.0 - sd)
+    r_single = u + v + shift
+    # Three real roots (disc <= 0): trigonometric.
+    pm = jnp.minimum(p, -tiny)
+    m = 2.0 * jnp.sqrt(-pm / 3.0)
+    arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    r0 = m * jnp.cos(theta) + shift
+    r1 = m * jnp.cos(theta - 2.0 * jnp.pi / 3.0) + shift
+    r2 = m * jnp.cos(theta - 4.0 * jnp.pi / 3.0) + shift
+    single = disc > 0.0
+    cub = pick(
+        jnp.where(single, r_single, r0),
+        jnp.where(single, nan, r1),
+        jnp.where(single, nan, r2),
+    )
+
+    out = jnp.where(jnp.abs(a) > tiny, cub,
+                    jnp.where(jnp.abs(b) > tiny, quad, pick(lin)))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "refine_steps", "intersection_mode"),
+)
 def iso_composite(
     volume,
     origin,
@@ -34,8 +108,13 @@ def iso_composite(
     num_steps: int,
     refine_steps: int = 8,
     light_dir=None,
+    intersection_mode: str = "bisection",
 ):
-    """Returns (H, W, 4) RGBA with a shaded isosurface."""
+    """Returns (H, W, 4) RGBA with a shaded isosurface.
+
+    ``intersection_mode``: "bisection" (iterative refinement) or
+    "analytic" (closed-form cubic root within the crossing segment —
+    the reference's analytic intersection option)."""
     t_near, t_far, hit = ray_box_intersect(origin, directions, box_min, box_max)
     t_start = jnp.maximum(t_near, 0.0)
     extent = box_max - box_min
@@ -64,23 +143,37 @@ def iso_composite(
         (jnp.full((h, w), jnp.inf), jnp.zeros((h, w), bool), init_sign),
     )
 
-    # Bisection refinement between t_hit - step and t_hit.
     lo = jnp.where(found, t_hit - step_size, 0.0)
     hi = jnp.where(found, t_hit, 1.0)
-    f_lo = sample_at(lo) - iso_value
 
-    def refine(_, state):
-        lo, hi, f_lo = state
-        mid = 0.5 * (lo + hi)
-        f_mid = sample_at(mid) - iso_value
-        same = (f_mid >= 0.0) == (f_lo >= 0.0)
-        lo = jnp.where(same, mid, lo)
-        f_lo = jnp.where(same, f_mid, f_lo)
-        hi = jnp.where(same, hi, mid)
-        return lo, hi, f_lo
+    if intersection_mode == "analytic":
+        # Closed-form cubic root through 4 samples of the segment.
+        f0 = sample_at(lo) - iso_value
+        f1 = sample_at(lo + step_size / 3.0) - iso_value
+        f2 = sample_at(lo + 2.0 * step_size / 3.0) - iso_value
+        f3 = sample_at(hi) - iso_value
+        tau = _smallest_cubic_root01(f0, f1, f2, f3)
+        t_surf = jnp.where(
+            jnp.isfinite(tau), lo + tau * step_size, 0.5 * (lo + hi)
+        )
+    else:
+        # Bisection refinement between t_hit - step and t_hit.
+        f_lo = sample_at(lo) - iso_value
 
-    lo, hi, _ = jax.lax.fori_loop(0, refine_steps, refine, (lo, hi, f_lo))
-    t_surf = 0.5 * (lo + hi)
+        def refine(_, state):
+            lo, hi, f_lo = state
+            mid = 0.5 * (lo + hi)
+            f_mid = sample_at(mid) - iso_value
+            same = (f_mid >= 0.0) == (f_lo >= 0.0)
+            lo = jnp.where(same, mid, lo)
+            f_lo = jnp.where(same, f_mid, f_lo)
+            hi = jnp.where(same, hi, mid)
+            return lo, hi, f_lo
+
+        lo, hi, _ = jax.lax.fori_loop(
+            0, refine_steps, refine, (lo, hi, f_lo)
+        )
+        t_surf = 0.5 * (lo + hi)
     p_surf = origin + directions * t_surf[..., None]
     tex = (p_surf - box_min) / extent
 
@@ -133,6 +226,7 @@ def iso_render(
     voxel_step: float = 0.25,
     background=(0.0, 0.0, 0.0, 1.0),
     refine_steps: int = 8,
+    intersection_mode: str = "bisection",
 ):
     """Render an isosurface of a scalar volume (see iso_composite)."""
     zs, ys, xs = volume.shape
@@ -160,4 +254,5 @@ def iso_render(
         jnp.asarray(background, jnp.float32),
         steps,
         refine_steps,
+        intersection_mode=intersection_mode,
     )

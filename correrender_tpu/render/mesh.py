@@ -13,7 +13,7 @@ import numpy as np
 
 
 def extract_isosurface(volume: np.ndarray, iso_value: float,
-                       dedupe: bool = True):
+                       dedupe: bool = True, snap_gamma: float = 0.0):
     """Extract a triangle mesh of the iso-level set.
 
     Args:
@@ -21,6 +21,10 @@ def extract_isosurface(volume: np.ndarray, iso_value: float,
       iso_value: the iso level.
       dedupe: merge duplicate vertices (indexed mesh) — needed for
         watertight exports.
+      snap_gamma: SnapMC snapping threshold in [0, 0.5): edge
+        intersections within gamma of a grid vertex snap onto it and
+        the resulting degenerate slivers are dropped (reference
+        IsoSurfaces.hpp:32-34; 0 = plain marching).
 
     Returns:
       (vertices (V, 3) float32 in voxel xyz space, triangles (T, 3) int64)
@@ -32,7 +36,7 @@ def extract_isosurface(volume: np.ndarray, iso_value: float,
     dll.isosurface_extract.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_float,
+        ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
     ]
     dll.isosurface_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
@@ -42,7 +46,8 @@ def extract_isosurface(volume: np.ndarray, iso_value: float,
     out_ptr = ctypes.POINTER(ctypes.c_float)()
     nverts = dll.isosurface_extract(
         vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        zs, ys, xs, ctypes.c_float(iso_value), ctypes.byref(out_ptr),
+        zs, ys, xs, ctypes.c_float(iso_value),
+        ctypes.c_float(snap_gamma), ctypes.byref(out_ptr),
     )
     if nverts == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
@@ -55,6 +60,12 @@ def extract_isosurface(volume: np.ndarray, iso_value: float,
             verts.round(decimals=5), axis=0, return_inverse=True
         )
         tris = inverse[tris.ravel()].reshape(-1, 3)
+        # Snapped (or merged) corners can collapse a triangle to a
+        # point or a line — drop zero-area faces.
+        e1 = verts[tris[:, 1]] - verts[tris[:, 0]]
+        e2 = verts[tris[:, 2]] - verts[tris[:, 0]]
+        areas = np.linalg.norm(np.cross(e1, e2), axis=1)
+        tris = tris[areas > 1e-7]
     return verts.astype(np.float32), tris
 
 

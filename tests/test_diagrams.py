@@ -271,3 +271,40 @@ class TestBatchedSampling:
         )
         assert [r["method"] for r in rows] == ["mean"] * 4
         assert (tmp_path / "s.csv").exists()
+
+
+class TestZOrderOctree:
+    def test_pow2_grid_matches_topdown_leaf_count(self):
+        from correrender_tpu.diagrams.octree import Octree
+
+        a = Octree(4, 4, 4, mode="topdown")
+        b = Octree(4, 4, 4, mode="zorder")
+        assert len(a.leaves) == len(b.leaves) == 64
+        # On a pow2 cube both variants produce the same leaf cells.
+        sa = {(r.x_min, r.y_min, r.z_min) for r in a.leaves}
+        sb = {(r.x_min, r.y_min, r.z_min) for r in b.leaves}
+        assert sa == sb
+
+    def test_non_pow2_grid_covers_all_voxels(self):
+        from correrender_tpu.diagrams.octree import Octree
+
+        t = Octree(5, 3, 6, mode="zorder")
+        seen = np.zeros((6, 3, 5), bool)
+        for r in t.leaves:
+            assert r.size == 1  # leaf_size 1 → unit cells
+            seen[r.z_min, r.y_min, r.x_min] = True
+        assert seen.all()
+        # Morton order: the first leaf is the origin cell.
+        assert (t.leaves[0].x_min, t.leaves[0].y_min,
+                t.leaves[0].z_min) == (0, 0, 0)
+
+    def test_heb_accepts_mode(self):
+        from correrender_tpu.diagrams.heb import HEBChart
+        from correrender_tpu.utils import fixtures
+
+        data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8, members=20)
+        stack = np.moveaxis(data, 0, -1)
+        chart = HEBChart(stack, downsample_factor=8,
+                         octree_mode="zorder")
+        chart.compute_correlations()
+        assert chart.num_leaves > 0

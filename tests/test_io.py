@@ -478,3 +478,31 @@ class TestGrib:
         write_grib2(path, {"t": const})
         ld = loader_for_path(path).open(path)
         np.testing.assert_allclose(ld.load_field("t"), const, atol=1e-6)
+
+
+class TestVts:
+    def test_structured_grid_ascii(self, tmp_path, vol_zyx):
+        # .vts: StructuredGrid with explicit Points; fields load on the
+        # regular index grid, spacing derived from coordinate bounds.
+        zs, ys, xs = vol_zyx.shape
+        z, y, x = np.meshgrid(
+            np.arange(zs) * 2.0, np.arange(ys) * 1.0,
+            np.arange(xs) * 0.5, indexing="ij",
+        )
+        pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        flat = " ".join(str(v) for v in vol_zyx.ravel())
+        pts_s = " ".join(str(v) for v in pts.ravel())
+        vts = tmp_path / "g.vts"
+        vts.write_text(
+            '<VTKFile type="StructuredGrid" version="1.0">'
+            f'<StructuredGrid WholeExtent="0 {xs-1} 0 {ys-1} 0 {zs-1}">'
+            "<Piece><Points>"
+            '<DataArray type="Float32" NumberOfComponents="3"'
+            f' format="ascii">{pts_s}</DataArray>'
+            "</Points><PointData>"
+            f'<DataArray type="Float32" Name="s" format="ascii">{flat}'
+            "</DataArray></PointData></Piece></StructuredGrid></VTKFile>"
+        )
+        ld = loader_for_path(str(vts)).open(str(vts))
+        np.testing.assert_allclose(ld.load_field("s"), vol_zyx, atol=1e-5)
+        assert ld.dx == pytest.approx(0.5) and ld.dz == pytest.approx(2.0)

@@ -124,3 +124,48 @@ class TestMesh:
         nv = sum(1 for l in lines if l.startswith("v "))
         nf = sum(1 for l in lines if l.startswith("f "))
         assert nv == len(verts) and nf == len(tris)
+
+
+class TestIsoParityModes:
+    def test_analytic_matches_bisection(self):
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        n = 32
+        z, y, x = np.meshgrid(*[np.linspace(0, 1, n)] * 3, indexing="ij")
+        sphere = np.sqrt(
+            (x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2
+        ).astype(np.float32)
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        a = np.asarray(iso_render(jnp.asarray(sphere), cam, 0.3,
+                                  image_size=(64, 48)))
+        b = np.asarray(iso_render(jnp.asarray(sphere), cam, 0.3,
+                                  image_size=(64, 48),
+                                  intersection_mode="analytic"))
+        # Same silhouette; shading within refinement tolerance.
+        assert ((a[..., 3] > .5) == (b[..., 3] > .5)).all()
+        np.testing.assert_allclose(a, b, atol=0.02)
+
+    def test_snapmc_drops_slivers(self):
+        from correrender_tpu.render.mesh import extract_isosurface
+
+        n = 20
+        z, y, x = np.meshgrid(*[np.linspace(0, 1, n)] * 3, indexing="ij")
+        sphere = np.sqrt(
+            (x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2
+        ).astype(np.float32)
+        v0, t0 = extract_isosurface(sphere, 0.3)
+        v1, t1 = extract_isosurface(sphere, 0.3, snap_gamma=0.3)
+        assert len(t1) < len(t0)  # slivers removed
+
+        def min_area(v, t):
+            a = v[t[:, 1]] - v[t[:, 0]]
+            b = v[t[:, 2]] - v[t[:, 0]]
+            return 0.5 * np.linalg.norm(np.cross(a, b), axis=1).min()
+
+        assert min_area(v1, t1) > 2 * min_area(v0, t0)
+        # Surface still near the sphere (within one voxel).
+        r = np.linalg.norm(v1 / (n - 1) - 0.5, axis=1)
+        assert np.abs(r - 0.3).max() < 1.5 / (n - 1)
