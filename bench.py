@@ -245,7 +245,15 @@ def bench_dvr():
         img = dvr_shearwarp(vol, cam, tf, **kwargs)
         _sync(img)
     frame_ms = (time.perf_counter() - t0) / reps * 1000.0
-    return frame_ms, classify_ms
+
+    # Resident-layout cross-check ON HARDWARE: the prepared fast path
+    # must match the unprepared (classify-per-call) path at full image
+    # scale (VERDICT r1: the fast paths were only pinned against tiny
+    # CPU goldens).
+    img_unprep = dvr_shearwarp(vol, cam, tf, image_size=(1920, 1080),
+                               intermediate_scale=0.5)
+    prep_delta = float(jnp.max(jnp.abs(img - img_unprep)))
+    return frame_ms, classify_ms, prep_delta
 
 
 def cpu_baseline_vox_per_s():
@@ -276,8 +284,9 @@ def main():
     cpu_ksg_vox_s = cpu_ksg_baseline_vox_per_s()
     pearson_vox_s = bench_pearson_streaming()
     mi_vox_s = bench_mi_ksg()
-    dvr_ms, classify_ms = bench_dvr()
+    dvr_ms, classify_ms, prep_delta = bench_dvr()
     equality = kernel_equality_sweep()
+    equality["dvr_prepared_vs_unprepared"] = round(prep_delta, 6)
     result = {
         "metric": "pearson_field_throughput_250c_1000m",
         "value": round(pearson_vox_s / 1e9, 6),

@@ -82,6 +82,12 @@ class Scene:
         self.dataset_info: Optional[dict] = None
         self.current_time = 0
         self.current_member = 0
+        # Abstract multi-view layout: rows of view indices (the
+        # reference persists its ImGui dock layout the same role,
+        # MainAppState.cpp:131). Default: one row of all views.
+        self.dock_layout: list[list[int]] = [
+            list(range(len(self.views)))
+        ]
         # Resident shear-warp slice layouts: (field, t, e, tf, camera
         # axis key, restriction) → prepare_shearwarp result. Keeps the
         # classify + layout cost per change, not per frame.
@@ -374,6 +380,10 @@ class Scene:
             },
             "current_time": self.current_time,
             "current_member": self.current_member,
+            # Multi-view layout (the reference persists its ImGui dock
+            # layout, MainAppState.cpp:131; headless scenes keep an
+            # abstract grid: rows of view indices).
+            "dock_layout": self.dock_layout,
         }
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
@@ -420,6 +430,10 @@ class Scene:
             scene.transfer_functions[name] = TransferFunction.from_dict(
                 tf_state
             )
+        if "dock_layout" in doc:
+            scene.dock_layout = [
+                [int(i) for i in row] for row in doc["dock_layout"]
+            ]
         return scene
 
 

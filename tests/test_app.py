@@ -355,3 +355,25 @@ class TestSeparateFieldsCli:
         vd = load_volume(out)
         field = np.asarray(vd.get_field(vd.field_names[0]))
         assert field[2, 2, 2] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_dock_layout_roundtrip(tmp_path):
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.core import GridMetadata, VolumeData
+    from correrender_tpu.io import writers
+    from correrender_tpu.render import Camera
+    from correrender_tpu.utils import fixtures
+
+    data = fixtures.synth_box_ensemble(xs=8, ys=8, zs=4, members=5)
+    nc = str(tmp_path / "d.nc")
+    writers.write_netcdf(nc, data[:, None], name="q")
+    from correrender_tpu.io import load_volume
+
+    vd = load_volume(nc)
+    scene = Scene(vd, views=[Camera(), Camera(position=(0, 0.5, 0.5))])
+    scene.dataset_info = {"filename": nc}
+    scene.dock_layout = [[0], [1]]  # two stacked rows
+    path = str(tmp_path / "s.json")
+    scene.save_state(path)
+    loaded = Scene.load_state(path)
+    assert loaded.dock_layout == [[0], [1]]
