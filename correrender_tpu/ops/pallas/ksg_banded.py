@@ -106,9 +106,12 @@ def _make_kernel_a(k: int, w_band: int, npad: int, estimator: int,
     Mosaic overhead, which dominated at one voxel per step)."""
 
     def kernel(sdxt_ref, xs_ref, gaplo_ref, gaphi_ref, ys_ref,
-               cx_ref, rc_ref, valid_ref, pos_ref, yband):
+               combo_ref, pos_ref, yband):
+      # cx/rc/valid share ONE lane-concatenated output buffer: every
+      # extra output buffer costs ~30 ms at field scale (per-step DMA
+      # pipeline bubbles — measured 106 ms vs 57 ms for 3-vs-1).
       for b in range(vb):
-        ys = ys_ref[b]  # (1, npad)
+        ys = ys_ref[pl.ds(b, 1), :]  # (1, npad)
         _build_band_val(ys, yband, w_band, npad)
         sdxt = sdxt_ref[:]  # (W, npad) signed x-band diffs, BIG at edges
         adx = jnp.abs(sdxt)
@@ -144,9 +147,11 @@ def _make_kernel_a(k: int, w_band: int, npad: int, estimator: int,
         margin = r + COUNT_EPSILON
         valid = (gap_lo > margin) & (gap_hi > margin)
 
-        cx_ref[b] = cx
-        rc_ref[b] = rc_out
-        valid_ref[b] = valid.astype(jnp.float32)
+        combo_ref[pl.ds(b, 1), pl.ds(0, npad)] = cx
+        combo_ref[pl.ds(b, 1), pl.ds(npad, npad)] = rc_out
+        combo_ref[pl.ds(b, 1), pl.ds(2 * npad, npad)] = (
+            valid.astype(jnp.float32)
+        )
 
         # In-kernel compaction of invalid positions: prefix-sum the bad
         # flags (log-doubling rolls), then slot b holds the column
@@ -187,10 +192,10 @@ def _make_kernel_cy(npad: int, rows: int, vb: int):
     def kernel(ys_ref, rc_ref, cy_ref):
         c = pl.program_id(1)
         for b in range(vb):
-            ys = ys_ref[b]  # (1, npad)
-            rc = rc_ref[b]
+            ys = ys_ref[pl.ds(b, 1), :]  # (1, npad)
+            rc = rc_ref[pl.ds(b, 1), :]
             j0 = c * rows
-            yj = ys_ref[b, 0, pl.ds(j0, rows)].reshape(rows, 1)
+            yj = ys_ref[b, pl.ds(j0, rows)].reshape(rows, 1)
             lo = ys - rc  # (1, npad)
             hi = ys + rc
             part = jnp.sum(
@@ -200,9 +205,9 @@ def _make_kernel_cy(npad: int, rows: int, vb: int):
 
             @pl.when(c == 0)
             def _():
-                cy_ref[b] = jnp.zeros((1, npad), jnp.float32)
+                cy_ref[pl.ds(b, 1), :] = jnp.zeros((1, npad), jnp.float32)
 
-            cy_ref[b] += part
+            cy_ref[pl.ds(b, 1), :] += part
 
     return kernel, num_chunks
 
@@ -218,7 +223,7 @@ def _make_kernel_repair(k: int, npad: int, bpad: int, estimator: int,
                delta_ref):
       for b in range(vb):
         xs = xs_ref[:]  # (1, npad)
-        row = ys_ref[b]  # (1, npad)
+        row = ys_ref[pl.ds(b, 1), :]  # (1, npad)
         pos = pos_ref[b]  # (bpad, 1) f32 positions, -1 for dead slots
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (bpad, npad), 1
@@ -247,8 +252,10 @@ def _make_kernel_repair(k: int, npad: int, bpad: int, estimator: int,
             jnp.float32), axis=1, keepdims=True)
         cyn = jnp.sum(((row >= yi - rcy) & (row < yi + rcy)).astype(
             jnp.float32), axis=1, keepdims=True)
-        cxo = jnp.sum(oh * cx_ref[b], axis=1, keepdims=True)
-        cyo = jnp.sum(oh * cy_ref[b], axis=1, keepdims=True)
+        cxo = jnp.sum(oh * cx_ref[pl.ds(b, 1), :], axis=1,
+                      keepdims=True)
+        cyo = jnp.sum(oh * cy_ref[pl.ds(b, 1), :], axis=1,
+                      keepdims=True)
 
         if estimator == 1:
             def idx(c):
@@ -322,53 +329,58 @@ def _banded_full(series, x, k, estimator, w_band, bpad, interpret):
         jnp.asarray(hi_j < npad), xs[np.clip(hi_j, 0, npad - 1)] - xs, _BIG
     ).reshape(1, npad)
 
-    # Batch voxels per grid step: per-step Mosaic overhead dominated
-    # at one voxel per step.
+    # Batch voxels per grid step; big per-voxel arrays stay 2D so
+    # every block is a stack of full (8, 128) tiles.
     vb = 8
     vpad = -(-v // vb) * vb
     if vpad != v:
         series_x = jnp.pad(series_x, ((0, vpad - v), (0, 0)),
                            mode="edge")
-    series_3d = series_x.reshape(vpad, 1, npad)
 
-    def vspec(mid, last):
-        return pl.BlockSpec((vb, mid, last), lambda i: (i, 0, 0),
+    def vspec(last):
+        return pl.BlockSpec((vb, last), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    pos_spec = vspec(bpad, 1)
+    pos_spec = pl.BlockSpec((vb, bpad, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     kernel_a = _make_kernel_a(k, w_band, npad, estimator, n, bpad, vb)
-    cx, rc, valid, pos = pl.pallas_call(
+    combo, pos = pl.pallas_call(
         kernel_a,
-        out_shape=[jax.ShapeDtypeStruct((vpad, 1, npad), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((vpad, bpad, 1), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((vpad, 3 * npad), jnp.float32),
+            jax.ShapeDtypeStruct((vpad, bpad, 1), jnp.float32),
+        ],
         grid=(vpad // vb,),
         in_specs=[
             _shared_spec((w_band, npad)),
             _shared_spec((1, npad)),
             _shared_spec((1, npad)),
             _shared_spec((1, npad)),
-            vspec(1, npad),
+            vspec(npad),
         ],
-        out_specs=[vspec(1, npad)] * 3 + [pos_spec],
+        out_specs=[vspec(3 * npad), pos_spec],
         scratch_shapes=[pltpu.VMEM((w_band, npad), jnp.float32)],
         interpret=interpret,
-    )(sdxt, xs.reshape(1, npad), gap_lo, gap_hi, series_3d)
+    )(sdxt, xs.reshape(1, npad), gap_lo, gap_hi, series_x)
+    cx = combo[:, :npad]
+    rc = combo[:, npad:2 * npad]
+    valid = combo[:, 2 * npad:]
 
     # Chunk height must DIVIDE npad (npad is always a multiple of 128).
     rows = _COUNT_ROWS if npad % _COUNT_ROWS == 0 else 128
     kernel_cy, num_chunks = _make_kernel_cy(npad, rows, vb)
-    vox3 = pl.BlockSpec((vb, 1, npad), lambda i, c: (i, 0, 0),
+    vox2 = pl.BlockSpec((vb, npad), lambda i, c: (i, 0),
                         memory_space=pltpu.VMEM)
     (cy,) = pl.pallas_call(
         kernel_cy,
-        out_shape=[jax.ShapeDtypeStruct((vpad, 1, npad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((vpad, npad), jnp.float32)],
         grid=(vpad // vb, num_chunks),
-        in_specs=[vox3, vox3],
-        out_specs=[vox3],
+        in_specs=[vox2, vox2],
+        out_specs=[vox2],
         interpret=interpret,
-    )(series_3d, rc)
+    )(series_x, rc)
 
-    cx2, cy2, valid2 = cx[:v, 0], cy[:v, 0], valid[:v, 0]
+    cx2, cy2, valid2 = cx[:v], cy[:v], valid[:v]
 
     # Raw (unclamped) MI from the (possibly partially wrong) counts.
     mask = (jnp.arange(npad) < n).reshape(1, npad)
@@ -399,14 +411,14 @@ def _banded_full(series, x, k, estimator, w_band, bpad, interpret):
         in_specs=[
             _shared_spec((1, npad)),
             _shared_spec((1, npad)),
-            vspec(1, npad),
+            vspec(npad),
             pos_spec,
-            vspec(1, npad),
-            vspec(1, npad),
+            vspec(npad),
+            vspec(npad),
         ],
         out_specs=[pos_spec],
         interpret=interpret,
-    )(xs.reshape(1, npad), psi_table, series_3d, pos, cx, cy)
+    )(xs.reshape(1, npad), psi_table, series_x, pos, cx, cy)
 
     mi = jnp.maximum(
         mi_raw + jnp.sum(delta[:v, :, 0], axis=-1) / n, 0.0
