@@ -60,3 +60,21 @@ class TestTimeSeriesLoader:
             f["data"] = np.ones((3, 7), np.float32)
         arr = load_time_series(path)
         assert arr.shape == (3, 7)
+
+
+class TestLpips:
+    def test_random_feature_lpips_orders_distortions(self):
+        from correrender_tpu.utils.metrics import compare_images, lpips
+
+        rng = np.random.default_rng(0)
+        img = rng.random((64, 64, 3)).astype(np.float32)
+        slight = np.clip(img + 0.01 * rng.normal(size=img.shape), 0, 1)
+        heavy = np.clip(img + 0.4 * rng.normal(size=img.shape), 0, 1)
+        d0 = lpips(img, img)
+        d1 = lpips(img, slight.astype(np.float32))
+        d2 = lpips(img, heavy.astype(np.float32))
+        assert d0 < 1e-6
+        assert d0 < d1 < d2
+        # Deterministic (fixed seed).
+        assert lpips(img, heavy.astype(np.float32)) == d2
+        assert "lpips" in compare_images(img, slight.astype(np.float32))
