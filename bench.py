@@ -143,18 +143,16 @@ def bench_mi_ksg():
 
 def cpu_ksg_baseline_vox_per_s():
     """Reference-CPU-path KSG throughput (native C++ k-d tree)."""
-    cache = os.path.join(os.path.dirname(__file__),
-                         ".cpu_ksg_baseline.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            return json.load(f)["vox_per_s"]
     from correrender_tpu.native import cpu_baseline
 
-    dll = cpu_baseline()
-    vox_per_s = dll.ksg_throughput_cpu(256, MI_MEMBERS, 3, 1)
-    with open(cache, "w") as f:
-        json.dump({"vox_per_s": vox_per_s, "members": MI_MEMBERS}, f)
-    return vox_per_s
+    def measure():
+        dll = cpu_baseline()
+        return dll.ksg_throughput_cpu(256, MI_MEMBERS, 3, 1)
+
+    return _cached_baseline(
+        ".cpu_ksg_baseline.json",
+        {"members": MI_MEMBERS, "k": 3, "estimator": 1}, measure,
+    )
 
 
 def kernel_equality_sweep():
@@ -256,20 +254,33 @@ def bench_dvr():
     return frame_ms, classify_ms, prep_delta
 
 
-def cpu_baseline_vox_per_s():
-    """Reference-CPU-path Pearson throughput (native C++, extrapolated)."""
-    cache = os.path.join(os.path.dirname(__file__), ".cpu_baseline.json")
+def _cached_baseline(name, params, measure_fn):
+    """Per-machine baseline cache; re-measures when the parameters (or
+    machine — the cache files are gitignored) change."""
+    cache = os.path.join(os.path.dirname(__file__), name)
     if os.path.exists(cache):
         with open(cache) as f:
-            return json.load(f)["vox_per_s"]
+            data = json.load(f)
+        if data.get("params") == params:
+            return data["vox_per_s"]
+    vox_per_s = measure_fn()
+    with open(cache, "w") as f:
+        json.dump({"vox_per_s": vox_per_s, "params": params}, f)
+    return vox_per_s
+
+
+def cpu_baseline_vox_per_s():
+    """Reference-CPU-path Pearson throughput (native C++, extrapolated)."""
     from correrender_tpu.native import cpu_baseline
 
-    dll = cpu_baseline()
-    sub_vox = 32**3  # throughput is voxel-count invariant; subgrid suffices
-    vox_per_s = dll.pearson_throughput_cpu(sub_vox, MEMBERS)
-    with open(cache, "w") as f:
-        json.dump({"vox_per_s": vox_per_s, "members": MEMBERS}, f)
-    return vox_per_s
+    def measure():
+        dll = cpu_baseline()
+        # Throughput is voxel-count invariant; a subgrid suffices.
+        return dll.pearson_throughput_cpu(32**3, MEMBERS)
+
+    return _cached_baseline(
+        ".cpu_baseline.json", {"members": MEMBERS}, measure
+    )
 
 
 def main():

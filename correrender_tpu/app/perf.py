@@ -56,7 +56,7 @@ def default_perf_states(full: bool = False, fields=None):
         [(1920, 1080), (1280, 720), (640, 480)] if full
         else [(640, 480)]
     )
-    renderers = ["dvr", "iso_ray", "outline", "slice"]
+    renderers = ["dvr", "iso_ray", "domain_outline", "slice"]
     states = []
     for field in (fields or [None]):
         for r in renderers:

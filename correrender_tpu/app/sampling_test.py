@@ -103,6 +103,7 @@ def evaluate_case(stack, ra, rb, case, measure="pearson",
     return {
         "method": case.method,
         "num_samples": case.num_samples,
+        "subsample": case.subsample,
         "error_quantile": float(error_quantile.mean()),
         "error_linear": float(((t_max - found) / denom).mean()),
         "error_absolute": float((t_max - found).mean()),
@@ -163,6 +164,7 @@ def run_sampling_tests(
         row = {
             "method": case.method,
             "num_samples": case.num_samples,
+            "subsample": case.subsample,
         }
         for key in ("error_quantile", "error_linear", "error_absolute",
                     "time_us"):

@@ -81,11 +81,15 @@ class NeuralCorrelationCalculator(Calculator):
     # -- voxels whose member series contains NaN are excluded from
     # -- training and rendered as NaN at inference ---------------------
 
-    def _nan_stencil(self, stack):
-        """(Z, Y, X) bool — True where the full series is finite."""
-        if self._stencil is None:
-            self._stencil = jnp.all(jnp.isfinite(stack), axis=-1)
-        return self._stencil
+    def _nan_stencil(self, stack, time: int):
+        """(Z, Y, X) bool — True where the full series is finite.
+        Cached per timestep (time-varying NaN patterns, e.g. GRIB
+        bitmaps, must not leak across steps)."""
+        if self._stencil is None or self._stencil[0] != time:
+            self._stencil = (
+                time, jnp.all(jnp.isfinite(stack), axis=-1)
+            )
+        return self._stencil[1]
 
     def _grid_positions(self):
         g = self.volume_data.grid
@@ -109,17 +113,20 @@ class NeuralCorrelationCalculator(Calculator):
         )
         rng = np.random.default_rng(seed)
         pos = self._grid_positions().reshape(-1, 3)
-        stencil = np.asarray(self._nan_stencil(stack)).reshape(-1)
+        stencil = np.asarray(self._nan_stencil(stack, time)).reshape(-1)
+        valid_flat = np.nonzero(stencil)[0]
+        if valid_flat.size == 0:
+            raise ValueError(
+                "every voxel series contains NaN members — nothing to "
+                "train the neural correlation surrogate on"
+            )
         pos_ref_list, pos_query_list, target_list = [], [], []
         for _ in range(num_reference_points):
             # Reference points are drawn from the valid-voxel stencil
             # only (NaN series would poison the target field).
-            while True:
-                rx = int(rng.integers(0, g.xs))
-                ry = int(rng.integers(0, g.ys))
-                rz = int(rng.integers(0, g.zs))
-                if stencil[(rz * g.ys + ry) * g.xs + rx]:
-                    break
+            flat_idx = int(valid_flat[rng.integers(0, valid_flat.size)])
+            rz, rem = divmod(flat_idx, g.ys * g.xs)
+            ry, rx = divmod(rem, g.xs)
             field = correlate_field(
                 stack, stack[rz, ry, rx], self.measure
             ).reshape(-1)
@@ -159,7 +166,7 @@ class NeuralCorrelationCalculator(Calculator):
         stack = vd.get_member_stack(
             self.field_name or vd.field_names[0], time
         )
-        stencil = self._nan_stencil(stack)
+        stencil = self._nan_stencil(stack, time)
         return jnp.where(stencil, out, jnp.nan)
 
     def set_reference_point(self, x, y, z):

@@ -112,6 +112,10 @@ class VolumeData:
         provider: Callable[[int, int], jnp.ndarray],
         field_type: FieldType = FieldType.SCALAR,
     ):
+        if name in self._providers:
+            # Re-registration replaces the provider: derived render
+            # state keyed on the dirty epoch must not survive it.
+            self.mark_dirty(name)
         self._providers[name] = (field_type, provider)
 
     def add_calculator(self, calculator):
@@ -131,7 +135,9 @@ class VolumeData:
     def remove_calculator(self, name: str):
         self._calculators.pop(name, None)
         self._providers.pop(name, None)
-        self.cache.invalidate_field(name)
+        # mark_dirty (not just cache invalidation): epoch-keyed render
+        # layouts would otherwise survive a remove + re-add cycle.
+        self.mark_dirty(name)
 
     @property
     def field_names(self):

@@ -85,7 +85,13 @@ class _Message:
     )
 
 
-def _parse_message(buf: bytes, start: int) -> tuple["_Message", int]:
+def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
+    """Parse one GRIB2 message → one field per (4..7) section group.
+
+    GRIB2 permits repeated section sequences (3,)(4,5,6,7)(4,5,6,7)…
+    inside a single message (common in NCEP products); a field is
+    finalized at every section 7, inheriting the most recent sections
+    1/3 state."""
     if buf[start:start + 4] != b"GRIB":
         raise ValueError("not a GRIB message")
     edition = buf[start + 7]
@@ -98,6 +104,7 @@ def _parse_message(buf: bytes, start: int) -> tuple["_Message", int]:
     if buf[end - 4:end] != b"7777":
         raise ValueError("GRIB message missing 7777 terminator")
 
+    out: list[_Message] = []
     msg = _Message()
     msg.discipline = buf[start + 6]
     msg.bitmap_span = None
@@ -167,10 +174,18 @@ def _parse_message(buf: bytes, start: int) -> tuple["_Message", int]:
                 raise NotImplementedError(
                     f"bitmap indicator {indicator} not supported"
                 )
-        elif sec_num == 7:  # data
+        elif sec_num == 7:  # data — closes one field's section group
             msg.data_span = (pos + 5, pos + sec_len)
+            out.append(msg)
+            prev = msg
+            msg = _Message()
+            for slot in _Message.__slots__:
+                if hasattr(prev, slot):
+                    setattr(msg, slot, getattr(prev, slot))
+            msg.bitmap_span = None
+            msg.data_span = None
         pos += sec_len
-    return msg, end
+    return out, end
 
 
 def _decode_values(buf: bytes, msg: "_Message") -> np.ndarray:
@@ -212,8 +227,8 @@ class GribLoader(VolumeLoader):
             idx = buf.find(b"GRIB", pos)
             if idx < 0:
                 break
-            msg, pos = _parse_message(buf, idx)
-            messages.append(msg)
+            msgs, pos = _parse_message(buf, idx)
+            messages.extend(msgs)
         if not messages:
             raise ValueError(f"{path}: no GRIB2 messages found")
 

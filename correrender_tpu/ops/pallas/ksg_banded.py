@@ -466,6 +466,15 @@ def mi_ksg_banded(
     """
     if estimator not in (1, 2):
         raise ValueError(f"estimator must be 1 or 2, got {estimator}")
+    import jax.core
+
+    if isinstance(stack, jax.core.Tracer):
+        # Under an outer trace the host-side repair-tier sync below is
+        # unavailable; delegate to the fully-traceable exact kernel.
+        from correrender_tpu.ops.pallas.ksg_kernel import mi_ksg_pallas
+
+        return mi_ksg_pallas(stack, ref, k=k, estimator=estimator,
+                             use_noise=use_noise, interpret=interpret)
     if interpret is None:
         interpret = not on_tpu()
     n = stack.shape[-1]

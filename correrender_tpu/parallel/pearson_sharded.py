@@ -118,10 +118,10 @@ def _gather_sharded_fn(mesh: Mesh, m, kwargs_items):
         full_ref = jax.lax.all_gather(ref_blk, "members", axis=0, tiled=True)
         return correlate_field(full_stack, full_ref, m, **kwargs)
 
-    return shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P("space", None, None, "members"), P("members")),
         out_specs=P("space", None, None),
         check_rep=False,
-    )
+    ))

@@ -506,3 +506,41 @@ class TestVts:
         ld = loader_for_path(str(vts)).open(str(vts))
         np.testing.assert_allclose(ld.load_field("s"), vol_zyx, atol=1e-5)
         assert ld.dx == pytest.approx(0.5) and ld.dz == pytest.approx(2.0)
+
+    def test_repeated_section_groups_one_message(self, tmp_path):
+        # GRIB2 allows several (4,5,6,7) groups per message; every
+        # group is its own field.
+        import struct
+
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        t_f = np.full((1, 4, 5), 280.0, np.float32)
+        u_f = np.full((1, 4, 5), -5.0, np.float32)
+        pa = str(tmp_path / "a.grb2")
+        pb = str(tmp_path / "b.grb2")
+        write_grib2(pa, {"t": t_f})
+        write_grib2(pb, {"u": u_f})
+        a = open(pa, "rb").read()
+        b = open(pb, "rb").read()
+
+        def sections(buf):
+            # (sec_num, bytes) list between the indicator and 7777.
+            out, pos = [], 16
+            while pos < len(buf) - 4:
+                ln, num = struct.unpack(">IB", buf[pos:pos + 5])
+                out.append((num, buf[pos:pos + ln]))
+                pos += ln
+            return out
+
+        groups_b = b"".join(
+            blob for num, blob in sections(b) if num in (4, 5, 6, 7)
+        )
+        body = a[16:-4] + groups_b
+        total = 16 + len(body) + 4
+        merged = a[:8] + struct.pack(">Q", total) + body + b"7777"
+        pm = str(tmp_path / "m.grb2")
+        open(pm, "wb").write(merged)
+        ld = GribLoader().open(pm)
+        assert sorted(ld.field_names) == ["t", "u"]
+        np.testing.assert_allclose(ld.load_field("t"), t_f, atol=1e-4)
+        np.testing.assert_allclose(ld.load_field("u"), u_f, atol=1e-4)
