@@ -94,7 +94,8 @@ class VolumeData:
     derived, exactly like the reference's virtual calculator fields.
     """
 
-    def __init__(self, grid: GridMetadata, cache_bytes: Optional[int] = None):
+    def __init__(self, grid: GridMetadata, cache_bytes: Optional[int] = None,
+                 member_stack_dtype=None):
         self.grid = grid
         # name -> (FieldType, provider, units)
         self._providers: dict[str, tuple] = {}
@@ -103,6 +104,11 @@ class VolumeData:
         self._dirty_epochs: dict[str, int] = {}
         self.current_time = 0
         self.current_member = 0
+        # Storage dtype of resident member stacks (the correlation hot
+        # input and the HBM pressure point). bfloat16 halves residency
+        # like the reference's float16 format_cast (DataSetList.hpp);
+        # estimators accumulate in float32 regardless.
+        self.member_stack_dtype = member_stack_dtype or jnp.float32
 
     # -- registry ---------------------------------------------------------
 
@@ -189,11 +195,13 @@ class VolumeData:
             slabs = [
                 self.get_field(name, time, e) for e in range(self.grid.es)
             ]
-            stack = jnp.stack(slabs, axis=-1)
+            stack = jnp.stack(slabs, axis=-1).astype(
+                self.member_stack_dtype
+            )
             self.cache.put(key, stack)
             return stack
         slabs = [self.get_field(name, time, e) for e in members]
-        return jnp.stack(slabs, axis=-1)
+        return jnp.stack(slabs, axis=-1).astype(self.member_stack_dtype)
 
     def get_time_stack(self, name: str, member: int = 0, times=None):
         """Stack the time axis last: ``(Z, Y, X, T)`` (time-correlation mode)."""

@@ -154,7 +154,16 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         xs=grid.xs, ys=grid.ys, zs=grid.zs, ts=ts, es=es,
         dx=grid.dx, dy=grid.dy, dz=grid.dz,
     )
-    vd = VolumeData(grid, cache_bytes=cache_bytes)
+    member_dtype = None
+    cast = getattr(dataset_info, "format_cast", None)
+    if cast is not None and np.dtype(cast).itemsize == 2:
+        # Reference float16 format_cast → bf16 member stacks on TPU
+        # (halves HBM residency; estimators accumulate in float32).
+        import jax.numpy as jnp
+
+        member_dtype = jnp.bfloat16
+    vd = VolumeData(grid, cache_bytes=cache_bytes,
+                    member_stack_dtype=member_dtype)
     vd.loaders = loaders
     vd.lat, vd.lon, vd.height = first.lat, first.lon, first.height
 

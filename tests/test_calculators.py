@@ -273,3 +273,27 @@ class TestCalculators:
         out = np.asarray(correlate_requests(stack, req_a, req_b, "pearson"))
         assert out.shape == (2,)
         assert out[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bf16_member_stacks():
+    # format_cast float16 → bf16 member stacks (half the HBM
+    # residency); estimators accumulate in f32 and stay accurate to
+    # bf16 input precision.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    es, zs, ys, xs = 40, 4, 6, 6
+    data = rng.normal(size=(es, zs, ys, xs)).astype(np.float32)
+    grid = GridMetadata(xs=xs, ys=ys, zs=zs, ts=1, es=es)
+    vd = VolumeData(grid, member_stack_dtype=jnp.bfloat16)
+    vd.add_field("q", lambda t, e: data[e])
+    stack = vd.get_member_stack("q")
+    assert stack.dtype == jnp.bfloat16
+    c = calc.CorrelationCalculator(field_name="q",
+                                   reference_point=(2, 3, 1))
+    vd.add_calculator(c)
+    out = np.asarray(vd.get_field(c.output_name))
+    ref_series = data[:, 1, 3, 2]
+    want = np.corrcoef(data.reshape(es, -1).T, ref_series)[:-1, -1]
+    np.testing.assert_allclose(out.reshape(-1), want, atol=0.02)
+    assert out[1, 3, 2] == pytest.approx(1.0, abs=1e-2)
