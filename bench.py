@@ -71,6 +71,9 @@ def bench_pearson_streaming():
         # XLA fuses all three member reductions into a single pass over
         # the chunk (verified: a hand-written Pallas moment kernel was
         # 5x slower due to sublane striding of the member-major tiles).
+        # The upcast keeps bf16-staged chunks accumulating in f32 (it
+        # fuses into the read — HBM still moves 2 bytes/element).
+        chunk = chunk.astype(jnp.float32)
         s_y, s_yy, s_xy = acc
         s_y = s_y + jnp.sum(chunk, axis=0)
         s_yy = s_yy + jnp.sum(chunk * chunk, axis=0)
@@ -121,7 +124,27 @@ def bench_pearson_streaming():
     field = assemble(acc, ref_full)
     _sync(field)  # single end-of-stream drain
     compute_s = time.perf_counter() - t0
-    return nvox / compute_s  # voxels/sec at 1000 members
+
+    # bf16 member staging (the catalog's float16 format_cast → bf16
+    # path, core/fields.py): halves the HBM-bound chunk reads; the
+    # accumulator stays f32.
+    chunk_ab = chunk_a.astype(jnp.bfloat16)
+    chunk_bb = chunk_b.astype(jnp.bfloat16)
+    _sync(chunk_ab.astype(jnp.float32))
+    _sync(chunk_bb.astype(jnp.float32))
+    acc = (zero, zero, zero)
+    acc_w = accumulate(chunk_ab, ref_chunks[0], acc)
+    _sync(assemble(acc_w, ref_full))
+    del acc_w
+    acc = (zero, zero, zero)
+    t0 = time.perf_counter()
+    for c in range(num_chunks):
+        chunk = chunk_ab if c % 2 == 0 else chunk_bb
+        acc = accumulate(chunk, ref_chunks[c], acc)
+    field = assemble(acc, ref_full)
+    _sync(field)
+    bf16_s = time.perf_counter() - t0
+    return nvox / compute_s, nvox / bf16_s  # voxels/sec at 1000 members
 
 
 def bench_mi_ksg():
@@ -293,7 +316,7 @@ def main():
     t_start = time.time()
     cpu_vox_s = cpu_baseline_vox_per_s()
     cpu_ksg_vox_s = cpu_ksg_baseline_vox_per_s()
-    pearson_vox_s = bench_pearson_streaming()
+    pearson_vox_s, pearson_bf16_vox_s = bench_pearson_streaming()
     mi_vox_s = bench_mi_ksg()
     dvr_ms, classify_ms, prep_delta = bench_dvr()
     equality = kernel_equality_sweep()
@@ -304,6 +327,9 @@ def main():
         "unit": "Gvoxel/s",
         "vs_baseline": round(pearson_vox_s / cpu_vox_s, 2),
         "cpu_baseline_gvoxel_s": round(cpu_vox_s / 1e9, 8),
+        "pearson_bf16_staged_gvoxel_s": round(
+            pearson_bf16_vox_s / 1e9, 6
+        ),
         "mi_ksg_voxel_s_48c_1000m": round(mi_vox_s, 1),
         "mi_vs_baseline": round(mi_vox_s / cpu_ksg_vox_s, 2),
         "cpu_ksg_baseline_voxel_s": round(cpu_ksg_vox_s, 1),
