@@ -52,8 +52,9 @@ def kendall(
     Args:
       x, y: ``(..., n)`` values; leading axes broadcast (they are
         broadcast to a common shape internally).
-      dtype: accumulator dtype for the pair counts (float32 exact up to
-        n ≈ 5800 pairs-counts < 2^24; use float64 beyond).
+      dtype: accumulator dtype for the pair counts (float32 exact while
+        the double-counted sum n(n−1) < 2^24, i.e. n ≲ 4000; use
+        float64 beyond).
       chunk: member-axis tile width of the pair sweep.
 
     Returns:

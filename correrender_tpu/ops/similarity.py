@@ -27,6 +27,11 @@ def field_similarity(
 
     NaN positions in either field are excluded; for very large fields a
     deterministic subsample bounds the O(n²) measures.
+
+    Note: Kendall self-similarity is < 1 on data containing repeated
+    values — the reference's forced n3 = 0 tie convention
+    (Correlation.cpp:444) yields (n0 − 2t)/(n0 − t) for t joint-tied
+    pairs, and this implementation matches the reference exactly.
     """
     a = np.asarray(field_a, np.float32).ravel()
     b = np.asarray(field_b, np.float32).ravel()
@@ -34,6 +39,17 @@ def field_similarity(
         raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
     ok = np.isfinite(a) & np.isfinite(b)
     a, b = a[ok], b[ok]
+    from correrender_tpu.ops.registry import (
+        CorrelationMeasure,
+        measure_from_id,
+    )
+
+    if measure_from_id(measure) == CorrelationMeasure.KENDALL:
+        # Kendall's pair counts are float32-exact only while the
+        # double-counted symmetric sum n(n-1) stays below 2^24, i.e.
+        # n ≲ 4000; beyond that the accumulators round and even
+        # tau(x, x) drifts below 1. Cap the sample.
+        max_samples = min(max_samples, 4000)
     if len(a) > max_samples:
         idx = np.random.default_rng(seed).choice(
             len(a), max_samples, replace=False

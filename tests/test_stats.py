@@ -346,3 +346,15 @@ class TestCorrelateDispatch:
         # Strong self-box correlation, weak far-away correlation.
         assert field[zs // 2, 2, 2] == pytest.approx(1.0, abs=1e-5)
         assert abs(field[zs // 2, 16, 16]) < 0.4
+
+
+def test_field_similarity_kendall_exact_self():
+    # Large fields must not break Kendall's f32-exact pair counting
+    # (tau(x, x) drifted to 0.994 at 16k samples before the cap).
+    from correrender_tpu.ops.similarity import field_similarity
+
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(16, 32, 32)).astype(np.float32)
+    assert field_similarity(f, f, measure="kendall") == pytest.approx(
+        1.0, abs=1e-6
+    )
