@@ -63,7 +63,11 @@ class NetCdfLoader(VolumeLoader):
         if magic[:3] == b"CDF":
             import scipy.io
 
-            self._nc = scipy.io.netcdf_file(path, "r", mmap=True)
+            # mmap=False: scipy's mmap-backed reader raises noisy
+            # TypeErrors from its destructor at interpreter exit when
+            # arrays still reference the map; slabs are copied into
+            # device arrays immediately anyway.
+            self._nc = scipy.io.netcdf_file(path, "r", mmap=False)
             variables = {
                 k: (v.dimensions, v.shape)
                 for k, v in self._nc.variables.items()
