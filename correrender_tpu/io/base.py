@@ -78,8 +78,6 @@ class VolumeLoader:
         f = info.subsampling_factor
         if f and f > 1:
             arr = arr[::f, ::f, ::f]
-        if info.scale is not None:
-            arr = arr * np.float32(info.scale)
         if info.format_cast is not None:
             arr = arr.astype(info.format_cast).astype(np.float32)
         if info.axes is not None and list(info.axes) != [0, 1, 2]:
@@ -105,6 +103,12 @@ class VolumeLoader:
             if f and f > 1:
                 xs, ys, zs = -(-xs // f), -(-ys // f), -(-zs // f)
                 dx, dy, dz = dx * f, dy * f, dz * f
+            if dataset_info.scale is not None:
+                sx, sy, sz = dataset_info.scale
+                # Reference semantics: catalog scale multiplies the
+                # grid spacing (e.g. ZarrLoader.cpp:225-227), not the
+                # field values.
+                dx, dy, dz = dx * sx, dy * sy, dz * sz
             if (dataset_info.axes is not None
                     and list(dataset_info.axes) != [0, 1, 2]):
                 p = list(dataset_info.axes)

@@ -41,7 +41,7 @@ class DataSetInformation:
     name: str = ""
     filenames: list = dataclasses.field(default_factory=list)
     time_steps: Optional[list] = None
-    scale: Optional[float] = None
+    scale: Optional[tuple] = None  # per-axis (sx, sy, sz) grid-spacing scale
     height_scale: Optional[float] = None
     axes: Optional[list] = None
     transform: Optional[list] = None  # 4x4 row-major
@@ -101,7 +101,14 @@ def _parse_entry(node: dict, base_dir: str, prefix: str) -> DataSetInformation:
     if "time" in node:
         info.time = str(node["time"])
     if "scale" in node:
-        info.scale = float(node["scale"])
+        # Scalar or per-axis array, scaling the GRID SPACING like the
+        # reference (DataSetList.cpp:242-252; consumed as dx/dy/dz
+        # multipliers by its loaders).
+        v = node["scale"]
+        if isinstance(v, (list, tuple)):
+            info.scale = tuple(float(c) for c in v)
+        else:
+            info.scale = (float(v),) * 3
     if "heightscale" in node:
         info.height_scale = float(node["heightscale"])
     if "axes" in node:

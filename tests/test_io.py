@@ -281,7 +281,11 @@ class TestCatalog:
         vd = open_dataset(info)
         assert vd.grid.es == 3
         got = np.asarray(vd.get_field("data", member=1))
-        np.testing.assert_allclose(got, 2.0 * vol_zyx, rtol=1e-6)
+        # Catalog scale multiplies the GRID SPACING like the reference
+        # (ZarrLoader.cpp:225-227), never the field values.
+        np.testing.assert_allclose(got, vol_zyx, rtol=1e-6)
+        assert vd.grid.dx == pytest.approx(2.0)
+        assert info.scale == (2.0, 2.0, 2.0)
 
     def test_subsampling_and_subselection(self, tmp_path):
         data = np.arange(8 * 8 * 8, dtype=np.float32).reshape(8, 8, 8)
