@@ -142,6 +142,11 @@ def _parse_entry(node: dict, base_dir: str, prefix: str) -> DataSetInformation:
         )
     if "data_date" in node:
         info.date = str(node["data_date"])
+    if "data_time" in node:
+        # Paired with data_date: selects the GRIB message time
+        # (DataSetList.cpp:235-240; consumed by GribLoader's
+        # dataDate/dataTime filter).
+        info.time = str(node["data_time"])
     return info
 
 
