@@ -109,6 +109,11 @@ class VolumeLoader:
                 # grid spacing (e.g. ZarrLoader.cpp:225-227), not the
                 # field values.
                 dx, dy, dz = dx * sx, dy * sy, dz * sz
+            if dataset_info.height_scale is not None:
+                # heightscale stretches the y axis of the rendered
+                # geometry (MainApp.cpp:2001-2003 applies
+                # scale(1, heightScale, 1)); spacing carries it here.
+                dy = dy * dataset_info.height_scale
             if (dataset_info.axes is not None
                     and list(dataset_info.axes) != [0, 1, 2]):
                 p = list(dataset_info.axes)

@@ -232,6 +232,23 @@ class GribLoader(VolumeLoader):
         if not messages:
             raise ValueError(f"{path}: no GRIB2 messages found")
 
+        # Catalog data_date/data_time select one analysis time
+        # (GribLoader.cpp:152-165 skips other messages).
+        want_date = getattr(dataset_info, "date", None)
+        want_time = getattr(dataset_info, "time", None)
+        if want_date is not None:
+            filtered = [
+                m for m in messages
+                if m.date == int(want_date)
+                and (want_time is None or m.time == int(want_time))
+            ]
+            if not filtered:
+                raise ValueError(
+                    f"{path}: no messages at data_date={want_date} "
+                    f"data_time={want_time}"
+                )
+            messages = filtered
+
         times = sorted({(m.date, m.time) for m in messages})
         # Isobaric levels: descending pressure so z ascends with
         # altitude (matches the reference's level handling).

@@ -548,3 +548,42 @@ class TestVts:
         assert sorted(ld.field_names) == ["t", "u"]
         np.testing.assert_allclose(ld.load_field("t"), t_f, atol=1e-4)
         np.testing.assert_allclose(ld.load_field("u"), u_f, atol=1e-4)
+
+    def test_scale_and_heightscale_affect_spacing(self, tmp_path, vol_zyx):
+        writers.write_netcdf(str(tmp_path / "h.nc"), vol_zyx)
+        catalog = {"datasets": [{
+            "name": "h", "filename": "h.nc",
+            "scale": [2.0, 1.0, 1.0], "heightscale": 3.0,
+        }]}
+        cpath = tmp_path / "datasets.json"
+        cpath.write_text(json.dumps(catalog))
+        info = load_catalog(str(cpath))[0]
+        vd = open_dataset(info)
+        assert vd.grid.dx == pytest.approx(2.0)
+        assert vd.grid.dy == pytest.approx(3.0)  # 1.0 * heightscale
+        # Values untouched (scale is geometric in the reference).
+        np.testing.assert_allclose(
+            np.asarray(vd.get_field("data")), vol_zyx, rtol=1e-6
+        )
+
+    def test_data_date_time_filter(self, tmp_path):
+        from correrender_tpu.io.catalog import DataSetInformation
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        a = np.full((1, 4, 5), 1.0, np.float32)
+        b = np.full((1, 4, 5), 2.0, np.float32)
+        pa = str(tmp_path / "a.grb2")
+        pb = str(tmp_path / "b.grb2")
+        write_grib2(pa, {"t": a}, date=20200101, time=0)
+        write_grib2(pb, {"t": b}, date=20200102, time=1200)
+        merged = str(tmp_path / "m.grb2")
+        with open(merged, "wb") as f:
+            f.write(open(pa, "rb").read() + open(pb, "rb").read())
+        # Unfiltered: two time steps.
+        ld = GribLoader().open(merged)
+        assert ld.ts == 2
+        # data_date/data_time select one analysis time.
+        info = DataSetInformation(date="20200102", time="1200")
+        ld = GribLoader().open(merged, dataset_info=info)
+        assert ld.ts == 1
+        np.testing.assert_allclose(ld.load_field("t"), b, atol=1e-5)
