@@ -181,7 +181,8 @@ class Scene:
                     attenuation=r.get("attenuation", 100.0),
                     background=(0, 0, 0, 0),
                 )
-                if fast_dvr:
+                model_matrix = getattr(vd, "model_matrix", None)
+                if fast_dvr and model_matrix is None:
                     from correrender_tpu.render.dvr_fast import (
                         prepare_shearwarp,
                         shearwarp_camera_key,
@@ -249,7 +250,8 @@ class Scene:
                                         **kwargs)
                 else:
                     img = dvr_render(vol, cam, tf,
-                                     restriction=restriction, **kwargs)
+                                     restriction=restriction,
+                                     model_matrix=model_matrix, **kwargs)
                 image = _composite(image, img)
             elif r["type"] == "iso_ray":
                 raw_vol = vd.get_field(field, self.current_time,

@@ -173,6 +173,11 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         member_dtype = jnp.bfloat16
     vd = VolumeData(grid, cache_bytes=cache_bytes,
                     member_stack_dtype=member_dtype)
+    if getattr(dataset_info, "transform", None) is not None:
+        # Custom model matrix (MainApp.cpp:1991-1996): honored by the
+        # exact DVR path; Scene routes around the axis-aligned
+        # shear-warp fast path when present.
+        vd.model_matrix = np.asarray(dataset_info.transform, np.float32)
     vd.loaders = loaders
     vd.lat, vd.lon, vd.height = first.lat, first.lon, first.height
 

@@ -114,7 +114,19 @@ def _parse_entry(node: dict, base_dir: str, prefix: str) -> DataSetInformation:
     if "axes" in node:
         info.axes = list(node["axes"])
     if "transform" in node:
-        info.transform = node["transform"]
+        # 4×4 row-major model matrix: 16 whitespace-separated floats
+        # (the reference parses an sgl transform string) or a nested
+        # list.
+        t = node["transform"]
+        if isinstance(t, str):
+            vals = [float(v) for v in t.replace(",", " ").split()]
+        else:
+            vals = list(np.asarray(t, np.float32).reshape(-1))
+        if len(vals) != 16:
+            raise ValueError(
+                f"transform needs 16 matrix entries, got {len(vals)}"
+            )
+        info.transform = np.asarray(vals, np.float32).reshape(4, 4)
     if "subsampling_factor" in node:
         info.subsampling_factor = int(node["subsampling_factor"])
     if "domain_subselection_min" in node and "domain_subselection_max" in node:
