@@ -176,9 +176,10 @@ def load_catalog(path: str) -> list[DataSetInformation]:
     def walk(nodes, prefix):
         for node in nodes:
             if node.get("type") == "node" or "children" in node:
+                sub = node.get("name", "")
                 walk(
                     node.get("children", []),
-                    prefix + node.get("name", "") + "/",
+                    prefix + sub + "/" if sub else prefix,
                 )
             else:
                 out.append(_parse_entry(node, base_dir, prefix))
