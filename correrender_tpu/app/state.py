@@ -257,7 +257,8 @@ class Scene:
                 raw_vol = vd.get_field(field, self.current_time,
                                        self.current_member)
                 vol = self._restrict_iso_volume(raw_vol, box, restriction)
-                if fast_dvr:
+                iso_model_matrix = getattr(vd, "model_matrix", None)
+                if fast_dvr and iso_model_matrix is None:
                     from correrender_tpu.render.dvr_fast import (
                         shearwarp_camera_key,
                     )
@@ -293,6 +294,7 @@ class Scene:
                                             (0.9, 0.4, 0.2, 1.0)),
                         image_size=image_size, box=box,
                         background=(0, 0, 0, 0),
+                        model_matrix=iso_model_matrix,
                     )
                 image = _composite(image, img)
             elif r["type"] == "slice":

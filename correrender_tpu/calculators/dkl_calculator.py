@@ -37,7 +37,7 @@ class DKLCalculator(Calculator):
     def compute(self, time, member):
         stack = self.volume_data.get_member_stack(
             self.field_name or self.volume_data.field_names[0], time
-        )
+        ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         spatial = stack.shape[:-1]
         n = stack.shape[-1]
         series = stack.reshape(-1, n)

@@ -24,7 +24,7 @@ class EnsembleMeanCalculator(Calculator):
     def compute(self, time: int, member: int):
         stack = self.volume_data.get_member_stack(
             self.field_name or self.volume_data.field_names[0], time
-        )
+        ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         return jnp.nanmean(stack, axis=-1)
 
     def get_settings(self):
@@ -46,7 +46,7 @@ class EnsembleSpreadCalculator(Calculator):
     def compute(self, time: int, member: int):
         stack = self.volume_data.get_member_stack(
             self.field_name or self.volume_data.field_names[0], time
-        )
+        ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         mean = jnp.nanmean(stack, axis=-1, keepdims=True)
         return jnp.sqrt(jnp.nanmean((stack - mean) ** 2, axis=-1))
 

@@ -56,7 +56,7 @@ class SetPredicateCalculator(Calculator):
     def compute(self, time, member):
         stack = self.volume_data.get_member_stack(
             self.field_name or self.volume_data.field_names[0], time
-        )
+        ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         mask = COMPARISONS[self.comparison](
             stack, self.threshold, self.threshold_upper
         )

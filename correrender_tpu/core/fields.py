@@ -48,6 +48,9 @@ class GridMetadata:
     dx: float = 1.0
     dy: float = 1.0
     dz: float = 1.0
+    #: Render-only y stretch (catalog heightscale; MainApp.cpp:2001-2003
+    #: applies it as a model scale — physical spacing stays dx/dy/dz).
+    render_height_scale: float = 1.0
 
     @property
     def shape_zyx(self):
@@ -58,13 +61,14 @@ class GridMetadata:
         return self.xs * self.ys * self.zs
 
     def world_box(self):
-        """Data-space AABB [(0,0,0), ((xs-1)dx, (ys-1)dy, (zs-1)dz)]."""
+        """RENDER-space AABB [(0,0,0), ((xs-1)dx, h(ys-1)dy, (zs-1)dz)]
+        (h = render_height_scale; derivative math uses dx/dy/dz raw)."""
         return (
             np.zeros(3, np.float32),
             np.array(
                 [
                     (self.xs - 1) * self.dx,
-                    (self.ys - 1) * self.dy,
+                    (self.ys - 1) * self.dy * self.render_height_scale,
                     (self.zs - 1) * self.dz,
                 ],
                 np.float32,

@@ -109,11 +109,6 @@ class VolumeLoader:
                 # grid spacing (e.g. ZarrLoader.cpp:225-227), not the
                 # field values.
                 dx, dy, dz = dx * sx, dy * sy, dz * sz
-            if dataset_info.height_scale is not None:
-                # heightscale stretches the y axis of the rendered
-                # geometry (MainApp.cpp:2001-2003 applies
-                # scale(1, heightScale, 1)); spacing carries it here.
-                dy = dy * dataset_info.height_scale
             if (dataset_info.axes is not None
                     and list(dataset_info.axes) != [0, 1, 2]):
                 p = list(dataset_info.axes)
@@ -121,9 +116,16 @@ class VolumeLoader:
                 spac = [dx, dy, dz]
                 xs, ys, zs = dims[p[0]], dims[p[1]], dims[p[2]]
                 dx, dy, dz = spac[p[0]], spac[p[1]], spac[p[2]]
+        hs = 1.0
+        if dataset_info is not None and dataset_info.height_scale:
+            # heightscale stretches the rendered y geometry only
+            # (MainApp.cpp:2001-2003 applies scale(1, heightScale, 1)
+            # at render time); physical spacing — and thus derivative
+            # calculators — stay untouched.
+            hs = float(dataset_info.height_scale)
         return GridMetadata(
             xs=xs, ys=ys, zs=zs, ts=self.ts, es=self.es,
-            dx=dx, dy=dy, dz=dz,
+            dx=dx, dy=dy, dz=dz, render_height_scale=hs,
         )
 
 
@@ -159,15 +161,17 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         es = len(paths) // max(ts, 1) if first.es == 1 else first.es * len(paths)
 
     grid = first.grid_metadata(dataset_info)
-    grid = type(grid)(
-        xs=grid.xs, ys=grid.ys, zs=grid.zs, ts=ts, es=es,
-        dx=grid.dx, dy=grid.dy, dz=grid.dz,
-    )
+    import dataclasses as _dc
+
+    grid = _dc.replace(grid, ts=ts, es=es)
     member_dtype = None
     cast = getattr(dataset_info, "format_cast", None)
-    if cast is not None and np.dtype(cast).itemsize == 2:
+    if (cast is not None and np.dtype(cast).itemsize == 2
+            and np.issubdtype(np.dtype(cast), np.floating)):
         # Reference float16 format_cast → bf16 member stacks on TPU
         # (halves HBM residency; estimators accumulate in float32).
+        # Integer casts (short/ushort quantization) stay exact in f32:
+        # bf16's 8-bit significand would collapse their levels.
         import jax.numpy as jnp
 
         member_dtype = jnp.bfloat16

@@ -56,6 +56,7 @@ class DataSetInformation:
     attribute_names: list = dataclasses.field(default_factory=list)
     date: Optional[str] = None
     time: Optional[str] = None
+    data_time: Optional[str] = None  # GRIB analysis-time filter
 
     @property
     def time_steps_count(self) -> int:
@@ -157,8 +158,9 @@ def _parse_entry(node: dict, base_dir: str, prefix: str) -> DataSetInformation:
     if "data_time" in node:
         # Paired with data_date: selects the GRIB message time
         # (DataSetList.cpp:235-240; consumed by GribLoader's
-        # dataDate/dataTime filter).
-        info.time = str(node["data_time"])
+        # dataDate/dataTime filter). Own field — the generic "time"
+        # key is a separate, non-numeric concept.
+        info.data_time = str(node["data_time"])
     return info
 
 

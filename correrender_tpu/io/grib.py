@@ -235,7 +235,7 @@ class GribLoader(VolumeLoader):
         # Catalog data_date/data_time select one analysis time
         # (GribLoader.cpp:152-165 skips other messages).
         want_date = getattr(dataset_info, "date", None)
-        want_time = getattr(dataset_info, "time", None)
+        want_time = getattr(dataset_info, "data_time", None)
         if want_date is not None:
             filtered = [
                 m for m in messages

@@ -63,11 +63,17 @@ class NetCdfLoader(VolumeLoader):
         if magic[:3] == b"CDF":
             import scipy.io
 
-            # mmap=False: scipy's mmap-backed reader raises noisy
-            # TypeErrors from its destructor at interpreter exit when
-            # arrays still reference the map; slabs are copied into
-            # device arrays immediately anyway.
-            self._nc = scipy.io.netcdf_file(path, "r", mmap=False)
+            # mmap=True keeps open() cheap on multi-GB files (no
+            # whole-file read); load_field copies each slab out of the
+            # map immediately, so no array outlives it (scipy's
+            # destructor warns loudly if one does).
+            self._nc = scipy.io.netcdf_file(path, "r", mmap=True)
+            # Close before interpreter teardown: scipy's destructor
+            # references module globals that are already gone by then
+            # and spews "Exception ignored" TypeErrors otherwise.
+            import atexit
+
+            atexit.register(self.close)
             variables = {
                 k: (v.dimensions, v.shape)
                 for k, v in self._nc.variables.items()
@@ -139,7 +145,8 @@ class NetCdfLoader(VolumeLoader):
             else:
                 index.append(slice(None))
         src = self._h5[name] if self._h5 is not None else self._nc.variables[name]
-        arr = np.asarray(src[tuple(index)], np.float32)
+        # copy=True detaches the slab from scipy's mmap (see open()).
+        arr = np.array(src[tuple(index)], np.float32, copy=True)
         # Remaining axes are (z, y, x) in role order; transpose if needed.
         spatial_roles = [r for r in roles if r in "zyx"]
         perm = [spatial_roles.index(a) for a in "zyx"]
@@ -162,5 +169,7 @@ class NetCdfLoader(VolumeLoader):
     def close(self):
         if self._h5 is not None:
             self._h5.close()
+            self._h5 = None
         if self._nc is not None:
             self._nc.close()
+            self._nc = None

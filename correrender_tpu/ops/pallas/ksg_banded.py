@@ -377,8 +377,7 @@ def mi_ksg_banded(
         from correrender_tpu.ops.pallas.ksg_kernel import mi_ksg_pallas
 
         return mi_ksg_pallas(stack, ref, k=k, estimator=estimator,
-                             use_noise=use_noise,
-                             interpret=bool(interpret))
+                             use_noise=use_noise, interpret=interpret)
     if interpret is None:
         interpret = not on_tpu()
     n = stack.shape[-1]

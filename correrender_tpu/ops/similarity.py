@@ -44,11 +44,13 @@ def field_similarity(
         measure_from_id,
     )
 
-    if measure_from_id(measure) == CorrelationMeasure.KENDALL:
+    if (measure_from_id(measure) == CorrelationMeasure.KENDALL
+            and "dtype" not in measure_kw):
         # Kendall's pair counts are float32-exact only while the
         # double-counted symmetric sum n(n-1) stays below 2^24, i.e.
         # n ≲ 4000; beyond that the accumulators round and even
-        # tau(x, x) drifts below 1. Cap the sample.
+        # tau(x, x) drifts below 1. Cap the sample unless the caller
+        # opted into wider accumulators (measure_kw dtype=float64).
         max_samples = min(max_samples, 4000)
     if len(a) > max_samples:
         idx = np.random.default_rng(seed).choice(

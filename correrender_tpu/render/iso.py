@@ -227,8 +227,14 @@ def iso_render(
     background=(0.0, 0.0, 0.0, 1.0),
     refine_steps: int = 8,
     intersection_mode: str = "bisection",
+    model_matrix=None,
 ):
-    """Render an isosurface of a scalar volume (see iso_composite)."""
+    """Render an isosurface of a scalar volume (see iso_composite).
+
+    ``model_matrix`` is the volume's 4x4 model transform (catalog
+    ``transform`` key, MainApp.cpp:1991-1996): rays are pulled into
+    model space with its inverse, same as :func:`dvr_render`.
+    """
     zs, ys, xs = volume.shape
     if box is None:
         dims = np.array(
@@ -242,6 +248,23 @@ def iso_render(
     steps = num_steps_for(box_min, box_max, step)
     width, height = image_size
     origin, directions = camera.rays(width, height)
+    if model_matrix is not None:
+        import jax
+
+        m = np.asarray(model_matrix, np.float32).reshape(4, 4)
+        minv = np.linalg.inv(m)
+        rot = jnp.asarray(minv[:3, :3])
+        trans = jnp.asarray(minv[:3, 3])
+        # HIGHEST precision: TPU matmul defaults to bf16 inputs, which
+        # visibly shifts rays (~0.25%); see dvr_render.
+        origin = jnp.einsum(
+            "ij,...j->...i", rot, origin,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + trans
+        directions = jnp.einsum(
+            "ij,...j->...i", rot, directions,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return iso_composite(
         volume,
         origin,

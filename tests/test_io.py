@@ -560,7 +560,14 @@ class TestVts:
         info = load_catalog(str(cpath))[0]
         vd = open_dataset(info)
         assert vd.grid.dx == pytest.approx(2.0)
-        assert vd.grid.dy == pytest.approx(3.0)  # 1.0 * heightscale
+        # heightscale is render-only (MainApp.cpp:2001-2003): physical
+        # spacing stays 1.0 so derivative calculators are unaffected,
+        # but the render-space box is stretched 3x in y.
+        assert vd.grid.dy == pytest.approx(1.0)
+        assert vd.grid.render_height_scale == pytest.approx(3.0)
+        _, wmax = vd.grid.world_box()
+        ys = vd.grid.ys
+        assert wmax[1] == pytest.approx((ys - 1) * 3.0)
         # Values untouched (scale is geometric in the reference).
         np.testing.assert_allclose(
             np.asarray(vd.get_field("data")), vol_zyx, rtol=1e-6
@@ -583,7 +590,7 @@ class TestVts:
         ld = GribLoader().open(merged)
         assert ld.ts == 2
         # data_date/data_time select one analysis time.
-        info = DataSetInformation(date="20200102", time="1200")
+        info = DataSetInformation(date="20200102", data_time="1200")
         ld = GribLoader().open(merged, dataset_info=info)
         assert ld.ts == 1
         np.testing.assert_allclose(ld.load_field("t"), b, atol=1e-5)
