@@ -213,6 +213,26 @@ class TestModelTransform:
                                   image_size=(48, 36)))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_iso_rotation_matches_rotated_volume(self):
+        # Same 90-degree-z check for the isosurface raycaster.
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        rng = np.random.default_rng(3)
+        vol = rng.random((16, 16, 16)).astype(np.float32)
+        vol_rot = np.rot90(vol, k=-1, axes=(1, 2)).copy()
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = 0.0; m[0, 1] = -1.0
+        m[1, 0] = 1.0; m[1, 1] = 0.0
+        cam = Camera(position=(0.1, 0.25, 0.8))
+        a = np.asarray(iso_render(jnp.asarray(vol), cam, 0.5,
+                                  image_size=(48, 36), model_matrix=m))
+        b = np.asarray(iso_render(jnp.asarray(vol_rot), cam, 0.5,
+                                  image_size=(48, 36)))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
     def test_catalog_transform_routes_exact_path(self, tmp_path):
         import json
 
@@ -235,3 +255,9 @@ class TestModelTransform:
         scene.add_renderer("dvr")
         img = np.asarray(scene.render_view(0, image_size=(32, 24)))
         assert np.isfinite(img).all()
+        # iso_ray also honors the transform (routes around the
+        # axis-aligned shear-warp fast path).
+        scene2 = Scene(vd)
+        scene2.add_renderer("iso_ray", iso_value=0.5)
+        img2 = np.asarray(scene2.render_view(0, image_size=(32, 24)))
+        assert np.isfinite(img2).all()
