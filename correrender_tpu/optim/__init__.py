@@ -13,6 +13,7 @@ families mirror the reference (OptDefines.hpp:32-40):
 """
 
 from correrender_tpu.optim.tf_opt import (
+    TFOptimizationWorker,
     TFOptimizer,
     optimize_tf_ols,
     optimize_tf_gd,
@@ -21,6 +22,7 @@ from correrender_tpu.optim.tf_opt import (
 from correrender_tpu.optim.solvers import cgls, lsqr, solve_nonneg
 
 __all__ = [
+    "TFOptimizationWorker",
     "TFOptimizer",
     "optimize_tf_ols",
     "optimize_tf_gd",

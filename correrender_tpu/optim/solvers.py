@@ -83,11 +83,23 @@ def lsqr(a: jnp.ndarray, b: jnp.ndarray, iters: int = 100):
 @functools.partial(jax.jit, static_argnames=("iters",))
 def solve_nonneg(ata: jnp.ndarray, atb: jnp.ndarray, iters: int = 200):
     """Non-negative least squares on normal equations via projected
-    gradient with Lipschitz step (replaces QuadProg++/eigen-qp/OSQP)."""
-    lip = jnp.linalg.norm(ata, ord=2)  # largest singular value
+    gradient with Lipschitz step (replaces QuadProg++/eigen-qp/OSQP).
+
+    The Lipschitz constant comes from power iteration and the warm
+    start from a Cholesky solve: SVD/LU lowerings take minutes to
+    compile on TPU, power iteration + Cholesky compile in seconds."""
+    v = jnp.ones((ata.shape[0],), ata.dtype)
+
+    def power(_, v):
+        w = ata @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, 30, power, v)
+    lip = v @ (ata @ v)  # Rayleigh quotient ≈ λ_max (ata is PSD)
     step = 1.0 / jnp.maximum(lip, 1e-30)
-    x0 = jnp.maximum(jnp.linalg.solve(
-        ata + 1e-6 * jnp.eye(ata.shape[0]), atb), 0.0)
+    reg = ata + 1e-6 * jnp.eye(ata.shape[0], dtype=ata.dtype)
+    chol = jax.scipy.linalg.cho_factor(reg)
+    x0 = jnp.maximum(jax.scipy.linalg.cho_solve(chol, atb), 0.0)
 
     def body(_, x):
         grad = ata @ x - atb

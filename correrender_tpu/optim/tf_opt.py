@@ -230,3 +230,76 @@ class TFOptimizer:
                 epochs=min(self.epochs, 100), **kw,
             )
         raise ValueError(f"unknown method {self.method!r}")
+
+
+class TFOptimizationWorker:
+    """Background TF-optimization worker with a request/reply queue.
+
+    Mirrors the reference's dedicated worker thread
+    (src/Optimization/TFOptimization.hpp:51-90: ``queueRequest`` from
+    the GUI thread, non-blocking ``getReply`` polled per frame) so an
+    interactive frontend never blocks on a fit. One daemon thread
+    drains requests in order; replies carry the request id.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._requests: "queue.Queue" = queue.Queue()
+        self._replies: "queue.Queue" = queue.Queue()
+        self._next_id = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._requests.get()
+            if item is None:
+                return
+            req_id, optimizer, args, kw = item
+            try:
+                result = optimizer.run(*args, **kw)
+                self._replies.put((req_id, result, None))
+            except Exception as exc:  # surfaced via get_reply
+                self._replies.put((req_id, None, exc))
+
+    def queue_request(self, optimizer: "TFOptimizer", *args, **kw) -> int:
+        """Enqueue a fit; returns a request id for matching the reply."""
+        req_id = self._next_id
+        self._next_id += 1
+        self._requests.put((req_id, optimizer, args, kw))
+        return req_id
+
+    def get_reply(self, block: bool = False, timeout=None):
+        """Poll for the next finished fit.
+
+        Returns ``(request_id, result)`` or ``None`` when nothing is
+        ready (reference getReply semantics). A failed fit re-raises
+        its exception here, on the caller's thread.
+        """
+        import queue
+
+        try:
+            req_id, result, exc = self._replies.get(
+                block=block, timeout=timeout
+            )
+        except queue.Empty:
+            return None
+        if exc is not None:
+            raise exc
+        return req_id, result
+
+    def join(self, timeout=None):
+        """Block until all queued requests are processed."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.time() + timeout
+        while not self._requests.empty():
+            if deadline is not None and _time.time() > deadline:
+                return
+            _time.sleep(0.01)
+
+    def shutdown(self):
+        self._requests.put(None)
+        self._thread.join(timeout=5)

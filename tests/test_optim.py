@@ -151,3 +151,41 @@ class TestHarness:
             TFOptimizer(tf_size=33).run(a, _tf_a(), b)
         with pytest.raises(ValueError):
             TFOptimizer(method="diffdvr").run(a, _tf_a(), b)
+
+
+class TestWorker:
+    def test_async_request_reply(self):
+        from correrender_tpu.optim import TFOptimizationWorker, TFOptimizer
+
+        a, b = _paired_fields(8)
+        worker = TFOptimizationWorker()
+        try:
+            opt = TFOptimizer()
+            opt.tf_size = 32
+            r0 = worker.queue_request(opt, a, _tf_a(), b)
+            r1 = worker.queue_request(opt, a, _tf_a(), b)
+            got = {}
+            for _ in range(2):
+                req_id, tf_b = worker.get_reply(block=True, timeout=60)
+                got[req_id] = tf_b
+            assert set(got) == {r0, r1}
+            err = _voxel_match_error(a, _tf_a(), b, got[r0])
+            assert err < 0.05
+            # Queue drained: nothing left to poll.
+            assert worker.get_reply() is None
+        finally:
+            worker.shutdown()
+
+    def test_error_propagates_to_caller(self):
+        from correrender_tpu.optim import TFOptimizationWorker, TFOptimizer
+
+        a, b = _paired_fields(8)
+        worker = TFOptimizationWorker()
+        try:
+            opt = TFOptimizer()
+            opt.tf_size = 7  # not in POSSIBLE_TF_SIZES
+            worker.queue_request(opt, a, _tf_a(), b)
+            with pytest.raises(ValueError):
+                worker.get_reply(block=True, timeout=30)
+        finally:
+            worker.shutdown()
