@@ -109,7 +109,11 @@ def solve_nonneg(ata: jnp.ndarray, atb: jnp.ndarray, iters: int = 200):
 
 
 def solve_dense(ata, atb, method: str = "cholesky"):
-    """Direct normal-equation solvers (Eigen-parity: lu/cholesky/qr/svd)."""
+    """Direct normal-equation solvers (Eigen-parity: lu/cholesky/qr/svd).
+
+    Default cholesky compiles in seconds on TPU; lu/qr/svd lowerings
+    can take minutes to compile there — prefer them on CPU only.
+    """
     reg = ata + 1e-8 * jnp.eye(ata.shape[0])
     if method in ("cholesky", "chol"):
         c = jnp.linalg.cholesky(reg)

@@ -18,6 +18,7 @@ adjoint GLSL pass for this).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -106,30 +107,33 @@ def optimize_tf_gd(
         pred = w @ lut
         return jnp.mean((pred - target) ** 2)
 
-    lut = jnp.full((tf_size, 4), 0.5, jnp.float32)
-    m = jnp.zeros_like(lut)
-    v = jnp.zeros_like(lut)
-    grad_fn = jax.jit(jax.grad(loss_fn))
+    lut0 = jnp.full((tf_size, 4), 0.5, jnp.float32)
+    grad_fn = jax.grad(loss_fn)
+    use_adam = optimizer == "adam"
 
-    @jax.jit
-    def adam_step(lut, m, v, t):
-        g = grad_fn(lut)
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9**t)
-        vhat = v / (1 - 0.999**t)
-        lut = lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8)
-        return jnp.clip(lut, 0.0, 1.0), m, v
+    # One jit around the whole epoch loop: the step counter must stay
+    # a traced value — as a Python int it re-specializes (and on TPU
+    # re-COMPILES) every epoch.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(lut, n):
+        def body(i, carry):
+            lut, m, v = carry
+            g = grad_fn(lut)
+            if not use_adam:
+                return jnp.clip(lut - learning_rate * g, 0.0, 1.0), m, v
+            t = (i + 1).astype(jnp.float32)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9**t)
+            vhat = v / (1 - 0.999**t)
+            lut = lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8)
+            return jnp.clip(lut, 0.0, 1.0), m, v
 
-    @jax.jit
-    def sgd_step(lut, m, v, t):
-        g = grad_fn(lut)
-        return jnp.clip(lut - learning_rate * g, 0.0, 1.0), m, v
+        zeros = jnp.zeros_like(lut)
+        lut, _, _ = jax.lax.fori_loop(0, n, body, (lut, zeros, zeros))
+        return lut
 
-    step = adam_step if optimizer == "adam" else sgd_step
-    for t in range(1, epochs + 1):
-        lut, m, v = step(lut, m, v, t)
-    return TransferFunction(lut=lut, domain=tuple(domain_b))
+    return TransferFunction(lut=run(lut0, epochs), domain=tuple(domain_b))
 
 
 def optimize_tf_diffdvr(
@@ -178,21 +182,32 @@ def optimize_tf_diffdvr(
         smooth = jnp.mean((lut[1:] - lut[:-1]) ** 2)
         return data_term + smoothing_weight * smooth
 
-    lut = jnp.full((tf_size, 4), 0.5, jnp.float32)
-    m = jnp.zeros_like(lut)
-    v = jnp.zeros_like(lut)
-    val_grad = jax.jit(jax.value_and_grad(loss_fn))
+    lut0 = jnp.full((tf_size, 4), 0.5, jnp.float32)
+    grad_fn = jax.grad(loss_fn)
 
-    for t in range(1, epochs + 1):
-        _, g = val_grad(lut)
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9**t)
-        vhat = v / (1 - 0.999**t)
-        lut = jnp.clip(
-            lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8), 0.0, 1.0
-        )
-    return TransferFunction(lut=lut, domain=tuple(domain_b))
+    # Single jit over all epochs (one compile, one dispatch — the
+    # per-epoch Python loop costs a tunnel round-trip per op here).
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(lut, n):
+        def body(i, carry):
+            lut, m, v = carry
+            g = grad_fn(lut)
+            t = (i + 1).astype(jnp.float32)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9**t)
+            vhat = v / (1 - 0.999**t)
+            lut = jnp.clip(
+                lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8),
+                0.0, 1.0,
+            )
+            return lut, m, v
+
+        zeros = jnp.zeros_like(lut)
+        lut, _, _ = jax.lax.fori_loop(0, n, body, (lut, zeros, zeros))
+        return lut
+
+    return TransferFunction(lut=run(lut0, epochs), domain=tuple(domain_b))
 
 
 @dataclasses.dataclass
