@@ -44,13 +44,25 @@ def matern52(x1: jnp.ndarray, x2: jnp.ndarray, length_scale=0.3,
 
 @jax.jit
 def gp_posterior(x_train, y_train, x_query, length_scale, variance,
-                 noise=1e-4):
-    """GP mean/std at query points (zero-mean prior, Matern-5/2)."""
-    k = matern52(x_train, x_train, length_scale, variance)
-    k = k + noise * jnp.eye(k.shape[0])
+                 noise=1e-4, mask=None):
+    """GP mean/std at query points (zero-mean prior, Matern-5/2).
+
+    ``mask`` (0/1 per train point) supports fixed-capacity buffers:
+    masked rows/columns of K collapse to the identity and their
+    k* columns to zero, so the posterior equals the unmasked GP over
+    the active subset — while every call keeps one static shape (the
+    growing-train-set alternative recompiles each BayOpt iteration,
+    which on TPU costs seconds per step).
+    """
+    if mask is None:
+        mask = jnp.ones(x_train.shape[0], x_train.dtype)
+    mm = mask[:, None] * mask[None, :]
+    k = matern52(x_train, x_train, length_scale, variance) * mm
+    k = k + noise * jnp.eye(k.shape[0]) + jnp.diag(1.0 - mask)
     chol = jnp.linalg.cholesky(k)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), y_train)
-    k_star = matern52(x_query, x_train, length_scale, variance)  # (Q, N)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y_train * mask)
+    k_star = (matern52(x_query, x_train, length_scale, variance)
+              * mask[None, :])  # (Q, N)
     mean = k_star @ alpha
     v = jax.scipy.linalg.solve_triangular(chol, k_star.T, lower=True)
     var = jnp.maximum(variance - jnp.sum(v * v, axis=0), 1e-10)
@@ -58,7 +70,7 @@ def gp_posterior(x_train, y_train, x_query, length_scale, variance,
 
 
 @jax.jit
-def fit_gp_hyperparams(x_train, y_train, noise=1e-4):
+def fit_gp_hyperparams(x_train, y_train, noise=1e-4, mask=None):
     """Max-marginal-likelihood (length_scale, variance) over a grid.
 
     With a unit-variance correlation matrix K_ls, the optimal signal
@@ -68,14 +80,22 @@ def fit_gp_hyperparams(x_train, y_train, noise=1e-4):
     Vectorized over the candidate grid (limbo optimizes the same
     likelihood with gradient steps, BayOpt.hpp:86-127).
     """
-    n = x_train.shape[0]
+    cap = x_train.shape[0]
+    if mask is None:
+        mask = jnp.ones(cap, x_train.dtype)
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    mm = mask[:, None] * mask[None, :]
+    ym = y_train * mask
 
     def lml(ls):
-        k = matern52(x_train, x_train, ls, 1.0)
-        k = k + noise * jnp.eye(n)
+        # Masked points contribute identity rows (constant log-det
+        # offset across the ls grid — argmax unaffected; see
+        # gp_posterior).
+        k = matern52(x_train, x_train, ls, 1.0) * mm
+        k = k + noise * jnp.eye(cap) + jnp.diag(1.0 - mask)
         chol = jnp.linalg.cholesky(k)
-        alpha = jax.scipy.linalg.cho_solve((chol, True), y_train)
-        sigma2 = jnp.maximum(jnp.dot(y_train, alpha) / n, 1e-10)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), ym)
+        sigma2 = jnp.maximum(jnp.dot(ym, alpha) / n, 1e-10)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         return -0.5 * n * jnp.log(sigma2) - 0.5 * logdet, sigma2
 
@@ -113,30 +133,38 @@ def bayesian_opt_max(
         )
         return np.nan_to_num(vals, nan=0.0)
 
-    x = plastic_sequence(num_init, 6)
-    y = evaluate(x)
+    # Fixed-capacity masked buffers: every GP call sees one static
+    # shape, so the jitted posterior/refit compile exactly once.
+    cap = num_init + num_iters
+    x = np.zeros((cap, 6), np.float32)
+    y = np.zeros(cap, np.float32)
+    x[:num_init] = plastic_sequence(num_init, 6)
+    y[:num_init] = evaluate(x[:num_init])
+    count = num_init
 
     rng = np.random.default_rng(seed)
     ls, var = 0.3, 1.0
     for it in range(num_iters):
+        mask = np.zeros(cap, np.float32)
+        mask[:count] = 1.0
+        y_mean = y[:count].mean()
+        y_c = np.where(mask > 0, y - y_mean, 0.0).astype(np.float32)
         if it % refit_every == 0:
-            y_c = y - y.mean()
             ls_j, var_j = fit_gp_hyperparams(
-                jnp.asarray(x, jnp.float32), jnp.asarray(y_c, jnp.float32)
+                jnp.asarray(x), jnp.asarray(y_c), mask=jnp.asarray(mask)
             )
             ls, var = float(ls_j), float(var_j)
         candidates = rng.random((num_candidates, 6))
         mean, std = gp_posterior(
-            jnp.asarray(x, jnp.float32),
-            jnp.asarray(y - y.mean(), jnp.float32),
+            jnp.asarray(x), jnp.asarray(y_c),
             jnp.asarray(candidates, jnp.float32),
-            jnp.float32(ls), jnp.float32(var),
+            jnp.float32(ls), jnp.float32(var), mask=jnp.asarray(mask),
         )
-        ucb = np.asarray(mean) + y.mean() + kappa * np.asarray(std)
+        ucb = np.asarray(mean) + y_mean + kappa * np.asarray(std)
         best = np.argmax(ucb)
-        x_new = candidates[best : best + 1]
-        y_new = evaluate(x_new)
-        x = np.concatenate([x, x_new])
-        y = np.concatenate([y, y_new])
+        x_new = candidates[best : best + 1].astype(np.float32)
+        x[count] = x_new[0]
+        y[count] = evaluate(x_new)[0]
+        count += 1
 
-    return float(y.max())
+    return float(y[:count].max())

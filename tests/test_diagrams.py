@@ -253,6 +253,40 @@ class TestBatchedSampling:
         # far from the old hardcoded 0.3 when the data says otherwise.
         assert 0.05 <= float(ls) <= 0.3
 
+    def test_masked_gp_matches_unmasked(self):
+        # The fixed-capacity mask trick (static shapes across BayOpt
+        # iterations) must reproduce the plain GP over the active
+        # subset exactly.
+        import jax.numpy as jnp
+
+        from correrender_tpu.diagrams.bayopt import (
+            fit_gp_hyperparams,
+            gp_posterior,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.random((20, 6)).astype(np.float32)
+        y = rng.standard_normal(20).astype(np.float32)
+        q = rng.random((32, 6)).astype(np.float32)
+        cap = 32
+        xp = np.zeros((cap, 6), np.float32); xp[:20] = x
+        yp = np.zeros(cap, np.float32); yp[:20] = y
+        mask = np.zeros(cap, np.float32); mask[:20] = 1.0
+        m0, s0 = gp_posterior(jnp.asarray(x), jnp.asarray(y),
+                              jnp.asarray(q), 0.3, 1.0)
+        m1, s1 = gp_posterior(jnp.asarray(xp), jnp.asarray(yp),
+                              jnp.asarray(q), 0.3, 1.0,
+                              mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   atol=1e-5)
+        ls0, v0 = fit_gp_hyperparams(jnp.asarray(x), jnp.asarray(y))
+        ls1, v1 = fit_gp_hyperparams(jnp.asarray(xp), jnp.asarray(yp),
+                                     mask=jnp.asarray(mask))
+        assert float(ls0) == float(ls1)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-4)
+
     def test_sampling_test_indices(self, tmp_path):
         from correrender_tpu.app.sampling_test import (
             TEST_CASE_DATA_MAX_SUBSAMPLED,
