@@ -212,14 +212,27 @@ def batched_block_pairs_max(
     pa = coords(regions_a, ua).reshape(-1, 3)
     pb = coords(regions_b, ub).reshape(-1, 3)
     p = len(regions_a)
-    vals = np.empty(p * s, np.float32)
-    for start in range(0, p * s, request_chunk):
-        end = min(start + request_chunk, p * s)
+    total = p * s
+    # Pad the request buffer to a canonical size (multiple of the
+    # chunk, or the next power of two below it) so repeated diagram
+    # levels reuse a handful of compiled shapes instead of compiling a
+    # fresh remainder-sized program each time.
+    if total >= request_chunk:
+        padded = -(-total // request_chunk) * request_chunk
+    else:
+        padded = 1 << (total - 1).bit_length()
+    if padded > total:
+        pad = np.zeros((padded - total, 3), pa.dtype)
+        pa = np.concatenate([pa, pad])
+        pb = np.concatenate([pb, pad])
+    vals = np.empty(padded, np.float32)
+    for start in range(0, padded, request_chunk):
+        end = min(start + request_chunk, padded)
         vals[start:end] = np.asarray(correlate_requests(
             stack, jnp.asarray(pa[start:end]), jnp.asarray(pb[start:end]),
             measure, absolute=True, **kw,
         ))
-    vals = vals.reshape(p, s)
+    vals = vals[:total].reshape(p, s)
     with np.errstate(invalid="ignore"):
         out = np.nanmax(
             np.where(np.isfinite(vals), vals, np.nan), axis=1

@@ -18,6 +18,7 @@ tiny-cuda-nn / QuickMLP / VMLP all collapse here onto one JAX model.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -127,7 +128,6 @@ def train_srn(
         pred = model.apply(p, pr, pq)
         return jnp.mean((pred - t) ** 2)
 
-    @jax.jit
     def step_fn(p, opt_state, key, t_step):
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (min(batch, n),), 0, n)
@@ -137,11 +137,22 @@ def train_srn(
         p, opt_state = _adam_update(p, grads, opt_state, lr, t_step)
         return p, opt_state, key, loss
 
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
-    loss = jnp.inf
-    for t in range(1, steps + 1):
-        params, opt_state, key, loss = step_fn(params, opt_state, key, t)
+    # Whole loop in one dispatch: a Python step loop costs a device
+    # round-trip per step (~25 ms over a tunneled link).
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run(params, key, n_steps):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
+
+        def body(i, carry):
+            p, opt_state, key, _ = carry
+            return step_fn(p, opt_state, key, (i + 1).astype(jnp.float32))
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (params, opt_state, key, jnp.inf)
+        )
+
+    params, _, _, loss = run(params, key, steps)
     return params, float(loss)
 
 
@@ -188,20 +199,28 @@ def train_mine(
     def loss_fn(p, k):
         return -estimator.mi_lower_bound(p, x, y, k)
 
-    @jax.jit
     def step_fn(p, opt_state, key, t):
         key, sub = jax.random.split(key)
         loss, grads = jax.value_and_grad(loss_fn)(p, sub)
         p, opt_state = _adam_update(p, grads, opt_state, lr, t)
         return p, opt_state, key, loss
 
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
-    mi = 0.0
-    for t in range(1, steps + 1):
-        params, opt_state, key, loss = step_fn(params, opt_state, key, t)
-        mi = -float(loss)
-    return params, mi
+    # One dispatch for the full schedule (see train_srn).
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run(params, key, n_steps):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        opt_state = (zeros, jax.tree.map(jnp.zeros_like, params))
+
+        def body(i, carry):
+            p, opt_state, key, _ = carry
+            return step_fn(p, opt_state, key, (i + 1).astype(jnp.float32))
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (params, opt_state, key, jnp.inf)
+        )
+
+    params, _, _, loss = run(params, key, steps)
+    return params, -float(loss)
 
 
 def train_mine_batched(
