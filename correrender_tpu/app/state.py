@@ -182,7 +182,8 @@ class Scene:
                     background=(0, 0, 0, 0),
                 )
                 model_matrix = getattr(vd, "model_matrix", None)
-                if fast_dvr and model_matrix is None:
+                nan_mode = r.get("nan_mode", "ignore")
+                if fast_dvr and model_matrix is None and nan_mode == "ignore":
                     from correrender_tpu.render.dvr_fast import (
                         prepare_shearwarp,
                         shearwarp_camera_key,
@@ -251,7 +252,8 @@ class Scene:
                 else:
                     img = dvr_render(vol, cam, tf,
                                      restriction=restriction,
-                                     model_matrix=model_matrix, **kwargs)
+                                     model_matrix=model_matrix,
+                                     nan_mode=nan_mode, **kwargs)
                 image = _composite(image, img)
             elif r["type"] == "iso_ray":
                 raw_vol = vd.get_field(field, self.current_time,

@@ -51,7 +51,7 @@ def world_step_size(grid_shape_zyx, box_min, box_max, voxel_step: float) -> floa
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "restriction_metric"),
+    static_argnames=("num_steps", "restriction_metric", "nan_mode"),
 )
 def dvr_composite(
     volume: jnp.ndarray,
@@ -67,8 +67,13 @@ def dvr_composite(
     num_steps: int,
     restriction=None,
     restriction_metric: str = "Euclidean",
+    nan_mode: str = "ignore",
 ) -> jnp.ndarray:
     """Core compositing loop. Returns straight-alpha RGBA (H, W, 4).
+
+    ``nan_mode``: "ignore" skips NaN voxels, "yellow" renders them as
+    opaque yellow (the reference's NaN debug display,
+    DvrRenderer.hpp:69-71 / DvrShader.glsl).
 
     ``restriction``: optional ``(4,)`` array ``[cx, cy, cz, radius]`` —
     samples outside the ball contribute nothing, the exact per-sample
@@ -96,8 +101,10 @@ def dvr_composite(
         i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res - 2)
         frac = (u - i0.astype(jnp.float32))[..., None]
         rgba = tf_lut[i0] * (1.0 - frac) + tf_lut[i0 + 1] * frac
-        # NaN scalars contribute nothing (NaN handling mode "ignore").
-        rgba = jnp.where(jnp.isnan(scalar)[..., None], 0.0, rgba)
+        nan_fill = (jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+                    if nan_mode == "yellow"
+                    else jnp.zeros(4, jnp.float32))
+        rgba = jnp.where(jnp.isnan(scalar)[..., None], nan_fill, rgba)
         alpha = 1.0 - jnp.exp(-rgba[..., 3] * step_size * attenuation)
         # Masked steps: outside the march interval or missed the box.
         active = hit & ((i * step_size) < march_len)
@@ -139,6 +146,7 @@ def dvr_render(
     background=(0.0, 0.0, 0.0, 1.0),
     restriction=None,
     model_matrix=None,
+    nan_mode: str = "ignore",
 ) -> jnp.ndarray:
     """Render a scalar volume with DVR.
 
@@ -215,4 +223,5 @@ def dvr_render(
         steps,
         restriction=restriction,
         restriction_metric=str(restriction_metric),
+        nan_mode=str(nan_mode),
     )

@@ -171,6 +171,30 @@ class TestIsoParityModes:
         assert np.abs(r - 0.3).max() < 1.5 / (n - 1)
 
 
+class TestNanMode:
+    def test_yellow_marks_nan_voxels(self):
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.dvr import dvr_render
+        from correrender_tpu.render.tf import TransferFunction
+
+        vol = np.full((8, 8, 8), np.nan, np.float32)
+        vol[2:6, 2:6, 2:6] = 0.5
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        tf = TransferFunction.from_colormap("coolwarm", domain=(0, 1))
+        a = np.asarray(dvr_render(jnp.asarray(vol), cam, tf,
+                                  image_size=(48, 36)))
+        b = np.asarray(dvr_render(jnp.asarray(vol), cam, tf,
+                                  image_size=(48, 36), nan_mode="yellow"))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        yellow = (b[..., 0] > 0.9) & (b[..., 1] > 0.9) & (b[..., 2] < 0.1)
+        assert yellow.any()
+        # ignore mode renders NaN as fully transparent instead.
+        assert not ((a[..., 0] > 0.9) & (a[..., 1] > 0.9)
+                    & (a[..., 2] < 0.1)).any()
+
+
 class TestModelTransform:
     def test_identity_matches_untransformed(self):
         import jax.numpy as jnp
