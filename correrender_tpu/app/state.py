@@ -260,7 +260,8 @@ class Scene:
                                        self.current_member)
                 vol = self._restrict_iso_volume(raw_vol, box, restriction)
                 iso_model_matrix = getattr(vd, "model_matrix", None)
-                if fast_dvr and iso_model_matrix is None:
+                iso_closed = bool(r.get("closed_surface", False))
+                if fast_dvr and iso_model_matrix is None and not iso_closed:
                     from correrender_tpu.render.dvr_fast import (
                         shearwarp_camera_key,
                     )
@@ -297,6 +298,7 @@ class Scene:
                         image_size=image_size, box=box,
                         background=(0, 0, 0, 0),
                         model_matrix=iso_model_matrix,
+                        closed_surface=iso_closed,
                     )
                 image = _composite(image, img)
             elif r["type"] == "slice":

@@ -93,7 +93,8 @@ def _smallest_cubic_root01(f0, f1, f2, f3):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "refine_steps", "intersection_mode"),
+    static_argnames=("num_steps", "refine_steps", "intersection_mode",
+                     "closed_surface"),
 )
 def iso_composite(
     volume,
@@ -109,12 +110,19 @@ def iso_composite(
     refine_steps: int = 8,
     light_dir=None,
     intersection_mode: str = "bisection",
+    closed_surface: bool = False,
 ):
     """Returns (H, W, 4) RGBA with a shaded isosurface.
 
     ``intersection_mode``: "bisection" (iterative refinement) or
     "analytic" (closed-form cubic root within the crossing segment —
-    the reference's analytic intersection option)."""
+    the reference's analytic intersection option).
+
+    ``closed_surface`` caps the surface where the volume boundary cuts
+    through above-iso regions: the pre-entry scalar is treated as 0
+    (sign(-isoValue)) and boundary hits are shaded with the box face
+    normal (CLOSE_ISOSURFACES in IsoSurfaceRayCasting.glsl:728-770).
+    """
     t_near, t_far, hit = ray_box_intersect(origin, directions, box_min, box_max)
     t_start = jnp.maximum(t_near, 0.0)
     extent = box_max - box_min
@@ -125,22 +133,33 @@ def iso_composite(
         return sample_trilinear(volume, tex)
 
     def body(i, state):
-        t_hit, found, prev_sign = state
+        t_hit, found, prev_sign, cap = state
         t = t_start + i * step_size
         val = sample_at(t) - iso_value
         sign = val >= 0.0
         inside = hit & (t <= t_far) & (i > 0)
         crossing = inside & (sign != prev_sign) & ~found
         t_hit = jnp.where(crossing, t, t_hit)
+        if closed_surface:
+            # A crossing against the synthetic pre-entry sign is a
+            # boundary cap, not an interior surface.
+            cap = cap | (crossing & (i == 1))
         found = found | crossing
-        return t_hit, found, sign
+        # i == 0 must not clobber the synthetic pre-entry sign
+        # (closed mode) — the cap test at i == 1 compares against it.
+        sign = jnp.where(i > 0, sign, prev_sign)
+        return t_hit, found, sign, cap
 
     h, w = directions.shape[:2]
-    init_sign = sample_at(t_start) - iso_value >= 0.0
-    t_hit, found, _ = jax.lax.fori_loop(
+    if closed_surface:
+        init_sign = jnp.broadcast_to(-iso_value >= 0.0, (h, w))
+    else:
+        init_sign = sample_at(t_start) - iso_value >= 0.0
+    t_hit, found, _, cap = jax.lax.fori_loop(
         0, num_steps,
         body,
-        (jnp.full((h, w), jnp.inf), jnp.zeros((h, w), bool), init_sign),
+        (jnp.full((h, w), jnp.inf), jnp.zeros((h, w), bool), init_sign,
+         jnp.zeros((h, w), bool)),
     )
 
     lo = jnp.where(found, t_hit - step_size, 0.0)
@@ -174,6 +193,8 @@ def iso_composite(
             0, refine_steps, refine, (lo, hi, f_lo)
         )
         t_surf = 0.5 * (lo + hi)
+    if closed_surface:
+        t_surf = jnp.where(cap, t_start, t_surf)
     p_surf = origin + directions * t_surf[..., None]
     tex = (p_surf - box_min) / extent
 
@@ -188,6 +209,21 @@ def iso_composite(
 
     g = jnp.stack([grad_component(a) for a in range(3)], axis=-1)
     n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+
+    if closed_surface:
+        # Box face normal at the entry point (entryNormal in the
+        # reference shader): the slab with the largest entry time is
+        # the face the ray came through.
+        safe_d = jnp.where(jnp.abs(directions) > 1e-12, directions,
+                           1e-12)
+        t1 = (box_min - origin) / safe_d
+        t2 = (box_max - origin) / safe_d
+        t_axis_enter = jnp.minimum(t1, t2)
+        axis = jnp.argmax(t_axis_enter, axis=-1)
+        face_n = -jnp.sign(directions) * jax.nn.one_hot(
+            axis, 3, dtype=jnp.float32
+        )
+        n = jnp.where(cap[..., None], face_n, n)
 
     if light_dir is None:
         light = -directions  # headlight
@@ -228,6 +264,7 @@ def iso_render(
     refine_steps: int = 8,
     intersection_mode: str = "bisection",
     model_matrix=None,
+    closed_surface: bool = False,
 ):
     """Render an isosurface of a scalar volume (see iso_composite).
 
@@ -278,4 +315,5 @@ def iso_render(
         steps,
         refine_steps,
         intersection_mode=intersection_mode,
+        closed_surface=bool(closed_surface),
     )

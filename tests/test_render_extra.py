@@ -195,6 +195,44 @@ class TestNanMode:
                     & (a[..., 2] < 0.1)).any()
 
 
+class TestClosedSurface:
+    def test_caps_boundary_cut(self):
+        # Volume entirely above the iso value: the open surface has no
+        # sign change (nothing rendered); the closed variant caps the
+        # box faces (CLOSE_ISOSURFACES, IsoSurfaceRayCasting.glsl:728).
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        vol = np.full((8, 8, 8), 1.0, np.float32)
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        kw = dict(image_size=(48, 36), background=(0, 0, 0, 0))
+        a = np.asarray(iso_render(jnp.asarray(vol), cam, 0.5, **kw))
+        b = np.asarray(iso_render(jnp.asarray(vol), cam, 0.5,
+                                  closed_surface=True, **kw))
+        assert int((a[..., 3] > 0.5).sum()) == 0
+        assert int((b[..., 3] > 0.5).sum()) > 500
+
+    def test_interior_surface_unchanged(self):
+        # A surface that never touches the boundary renders
+        # identically in both modes.
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        zz, yy, xx = np.mgrid[0:16, 0:16, 0:16] / 15.0
+        sph = (0.6 - np.sqrt((xx - .5) ** 2 + (yy - .5) ** 2
+                             + (zz - .5) ** 2)).astype(np.float32)
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        kw = dict(image_size=(48, 36), background=(0, 0, 0, 0))
+        c = np.asarray(iso_render(jnp.asarray(sph), cam, 0.35, **kw))
+        d = np.asarray(iso_render(jnp.asarray(sph), cam, 0.35,
+                                  closed_surface=True, **kw))
+        np.testing.assert_allclose(c, d, atol=1e-6)
+
+
 class TestModelTransform:
     def test_identity_matches_untransformed(self):
         import jax.numpy as jnp
