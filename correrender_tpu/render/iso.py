@@ -114,9 +114,12 @@ def iso_composite(
 ):
     """Returns (H, W, 4) RGBA with a shaded isosurface.
 
-    ``intersection_mode``: "bisection" (iterative refinement) or
-    "analytic" (closed-form cubic root within the crossing segment —
-    the reference's analytic intersection option).
+    ``intersection_mode`` maps to the reference's IntersectionSolver
+    enum (IsoSurfaceRayCastingRenderer.cpp:314-330): "linear" (one
+    secant step, SOLVER_LINEAR_INTERPOLATION), "bisection" (iterative
+    refinement, the Neubauer-style default), "marmitt" (regula falsi,
+    SOLVER_MARMITT) or "analytic" (closed-form cubic root,
+    SOLVER_SCHWARZE).
 
     ``closed_surface`` caps the surface where the volume boundary cuts
     through above-iso regions: the pre-entry scalar is treated as 0
@@ -175,6 +178,39 @@ def iso_composite(
         t_surf = jnp.where(
             jnp.isfinite(tau), lo + tau * step_size, 0.5 * (lo + hi)
         )
+    elif intersection_mode == "linear":
+        # One secant step between the bracketing samples
+        # (SOLVER_LINEAR_INTERPOLATION).
+        f_lo = sample_at(lo) - iso_value
+        f_hi = sample_at(hi) - iso_value
+        denom = jnp.where(jnp.abs(f_hi - f_lo) > 1e-12, f_hi - f_lo, 1.0)
+        frac = jnp.clip(-f_lo / denom, 0.0, 1.0)
+        t_surf = lo + frac * (hi - lo)
+    elif intersection_mode == "marmitt":
+        # Regula falsi within the bracketing segment (SOLVER_MARMITT:
+        # Marmitt et al. 2004 refine by repeated linear interpolation).
+        f_lo = sample_at(lo) - iso_value
+        f_hi = sample_at(hi) - iso_value
+
+        def falsi(_, state):
+            lo, hi, f_lo, f_hi = state
+            denom = jnp.where(
+                jnp.abs(f_hi - f_lo) > 1e-12, f_hi - f_lo, 1.0
+            )
+            mid = lo + jnp.clip(-f_lo / denom, 0.0, 1.0) * (hi - lo)
+            f_mid = sample_at(mid) - iso_value
+            same = (f_mid >= 0.0) == (f_lo >= 0.0)
+            lo = jnp.where(same, mid, lo)
+            f_lo = jnp.where(same, f_mid, f_lo)
+            hi = jnp.where(same, hi, mid)
+            f_hi = jnp.where(same, f_hi, f_mid)
+            return lo, hi, f_lo, f_hi
+
+        lo, hi, f_lo, f_hi = jax.lax.fori_loop(
+            0, refine_steps, falsi, (lo, hi, f_lo, f_hi)
+        )
+        denom = jnp.where(jnp.abs(f_hi - f_lo) > 1e-12, f_hi - f_lo, 1.0)
+        t_surf = lo + jnp.clip(-f_lo / denom, 0.0, 1.0) * (hi - lo)
     else:
         # Bisection refinement between t_hit - step and t_hit.
         f_lo = sample_at(lo) - iso_value

@@ -195,6 +195,31 @@ class TestNanMode:
                     & (a[..., 2] < 0.1)).any()
 
 
+class TestIntersectionSolvers:
+    def test_all_solvers_agree_on_smooth_surface(self):
+        # The four solver modes (reference IntersectionSolver enum)
+        # must find the same sphere surface to sub-step accuracy.
+        import jax.numpy as jnp
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        zz, yy, xx = np.mgrid[0:16, 0:16, 0:16] / 15.0
+        sph = (0.6 - np.sqrt((xx - .5) ** 2 + (yy - .5) ** 2
+                             + (zz - .5) ** 2)).astype(np.float32)
+        cam = Camera(position=(0.0, 0.2, 0.8))
+        kw = dict(image_size=(48, 36), background=(0, 0, 0, 0))
+        imgs = {
+            m: np.asarray(iso_render(jnp.asarray(sph), cam, 0.35,
+                                     intersection_mode=m, **kw))
+            for m in ("bisection", "linear", "marmitt", "analytic")
+        }
+        ref = imgs["analytic"]
+        for m, im in imgs.items():
+            assert (im[..., 3] > 0.5).sum() == (ref[..., 3] > 0.5).sum()
+            assert np.abs(im - ref).max() < 0.05, m
+
+
 class TestClosedSurface:
     def test_caps_boundary_cut(self):
         # Volume entirely above the iso value: the open surface has no
