@@ -176,6 +176,10 @@ def batched_block_pairs_max(
     Args:
       regions_a / regions_b: sequences of GridRegion (len P).
       method: "random" | "halton" | "plastic".
+      seed: affects sample positions for method="random" only; the
+        halton/plastic sequences are deterministic by construction.
+      **kw: forwarded to ``correlate_requests``; a caller-supplied
+        ``absolute`` overrides the default of True.
 
     Returns:
       (P,) float max |corr| per pair (NaN where all probes are NaN).
@@ -226,11 +230,12 @@ def batched_block_pairs_max(
         pa = np.concatenate([pa, pad])
         pb = np.concatenate([pb, pad])
     vals = np.empty(padded, np.float32)
+    absolute = kw.pop("absolute", True)
     for start in range(0, padded, request_chunk):
         end = min(start + request_chunk, padded)
         vals[start:end] = np.asarray(correlate_requests(
             stack, jnp.asarray(pa[start:end]), jnp.asarray(pb[start:end]),
-            measure, absolute=True, **kw,
+            measure, absolute=absolute, **kw,
         ))
     vals = vals[:total].reshape(p, s)
     with np.errstate(invalid="ignore"):

@@ -217,9 +217,16 @@ class GribLoader(VolumeLoader):
     extensions = ("grb", "grib", "grb2", "grib2")
 
     def open(self, path, dataset_info=None):
+        import mmap
+
         self.path = path
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        self._file = open(path, "rb")
+        # Memory-map instead of read(): open() only indexes message
+        # byte ranges, so multi-GB stores never materialize in RAM;
+        # _decode_values slices the map lazily per field request.
+        self._buf = mmap.mmap(
+            self._file.fileno(), 0, access=mmap.ACCESS_READ
+        )
         buf = self._buf
         messages = []
         pos = 0
@@ -284,6 +291,14 @@ class GribLoader(VolumeLoader):
             if msg is not None:
                 out[z] = _decode_values(self._buf, msg)
         return out
+
+    def close(self):
+        if getattr(self, "_buf", None) is not None:
+            self._buf.close()
+            self._buf = None
+        if getattr(self, "_file", None) is not None:
+            self._file.close()
+            self._file = None
 
 
 def write_grib2(

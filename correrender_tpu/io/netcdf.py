@@ -50,6 +50,29 @@ def _axis_order(dim_names):
     return roles
 
 
+_OPEN_NC3_LOADERS: "weakref.WeakSet" = None  # initialized below
+
+
+def _close_open_nc3_loaders():
+    for loader in list(_OPEN_NC3_LOADERS):
+        try:
+            loader.close()
+        except Exception:
+            pass
+
+
+def _init_nc3_registry():
+    global _OPEN_NC3_LOADERS
+    import atexit
+    import weakref
+
+    _OPEN_NC3_LOADERS = weakref.WeakSet()
+    atexit.register(_close_open_nc3_loaders)
+
+
+_init_nc3_registry()
+
+
 @register_loader
 class NetCdfLoader(VolumeLoader):
     extensions = ("nc", "nc4", "cdf")
@@ -70,10 +93,11 @@ class NetCdfLoader(VolumeLoader):
             self._nc = scipy.io.netcdf_file(path, "r", mmap=True)
             # Close before interpreter teardown: scipy's destructor
             # references module globals that are already gone by then
-            # and spews "Exception ignored" TypeErrors otherwise.
-            import atexit
-
-            atexit.register(self.close)
+            # and spews "Exception ignored" TypeErrors otherwise. One
+            # process-wide hook over a WeakSet — per-loader
+            # atexit.register would pin every loader (and its mmap)
+            # for the process lifetime.
+            _OPEN_NC3_LOADERS.add(self)
             variables = {
                 k: (v.dimensions, v.shape)
                 for k, v in self._nc.variables.items()
@@ -167,6 +191,7 @@ class NetCdfLoader(VolumeLoader):
             return None
 
     def close(self):
+        _OPEN_NC3_LOADERS.discard(self)
         if self._h5 is not None:
             self._h5.close()
             self._h5 = None

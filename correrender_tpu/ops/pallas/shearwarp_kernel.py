@@ -300,7 +300,7 @@ def shearwarp_composite_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, wi_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 4, tile_h, wi_pad),
                                lambda i: (i, 0, 0, 0),

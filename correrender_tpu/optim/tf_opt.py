@@ -271,6 +271,7 @@ class TFOptimizationWorker:
         while True:
             item = self._requests.get()
             if item is None:
+                self._requests.task_done()
                 return
             req_id, optimizer, args, kw = item
             try:
@@ -278,6 +279,8 @@ class TFOptimizationWorker:
                 self._replies.put((req_id, result, None))
             except Exception as exc:  # surfaced via get_reply
                 self._replies.put((req_id, None, exc))
+            finally:
+                self._requests.task_done()
 
     def queue_request(self, optimizer: "TFOptimizer", *args, **kw) -> int:
         """Enqueue a fit; returns a request id for matching the reply."""
@@ -306,12 +309,20 @@ class TFOptimizationWorker:
         return req_id, result
 
     def join(self, timeout=None):
-        """Block until all queued requests are processed."""
+        """Block until all queued requests are processed.
+
+        Uses the queue's unfinished-task counter (``task_done`` in
+        ``_loop``) so an in-flight fit — already dequeued but still
+        running — also blocks ``join``.
+        """
         import time as _time
 
-        deadline = None if timeout is None else _time.time() + timeout
-        while not self._requests.empty():
-            if deadline is not None and _time.time() > deadline:
+        if timeout is None:
+            self._requests.join()
+            return
+        deadline = _time.time() + timeout
+        while self._requests.unfinished_tasks:
+            if _time.time() > deadline:
                 return
             _time.sleep(0.01)
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from correrender_tpu.render.classify import classify_volume
 from correrender_tpu.render.dvr_fast import (
@@ -87,7 +87,7 @@ def _sharded_render_fn(mesh: Mesh, axis_name: str, flip: bool,
             P(None, None), P(), P(),
         ),
         out_specs=(P(None, None, None), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     ))
 
 

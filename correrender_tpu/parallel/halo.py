@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def exchange_halo_z(block: jnp.ndarray, halo: int, axis_name: str = "space"):
@@ -70,7 +70,7 @@ def make_sharded_stencil(
         mesh=mesh,
         in_specs=(P(axis_name, None, None),) + tuple(extra_specs),
         out_specs=P(axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 

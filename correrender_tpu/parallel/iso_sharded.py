@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from correrender_tpu.render.dvr_fast import _principal_axis
 from correrender_tpu.render.iso_fast import (
@@ -190,7 +190,7 @@ def iso_shearwarp_sharded(
         mesh=mesh,
         in_specs=(P(axis_name, None, None, None), P(axis_name, None)),
         out_specs=(P(None, None), P(None, None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     found, grad_hit = fn(cvol, g_blocks)
 

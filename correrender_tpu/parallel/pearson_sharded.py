@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from correrender_tpu.ops.registry import CorrelationMeasure, measure_from_id
 
@@ -123,5 +123,5 @@ def _gather_sharded_fn(mesh: Mesh, m, kwargs_items):
         mesh=mesh,
         in_specs=(P("space", None, None, "members"), P("members")),
         out_specs=P("space", None, None),
-        check_rep=False,
+        check_vma=False,
     ))

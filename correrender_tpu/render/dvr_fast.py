@@ -184,8 +184,19 @@ def prepare_shearwarp(
             classify_to_cf,
         )
 
+        # A prior is only reusable when it was built from THIS volume
+        # (weakref identity — does not pin the donor array) with the
+        # same orientation; a stale prior from another field/volume
+        # with the same camera key would silently render wrong data.
+        import weakref
+
+        prior_vol = (
+            prior.get("vol_ref", lambda: None)()
+            if prior is not None else None
+        )
         if (prior is not None and prior.get("key") == (a, flip)
-                and prior.get("svol") is not None):
+                and prior.get("svol") is not None
+                and prior_vol is volume):
             svol = prior["svol"]
         else:
             svol = jnp.transpose(volume, perm)
@@ -195,11 +206,16 @@ def prepare_shearwarp(
             svol, transfer_function.lut,
             jnp.asarray(transfer_function.domain, jnp.float32),
         )
+        try:
+            vol_ref = weakref.ref(volume)
+        except TypeError:  # tracers etc. — never reusable
+            vol_ref = lambda: None
         return {
             "key": (a, flip),
             "s": svol.shape[0],
             "vu": (svol.shape[1], svol.shape[2]),
             "svol": svol,
+            "vol_ref": vol_ref,
             "cvol": None,
             "cf": cf,
         }

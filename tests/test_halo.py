@@ -22,14 +22,14 @@ def test_exchange_halo_matches_global():
     )
     halo = 2
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         lambda b: exchange_halo_z(b, halo),
         mesh=mesh,
         in_specs=P("space", None, None),
         out_specs=P("space", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     sharded = jax.device_put(vol, NamedSharding(mesh, P("space", None, None)))
     out = np.asarray(fn(sharded))  # (16 + 4*2*halo interleaved) per shard
