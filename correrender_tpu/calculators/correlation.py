@@ -183,29 +183,19 @@ def correlate_field(
         from correrender_tpu.ops.pallas.common import on_tpu
 
         if on_tpu():
-            import jax.core
-
             from correrender_tpu.ops.mi_ksg import (
                 kmi_correlation_coefficient,
             )
+            from correrender_tpu.ops.pallas.ksg_banded import (
+                mi_ksg_banded,
+            )
 
-            if isinstance(stack, jax.core.Tracer):
-                # Under an outer trace (shard_map/jit) the banded
-                # kernel's host-side repair-tier sync is unavailable;
-                # use the exact full-matrix kernel.
-                from correrender_tpu.ops.pallas import mi_ksg_pallas
-
-                out = mi_ksg_pallas(
-                    series, ref, k=k, estimator=kraskov_estimator
-                )
-            else:
-                from correrender_tpu.ops.pallas.ksg_banded import (
-                    mi_ksg_banded,
-                )
-
-                out = mi_ksg_banded(
-                    series, ref, k=k, estimator=kraskov_estimator
-                )
+            # Fully traceable (fixed repair tier + lax.cond
+            # escalation), so jit/shard_map callers — including the
+            # fused KSG+DVR pipeline — keep the banded fast path.
+            out = mi_ksg_banded(
+                series, ref, k=k, estimator=kraskov_estimator
+            )
             if m == CorrelationMeasure.KMI_CORRELATION_COEFFICIENT:
                 out = kmi_correlation_coefficient(out)
             if absolute:
