@@ -161,100 +161,25 @@ class Scene:
 
     def render_view(self, view: int = 0, image_size=(512, 512),
                     fast_dvr: bool = True, show_reference_points=False):
-        """Composite all renderers attached to a view, back-to-front by
-        registration order (mirrors the reference's renderer list)."""
+        """Composite all renderers attached to a view with a SHARED
+        per-view depth buffer (reference SceneData.hpp): opaque
+        renderers (isosurface, slice, outline) z-merge by per-pixel
+        eye distance, then translucent DVR marches clip against that
+        depth — so an opaque surface inside a cloud occludes correctly
+        regardless of renderer registration order."""
         cam = self.views[view]
         vd = self.volume_data
         box = vd.grid.render_box()
         restriction = self._active_render_restriction(box)
-        image = None
+        image = None        # world-map underlay accumulates here first
+        opaque = []         # [(rgba, depth)] — z-merged below
+        dvr_jobs = []       # deferred: they need the merged depth
         for r in self.renderers:
             if r["view"] != view:
                 continue
             field = r.get("field", vd.field_names[0])
             if r["type"] == "dvr":
-                vol = vd.get_field(field, self.current_time,
-                                   self.current_member)
-                tf = self.tf_for(field)
-                kwargs = dict(
-                    image_size=image_size, box=box,
-                    attenuation=r.get("attenuation", 100.0),
-                    background=(0, 0, 0, 0),
-                )
-                model_matrix = getattr(vd, "model_matrix", None)
-                nan_mode = r.get("nan_mode", "ignore")
-                if fast_dvr and model_matrix is None and nan_mode == "ignore":
-                    from correrender_tpu.render.dvr_fast import (
-                        prepare_shearwarp,
-                        shearwarp_camera_key,
-                    )
-
-                    rest_sig = (
-                        None if restriction is None else (
-                            tuple(float(c) for c in restriction[0]),
-                            restriction[1], restriction[2],
-                        )
-                    )
-                    # dirty_epoch is a monotonic per-field version
-                    # bumped by mark_dirty; tf.uid a monotonic TF
-                    # instance id — both sound invalidation tokens
-                    # (id() of an evicted array can be reused).
-                    vol_part = (field, self.current_time,
-                                self.current_member,
-                                vd.dirty_epoch(field))
-                    pkey = (vol_part, tf.uid,
-                            shearwarp_camera_key(cam), rest_sig)
-                    prep = self._prepared_cache.get(pkey)
-                    if prep is None:
-                        # A TF-only change can reuse the resident
-                        # scalar layout: pass the stale entry as prior
-                        # (prepare_shearwarp revalidates its axis key).
-                        prior = None
-                        if rest_sig is None and self._prepared_cache:
-                            (old_key, old_prep), = (
-                                self._prepared_cache.items()
-                            )
-                            if (old_key[0] == vol_part
-                                    and old_key[3] is None):
-                                prior = old_prep
-                        classified = None
-                        if restriction is not None:
-                            # Voxel-granular restriction: mask the
-                            # classified volume (render/restriction.py).
-                            from correrender_tpu.render.classify import (
-                                classify_volume,
-                            )
-                            from correrender_tpu.render.restriction import (
-                                apply_restriction_rgba,
-                                restriction_mask,
-                            )
-
-                            center, radius, metric = restriction
-                            classified = apply_restriction_rgba(
-                                classify_volume(
-                                    vol, tf.lut,
-                                    jnp.asarray(tf.domain, jnp.float32),
-                                ),
-                                restriction_mask(
-                                    vol.shape, box, center, radius,
-                                    metric,
-                                ),
-                            )
-                        prep = prepare_shearwarp(
-                            vol, tf, cam, classified=classified,
-                            prior=prior,
-                        )
-                        # Single-entry cache: interactive use renders
-                        # one configuration repeatedly.
-                        self._prepared_cache = {pkey: prep}
-                    img = dvr_shearwarp(vol, cam, tf, prepared=prep,
-                                        **kwargs)
-                else:
-                    img = dvr_render(vol, cam, tf,
-                                     restriction=restriction,
-                                     model_matrix=model_matrix,
-                                     nan_mode=nan_mode, **kwargs)
-                image = _composite(image, img)
+                dvr_jobs.append(r)
             elif r["type"] == "iso_ray":
                 raw_vol = vd.get_field(field, self.current_time,
                                        self.current_member)
@@ -283,15 +208,16 @@ class Scene:
                     if prep is None:
                         prep = prepare_iso_shearwarp(vol, cam, box=box)
                         self._prepared_cache = {pkey: prep}
-                    img = iso_shearwarp(
+                    img, depth = iso_shearwarp(
                         vol, cam, r.get("iso_value", 0.5),
                         surface_color=r.get("color",
                                             (0.9, 0.4, 0.2, 1.0)),
                         image_size=image_size, box=box,
                         background=(0, 0, 0, 0), prepared=prep,
+                        return_depth=True,
                     )
                 else:
-                    img = iso_render(
+                    img, depth = iso_render(
                         vol, cam, r.get("iso_value", 0.5),
                         surface_color=r.get("color",
                                             (0.9, 0.4, 0.2, 1.0)),
@@ -299,36 +225,50 @@ class Scene:
                         background=(0, 0, 0, 0),
                         model_matrix=iso_model_matrix,
                         closed_surface=iso_closed,
+                        return_depth=True,
                     )
-                image = _composite(image, img)
+                opaque.append((img, depth))
             elif r["type"] == "slice":
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
-                img = slice_render_3d(
+                img, depth = slice_render_3d(
                     vol, cam, self.tf_for(field),
                     axis=r.get("axis", "z"),
                     position=r.get("position", 0.5),
                     image_size=image_size, box=box,
                     background=(0, 0, 0, 0),
+                    return_depth=True,
                 )
-                image = _composite(image, img)
+                opaque.append((img, depth))
             elif r["type"] == "domain_outline":
-                image = outline_render(
+                img, depth = outline_render(
                     cam, box, image_size=image_size,
                     color=r.get("color", (1, 1, 1, 1)),
-                    base_image=image,
+                    return_depth=True,
                 )
+                opaque.append((img, depth))
             elif r["type"] == "world_map":
                 from correrender_tpu.render.worldmap import (
                     graticule_texture,
+                    load_raster_texture,
                     rasterize_shapefile,
                     world_map_render,
                 )
 
-                if r.get("shapefile"):
+                if r.get("raster"):
+                    # Local Natural-Earth-style raster underlay
+                    # (WorldMapRenderer.cpp:57-91, sans download).
+                    texture = load_raster_texture(
+                        r["raster"],
+                        lat_range=tuple(r.get("lat_range", (-90, 90))),
+                        lon_range=tuple(r.get("lon_range", (-180, 180))),
+                    )
+                elif r.get("shapefile"):
                     texture = rasterize_shapefile(r["shapefile"])
                 else:
                     texture = graticule_texture()
+                # Ground plane below the data: farthest layer, plain
+                # underlay (no depth participation needed).
                 image = world_map_render(
                     cam,
                     texture=texture,
@@ -344,14 +284,112 @@ class Scene:
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
                 vol = self._restrict_iso_volume(vol, box, restriction)
-                img = iso_render(
+                img, depth = iso_render(
                     vol, cam, r.get("iso_value", 0.5),
                     image_size=image_size, box=box,
                     background=(0, 0, 0, 0),
+                    return_depth=True,
                 )
-                image = _composite(image, img)
+                opaque.append((img, depth))
             # diagram/scatter/matrix/... are 2D overlays rendered via
             # their own SVG paths (see diagrams/), not view composites.
+
+        merged, scene_depth = _depth_merge(opaque)
+        if merged is not None:
+            image = _composite(image, merged)
+
+        for r in dvr_jobs:
+            field = r.get("field", vd.field_names[0])
+            vol = vd.get_field(field, self.current_time,
+                               self.current_member)
+            tf = self.tf_for(field)
+            kwargs = dict(
+                image_size=image_size, box=box,
+                attenuation=r.get("attenuation", 100.0),
+                background=(0, 0, 0, 0),
+            )
+            model_matrix = getattr(vd, "model_matrix", None)
+            nan_mode = r.get("nan_mode", "ignore")
+            # Opaque geometry present → the march must clip against
+            # the shared depth buffer; the exact marcher supports the
+            # per-sample depth test (the shear-warp compositor does
+            # not, yet — single-renderer views keep the fast path).
+            use_fast = (fast_dvr and model_matrix is None
+                        and nan_mode == "ignore"
+                        and scene_depth is None)
+            if use_fast:
+                from correrender_tpu.render.dvr_fast import (
+                    prepare_shearwarp,
+                    shearwarp_camera_key,
+                )
+
+                rest_sig = (
+                    None if restriction is None else (
+                        tuple(float(c) for c in restriction[0]),
+                        restriction[1], restriction[2],
+                    )
+                )
+                # dirty_epoch is a monotonic per-field version
+                # bumped by mark_dirty; tf.uid a monotonic TF
+                # instance id — both sound invalidation tokens
+                # (id() of an evicted array can be reused).
+                vol_part = (field, self.current_time,
+                            self.current_member,
+                            vd.dirty_epoch(field))
+                pkey = (vol_part, tf.uid,
+                        shearwarp_camera_key(cam), rest_sig)
+                prep = self._prepared_cache.get(pkey)
+                if prep is None:
+                    # A TF-only change can reuse the resident
+                    # scalar layout: pass the stale entry as prior
+                    # (prepare_shearwarp revalidates its axis key).
+                    prior = None
+                    if rest_sig is None and self._prepared_cache:
+                        (old_key, old_prep), = (
+                            self._prepared_cache.items()
+                        )
+                        if (old_key[0] == vol_part
+                                and old_key[3] is None):
+                            prior = old_prep
+                    classified = None
+                    if restriction is not None:
+                        # Voxel-granular restriction: mask the
+                        # classified volume (render/restriction.py).
+                        from correrender_tpu.render.classify import (
+                            classify_volume,
+                        )
+                        from correrender_tpu.render.restriction import (
+                            apply_restriction_rgba,
+                            restriction_mask,
+                        )
+
+                        center, radius, metric = restriction
+                        classified = apply_restriction_rgba(
+                            classify_volume(
+                                vol, tf.lut,
+                                jnp.asarray(tf.domain, jnp.float32),
+                            ),
+                            restriction_mask(
+                                vol.shape, box, center, radius,
+                                metric,
+                            ),
+                        )
+                    prep = prepare_shearwarp(
+                        vol, tf, cam, classified=classified,
+                        prior=prior,
+                    )
+                    # Single-entry cache: interactive use renders
+                    # one configuration repeatedly.
+                    self._prepared_cache = {pkey: prep}
+                img = dvr_shearwarp(vol, cam, tf, prepared=prep,
+                                    **kwargs)
+            else:
+                img = dvr_render(vol, cam, tf,
+                                 restriction=restriction,
+                                 model_matrix=model_matrix,
+                                 nan_mode=nan_mode,
+                                 depth_limit=scene_depth, **kwargs)
+            image = _composite(image, img)
         if image is None:
             image = jnp.zeros(image_size[::-1] + (4,), jnp.float32)
         # Reference-point markers of correlation calculators (the
@@ -453,6 +491,29 @@ def _composite(base, over):
     rgb = over[..., :3] * a + base[..., :3] * (1 - a)
     alpha = a[..., 0] + base[..., 3] * (1 - a[..., 0])
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def _depth_merge(layers):
+    """Z-merge ``[(rgba, depth)]`` opaque layers per pixel.
+
+    Pairwise per-pixel front/back ordering + OVER — exact for opaque
+    coverage (the depth arrays are +inf where a layer is empty), and
+    the shared-depth analogue of the reference's z-buffered geometry
+    passes (SceneData.hpp). Returns (rgba | None, depth | None).
+    """
+    if not layers:
+        return None, None
+    img, depth = layers[0]
+    for over_img, over_depth in layers[1:]:
+        new_in_front = (over_depth < depth)[..., None]
+        top = jnp.where(new_in_front, over_img, img)
+        bot = jnp.where(new_in_front, img, over_img)
+        a = top[..., 3:4]
+        rgb = top[..., :3] * a + bot[..., :3] * (1 - a)
+        alpha = a[..., 0] + bot[..., 3] * (1 - a[..., 0])
+        img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        depth = jnp.minimum(depth, over_depth)
+    return img, depth
 
 
 def _jsonable(obj):

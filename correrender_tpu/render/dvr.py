@@ -68,6 +68,7 @@ def dvr_composite(
     restriction=None,
     restriction_metric: str = "Euclidean",
     nan_mode: str = "ignore",
+    depth_limit=None,
 ) -> jnp.ndarray:
     """Core compositing loop. Returns straight-alpha RGBA (H, W, 4).
 
@@ -80,6 +81,13 @@ def dvr_composite(
     semantics of the reference's Data/Shaders/Renderers/DVR/
     RenderRestriction.glsl. Traced (moving the reference point does not
     recompile); only the metric is static.
+
+    ``depth_limit``: optional (H, W) world-space eye distances — the
+    shared per-view depth buffer. Samples at or beyond the limit are
+    skipped, so opaque geometry (isosurfaces, slices) inside the
+    volume occludes correctly regardless of renderer order — the
+    reference's per-view depth-buffer clip (DvrRenderer.hpp:69-71,
+    DvrShader.glsl depth test against SceneData's shared depth).
     """
     t_near, t_far, hit = ray_box_intersect(origin, directions, box_min, box_max)
     # Camera inside the box: start at the origin (tNear<0 → t=0).
@@ -108,6 +116,8 @@ def dvr_composite(
         alpha = 1.0 - jnp.exp(-rgba[..., 3] * step_size * attenuation)
         # Masked steps: outside the march interval or missed the box.
         active = hit & ((i * step_size) < march_len)
+        if depth_limit is not None:
+            active = active & (t < depth_limit)
         if restriction is not None:
             diff = jnp.abs(p - restriction[:3])
             if restriction_metric.lower() == "chebyshev":
@@ -147,6 +157,7 @@ def dvr_render(
     restriction=None,
     model_matrix=None,
     nan_mode: str = "ignore",
+    depth_limit=None,
 ) -> jnp.ndarray:
     """Render a scalar volume with DVR.
 
@@ -224,4 +235,6 @@ def dvr_render(
         restriction=restriction,
         restriction_metric=str(restriction_metric),
         nan_mode=str(nan_mode),
+        depth_limit=(None if depth_limit is None
+                     else jnp.asarray(depth_limit, jnp.float32)),
     )

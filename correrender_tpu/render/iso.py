@@ -94,7 +94,7 @@ def _smallest_cubic_root01(f0, f1, f2, f3):
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "refine_steps", "intersection_mode",
-                     "closed_surface"),
+                     "closed_surface", "return_depth"),
 )
 def iso_composite(
     volume,
@@ -111,8 +111,14 @@ def iso_composite(
     light_dir=None,
     intersection_mode: str = "bisection",
     closed_surface: bool = False,
+    return_depth: bool = False,
 ):
     """Returns (H, W, 4) RGBA with a shaded isosurface.
+
+    With ``return_depth`` also returns the (H, W) eye distance of the
+    hit (+inf where no surface) — the per-view shared depth buffer
+    feeding :func:`...render.dvr.dvr_composite`'s ``depth_limit``
+    (reference SceneData shared depth, src/Renderers/SceneData.hpp).
 
     ``intersection_mode`` maps to the reference's IntersectionSolver
     enum (IsoSurfaceRayCastingRenderer.cpp:314-330): "linear" (one
@@ -285,7 +291,13 @@ def iso_composite(
     found_f = found[..., None].astype(jnp.float32)
     rgb = found_f * color + (1 - found_f) * bg[..., :3]
     alpha = jnp.maximum(found.astype(jnp.float32), bg[..., 3])
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    if return_depth:
+        # Eye distance of the refined hit; directions are unit vectors
+        # (camera.rays), so the ray parameter IS the distance.
+        depth = jnp.where(found, t_surf, jnp.inf)
+        return img, depth
+    return img
 
 
 def iso_render(
@@ -301,6 +313,7 @@ def iso_render(
     intersection_mode: str = "bisection",
     model_matrix=None,
     closed_surface: bool = False,
+    return_depth: bool = False,
 ):
     """Render an isosurface of a scalar volume (see iso_composite).
 
@@ -352,4 +365,5 @@ def iso_render(
         refine_steps,
         intersection_mode=intersection_mode,
         closed_surface=bool(closed_surface),
+        return_depth=bool(return_depth),
     )

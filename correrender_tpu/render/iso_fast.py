@@ -191,8 +191,15 @@ def iso_shearwarp(
     background=(0.0, 0.0, 0.0, 1.0),
     intermediate_scale: float = 1.0,
     prepared: dict | None = None,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Fast isosurface rendering (see module docstring)."""
+    """Fast isosurface rendering (see module docstring).
+
+    With ``return_depth`` also returns the (H, W) screen-space eye
+    distance of the first hit (+inf where none): the fractional
+    hit-slice index is converted to a world distance on the
+    intermediate grid (depth is linear in the slice coordinate along
+    each ray) and warped through the same homography as the color."""
     zs, ys, xs = volume.shape
     if box is None:
         dims = np.array(
@@ -284,10 +291,37 @@ def iso_shearwarp(
         wi_res,
     )
 
-    return shade_and_warp(
+    img = shade_and_warp(
         found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye,
         z_ref, surface_color, background, width, height,
     )
+    if not return_depth:
+        return img
+
+    # Eye distance on the intermediate grid: the ray through pixel
+    # (u, v) passes (grid_u[u], grid_v[v]) on the z_ref plane, so the
+    # hit at slice coordinate s sits at |s − e_a| / |z_ref − e_a| of
+    # the reference-plane distance L(u, v).
+    step_slice = float(slice_coords[1] - slice_coords[0]) if (
+        len(slice_coords) > 1
+    ) else 1.0
+    s_hit = jnp.float32(slice_coords[0]) + depth * jnp.float32(step_slice)
+    du = jnp.asarray(grid_u)[None, :] - e_u
+    dv = jnp.asarray(grid_v)[:, None] - e_v
+    ref_len = jnp.sqrt(du * du + dv * dv + float(z_ref - e_a) ** 2)
+    dist = jnp.abs(s_hit - e_a) / abs(float(z_ref - e_a)) * ref_len
+    dist = jnp.where(found, dist, 0.0)
+    # Warp depth through the same homography: depth rides channel 0
+    # with coverage as alpha; un-premultiplied by warp_to_screen.
+    dimg = df.warp_to_screen(
+        jnp.stack([dist, jnp.zeros_like(dist), jnp.zeros_like(dist)],
+                  axis=-1),
+        found.astype(jnp.float32), camera, width, height, in_plane, a,
+        eye, z_ref, grid_u, grid_v,
+        jnp.zeros(4, jnp.float32),
+    )
+    screen_depth = jnp.where(dimg[..., 3] > 0.5, dimg[..., 0], jnp.inf)
+    return img, screen_depth
 
 
 def shade_and_warp(

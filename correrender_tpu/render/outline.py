@@ -36,8 +36,14 @@ def outline_render(
     color=(1.0, 1.0, 1.0, 1.0),
     line_width: float = 1.5,
     base_image=None,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Draw the box wireframe, optionally over ``base_image``."""
+    """Draw the box wireframe, optionally over ``base_image``.
+
+    With ``return_depth`` also returns the (H, W) eye distance of the
+    nearest covered edge (+inf off the wireframe) for the shared
+    per-view depth buffer. Edge depth interpolates the corner
+    distances in screen space — exact enough for hairline geometry."""
     box_min, box_max = np.asarray(box[0]), np.asarray(box[1])
     corners = np.array(
         [
@@ -60,7 +66,11 @@ def outline_render(
     gx, gy = jnp.meshgrid(xs, ys)
     pix = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
 
+    eye = np.asarray(camera.position, np.float32)
+    corner_depth = np.linalg.norm(corners - eye, axis=-1)
+
     coverage = jnp.zeros((height, width), jnp.float32)
+    depth = jnp.full((height, width), jnp.inf)
     for a, b in _EDGES:
         if w_clip[a] <= 0 or w_clip[b] <= 0:
             continue  # behind the camera — skip (no clipping for now)
@@ -71,9 +81,12 @@ def outline_render(
         t = jnp.clip(jnp.sum((pix - pa) * ab, axis=-1) / denom, 0.0, 1.0)
         closest = pa + t[..., None] * ab
         d = jnp.linalg.norm(pix - closest, axis=-1)
-        coverage = jnp.maximum(
-            coverage, jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
-        )
+        cov_edge = jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
+        coverage = jnp.maximum(coverage, cov_edge)
+        if return_depth:
+            ed = corner_depth[a] + t * (corner_depth[b] - corner_depth[a])
+            depth = jnp.where(cov_edge > 0.5, jnp.minimum(depth, ed),
+                              depth)
 
     col = jnp.asarray(color, jnp.float32)
     if base_image is None:
@@ -81,4 +94,7 @@ def outline_render(
     cov = (coverage * col[3])[..., None]
     rgb = cov * col[:3] + (1 - cov) * base_image[..., :3]
     alpha = jnp.maximum(cov[..., 0], base_image[..., 3])
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    if return_depth:
+        return img, depth
+    return img

@@ -65,8 +65,13 @@ def slice_render_3d(
     image_size=(512, 512),
     box=None,
     background=(0.0, 0.0, 0.0, 1.0),
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Render the slice plane into a 3D view (single intersection)."""
+    """Render the slice plane into a 3D view (single intersection).
+
+    With ``return_depth`` also returns the (H, W) eye distance of the
+    plane where it is visibly hit (+inf elsewhere) — for the shared
+    per-view depth buffer (reference SceneData.hpp)."""
     zs, ys, xs = volume.shape
     if box is None:
         dims = np.array(
@@ -100,4 +105,8 @@ def slice_render_3d(
     mask = (in_bounds.astype(jnp.float32) * rgba[..., 3])[..., None]
     rgb = mask * rgba[..., :3] + (1 - mask) * bg[..., :3]
     alpha = jnp.maximum(mask[..., 0], bg[..., 3])
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    if return_depth:
+        depth = jnp.where(in_bounds & (rgba[..., 3] > 0.0), t, jnp.inf)
+        return img, depth
+    return img

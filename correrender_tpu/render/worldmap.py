@@ -119,6 +119,60 @@ def rasterize_shapefile(
     return tex
 
 
+def load_raster_texture(
+    path: str,
+    lat_range=(-90.0, 90.0),
+    lon_range=(-180.0, 180.0),
+    source_lat=(-90.0, 90.0),
+    source_lon=(-180.0, 180.0),
+    max_size: int = 4096,
+) -> np.ndarray:
+    """Load a local equirectangular raster (PNG/JPEG/(Geo)TIFF) as the
+    ground-plane texture — the reference's Natural-Earth raster
+    underlay (WorldMapRenderer.cpp:57-91) without its runtime download
+    (zero egress here): point it at a local copy of e.g.
+    ``NE1_50M_SR_W.tif``.
+
+    Args:
+      lat_range/lon_range: the dataset footprint to crop to.
+      source_lat/source_lon: the geographic extent the image covers
+        (full globe for the Natural-Earth rasters; override for
+        regional tiles or use a world file's values).
+      max_size: longest output edge (downsampled above it).
+
+    Returns: (H, W, 3) float32 in [0, 1].
+    """
+    from PIL import Image
+
+    Image.MAX_IMAGE_PIXELS = None  # NE rasters exceed the default
+    img = Image.open(path)
+    img = img.convert("RGB")
+    w, h = img.size
+
+    def frac(value, lo, hi):
+        return (value - lo) / (hi - lo)
+
+    # Crop the requested footprint out of the source extent (rows run
+    # north → south).
+    x0 = int(np.clip(frac(lon_range[0], *source_lon), 0, 1) * w)
+    x1 = int(np.ceil(np.clip(frac(lon_range[1], *source_lon), 0, 1) * w))
+    y0 = int((1 - np.clip(frac(lat_range[1], *source_lat), 0, 1)) * h)
+    y1 = int(np.ceil(
+        (1 - np.clip(frac(lat_range[0], *source_lat), 0, 1)) * h
+    ))
+    x1 = max(x1, x0 + 1)
+    y1 = max(y1, y0 + 1)
+    img = img.crop((x0, y0, x1, y1))
+    cw, ch = img.size
+    if max(cw, ch) > max_size:
+        scale = max_size / max(cw, ch)
+        img = img.resize(
+            (max(int(cw * scale), 1), max(int(ch * scale), 1)),
+            Image.BILINEAR,
+        )
+    return np.asarray(img, np.float32) / 255.0
+
+
 def world_map_render(
     camera,
     lat_range=(-90.0, 90.0),
