@@ -63,8 +63,20 @@ class NeuralCorrelationCalculator(Calculator):
         })
 
     def load_weights(self, path: str) -> None:
-        """Load an .npz preset; rebuilds the model from its config."""
+        """Load an .npz preset (rebuilds the model from its embedded
+        config) or a published PyTorch/TorchScript archive
+        (``.pt``/``.pth`` — mapped torch-free via
+        models/torch_import.py; reference
+        PyTorchCorrelationCalculator.cpp:261)."""
         import numpy as _np
+
+        if path.endswith((".pt", ".pth", ".ts")):
+            from correrender_tpu.models.torch_import import (
+                srn_from_torch_archive,
+            )
+
+            self.model, self.params = srn_from_torch_archive(path)
+            return
 
         with _np.load(path) as data:
             cfg = data["config"]

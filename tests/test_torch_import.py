@@ -1,0 +1,134 @@
+"""Torch-free TorchScript/state-dict weight import (VERDICT r2 #6).
+
+Fixtures are generated at test time with the in-image CPU torch (the
+published VMV'23/SSDBM'24 archives themselves are not redistributable
+here); the loader under test never imports torch.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _make_srn_module(tmp_path, latent=8, sym_width=2):
+    """Encoder/decoder pair shaped like the reference's SRN nets."""
+    import torch.nn as nn
+
+    class SRN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.Sequential(
+                nn.Linear(36, 16), nn.ReLU(), nn.Linear(16, latent),
+            )
+            self.decoder = nn.Sequential(
+                nn.Linear(latent * sym_width, 16), nn.ReLU(),
+                nn.Linear(16, 1),
+            )
+
+        def forward(self, a, b):
+            ea, eb = self.encoder(a), self.encoder(b)
+            if eb.shape[-1] * 2 == self.decoder[0].in_features:
+                z = torch.cat([ea + eb, torch.abs(ea - eb)], dim=-1)
+            else:
+                z = ea + eb
+            return self.decoder(z)
+
+    m = SRN().eval()
+    path = str(tmp_path / "srn.pt")
+    torch.jit.script(m).save(path)
+    return m, path
+
+
+class TestReadTorchWeights:
+    def test_state_dict_zip(self, tmp_path):
+        from correrender_tpu.io.torchscript import read_torch_weights
+
+        lin = torch.nn.Linear(5, 3)
+        p = str(tmp_path / "sd.pt")
+        torch.save(lin.state_dict(), p)
+        w = read_torch_weights(p)
+        np.testing.assert_allclose(
+            w["weight"], lin.weight.detach().numpy()
+        )
+        np.testing.assert_allclose(w["bias"], lin.bias.detach().numpy())
+
+    def test_torchscript_archive(self, tmp_path):
+        from correrender_tpu.io.torchscript import read_torch_weights
+
+        m, path = _make_srn_module(tmp_path)
+        w = read_torch_weights(path)
+        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+        for name, want in sd.items():
+            np.testing.assert_allclose(w[name], want, err_msg=name)
+
+    def test_refuses_arbitrary_globals(self, tmp_path):
+        # The restricted unpickler must never execute archive code.
+        import io
+        import pickle
+        import zipfile
+
+        from correrender_tpu.io.torchscript import read_torch_weights
+
+        evil = io.BytesIO()
+        pickle.Pickler(evil, protocol=2).dump(eval)  # GLOBAL builtins.eval
+        p = str(tmp_path / "evil.pt")
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("m/data.pkl", evil.getvalue())
+        with pytest.raises(Exception, match="refus|forbidden|Unpickling"):
+            read_torch_weights(p)
+
+    def test_npz_conversion(self, tmp_path):
+        from correrender_tpu.io.torchscript import torch_weights_to_npz
+
+        _, path = _make_srn_module(tmp_path)
+        out = str(tmp_path / "w.npz")
+        arrays = torch_weights_to_npz(path, out)
+        loaded = np.load(out)
+        assert set(loaded.files) == set(arrays)
+
+
+class TestSrnImport:
+    @pytest.mark.parametrize("sym_width", [1, 2])
+    def test_forward_matches_torch(self, tmp_path, sym_width):
+        from correrender_tpu.models.torch_import import (
+            srn_from_torch_archive,
+        )
+
+        m, path = _make_srn_module(tmp_path, sym_width=sym_width)
+        model, params = srn_from_torch_archive(path)
+        assert model.symmetrizer == ("add_diff" if sym_width == 2
+                                     else "add")
+        # Compare on encoded features: the torch module consumes the
+        # 36-wide frequency features directly, so feed both sides the
+        # same encoding output.
+        rng = np.random.default_rng(0)
+        pa = jnp.asarray(rng.random((17, 3)).astype(np.float32))
+        pb = jnp.asarray(rng.random((17, 3)).astype(np.float32))
+        fa = model.encoding.apply({}, pa)
+        fb = model.encoding.apply({}, pb)
+        want = m(
+            torch.from_numpy(np.asarray(fa).copy()),
+            torch.from_numpy(np.asarray(fb).copy()),
+        ).detach().numpy()[..., 0]
+        got = np.asarray(model.apply(params, pa, pb))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_calculator_loads_pt(self, tmp_path):
+        from correrender_tpu.calculators.neural import (
+            NeuralCorrelationCalculator,
+        )
+
+        _, path = _make_srn_module(tmp_path)
+        calc = NeuralCorrelationCalculator(
+            field_name="f", weights_path=path
+        )
+        assert calc.params is not None
+        out = calc.model.apply(
+            calc.params,
+            jnp.zeros((4, 3)), jnp.ones((4, 3)) * 0.5,
+        )
+        assert np.asarray(out).shape == (4,)
