@@ -65,13 +65,27 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
 def lpips(a, b, net: str = "alex"):
     """LPIPS perceptual distance (scripts/similarity.py:47-62 role).
 
-    With the 'lpips' package + pretrained weights installed, uses the
-    published metric; otherwise falls back to :func:`lpips_random`
-    (fixed-seed random-feature variant — the LPIPS paper itself shows
-    randomly initialized nets track perceptual similarity well; the
-    absolute scale differs from pretrained LPIPS but the ordering is
-    comparable and fully deterministic).
+    Resolution order:
+
+    1. The in-tree JAX AlexNet-LPIPS forward (utils/lpips_alex.py —
+       architecture-exact, validated against a torch reference) with
+       the official weights, when a converted weight file is found
+       (``CORRERENDER_LPIPS_WEIGHTS`` / ``~/.cache/correrender_tpu/``).
+    2. The 'lpips' package, if installed.
+    3. :func:`lpips_random` — EXPLICIT fallback: a fixed-seed
+       random-feature variant whose *absolute scale is not comparable*
+       to published LPIPS values (ordering-only). Callers needing
+       paper-comparable numbers must provide weights.
     """
+    if net == "alex":
+        from correrender_tpu.utils.lpips_alex import (
+            load_lpips_weights,
+            lpips_alex,
+        )
+
+        weights = load_lpips_weights()
+        if weights is not None:
+            return lpips_alex(a, b, weights)
     try:  # pragma: no cover - package absent in this image
         import lpips as lpips_pkg
         import torch
