@@ -31,6 +31,11 @@ class PerfState:
     field: str | None = None
     num_frames: int = 16
     settings: dict = dataclasses.field(default_factory=dict)
+    # Memory-pressure mode: the rendered field cycles round-robin per
+    # frame, so a cache budget smaller than the field set forces
+    # evictions mid-sweep (exercises core/cache.py budget paths under
+    # measurement, not just unit tests).
+    cycle_fields: tuple = ()
 
 
 def _sync(x):
@@ -51,9 +56,11 @@ def _device_memory_mib():
 
 def default_perf_states(full: bool = False, fields=None):
     """The reference-style state matrix: renderer × resolution
-    (× field), InternalState.cpp:39-110 analogue."""
+    (× field), InternalState.cpp:39-110 analogue. The full tier
+    includes 4K — the reference's discrete-GPU default resolution
+    (InternalState.cpp:42-55)."""
     sizes = (
-        [(1920, 1080), (1280, 720), (640, 480)] if full
+        [(3840, 2160), (1920, 1080), (1280, 720), (640, 480)] if full
         else [(640, 480)]
     )
     renderers = ["dvr", "iso_ray", "domain_outline", "slice"]
@@ -67,6 +74,16 @@ def default_perf_states(full: bool = False, fields=None):
                     image_size=(w, h), field=field,
                     num_frames=16 if full else 8,
                 ))
+    if fields and len(fields) > 1:
+        # Memory-pressure state: cycling the rendered field each frame
+        # churns the field cache (evictions when the budget is below
+        # the set's total) — measured, not just unit-tested.
+        states.append(PerfState(
+            "dvr_field_cycle", renderer="dvr",
+            image_size=sizes[-1], field=fields[0],
+            num_frames=max(2 * len(fields), 8),
+            cycle_fields=tuple(fields),
+        ))
     return states
 
 
@@ -80,10 +97,15 @@ def run_perf_sweep(scene, states, csv_path=None):
             **({"field": state.field} if state.field else {}),
             **state.settings,
         )
+        cache = scene.volume_data.cache
+        misses_before = cache.misses
         frame_times = []
         for i in range(state.num_frames):
             theta = 2.0 * math.pi * i / state.num_frames
             scene.views[0] = orbit_camera(theta, 0.3, radius=0.85)
+            if state.cycle_fields:
+                cyc = state.cycle_fields[i % len(state.cycle_fields)]
+                scene.renderers[0]["field"] = cyc
             t0 = time.perf_counter()
             img = scene.render_view(0, image_size=state.image_size)
             _sync(img)
@@ -101,8 +123,9 @@ def run_perf_sweep(scene, states, csv_path=None):
                 "time_min_ms": round(float(arr.min()), 3),
                 "time_max_ms": round(float(arr.max()), 3),
                 "cache_used_mib": round(
-                    scene.volume_data.cache.used_bytes / 2**20, 1
+                    cache.used_bytes / 2**20, 1
                 ),
+                "cache_misses": cache.misses - misses_before,
                 "device_mem_mib": _device_memory_mib(),
             }
         )

@@ -82,3 +82,55 @@ class TestWorldMapRender:
         )
         # The red square stays untouched (plane renders behind).
         np.testing.assert_allclose(img[15, 15], [1, 0, 0, 1], atol=1e-5)
+
+
+class TestRasterUnderlay:
+    def _make_raster(self, tmp_path):
+        from PIL import Image
+
+        # Equirectangular test image: northern hemisphere green,
+        # southern blue, with a red band at the prime meridian.
+        arr = np.zeros((64, 128, 3), np.uint8)
+        arr[:32] = (0, 160, 0)
+        arr[32:] = (0, 0, 160)
+        arr[:, 66:70] = (200, 0, 0)  # strictly east of the meridian
+        p = str(tmp_path / "world.png")
+        Image.fromarray(arr).save(p)
+        return p
+
+    def test_full_globe_load(self, tmp_path):
+        from correrender_tpu.render.worldmap import load_raster_texture
+
+        tex = load_raster_texture(self._make_raster(tmp_path))
+        assert tex.shape == (64, 128, 3)
+        assert tex.dtype == np.float32
+        # north green, south blue
+        assert tex[10, 20, 1] > 0.5 and tex[50, 20, 2] > 0.5
+
+    def test_footprint_crop(self, tmp_path):
+        from correrender_tpu.render.worldmap import load_raster_texture
+
+        tex = load_raster_texture(
+            self._make_raster(tmp_path),
+            lat_range=(0.0, 90.0), lon_range=(-180.0, 0.0),
+        )
+        # NW quadrant: all green, no blue, no red meridian band.
+        assert tex[..., 1].mean() > 0.4
+        assert tex[..., 2].max() < 0.1
+        assert tex[..., 0].max() < 0.1
+
+    def test_scene_accepts_raster(self, tmp_path):
+        from correrender_tpu.app.state import Scene
+        from correrender_tpu.core import GridMetadata, VolumeData
+
+        vol = np.random.default_rng(0).random((8, 16, 16)).astype(
+            np.float32
+        )
+        vd = VolumeData(GridMetadata(xs=16, ys=16, zs=8, es=1))
+        vd.add_field("f", lambda t, e: vol)
+        scene = Scene(vd, views=[Camera(position=(0.0, 0.5, 0.9))])
+        scene.add_renderer("world_map",
+                           raster=self._make_raster(tmp_path))
+        img = np.asarray(scene.render_view(0, image_size=(48, 48)))
+        assert img.shape == (48, 48, 4)
+        assert np.isfinite(img).all()
