@@ -405,6 +405,56 @@ def make_iso_bench():
     return measure, prep_delta
 
 
+def fast_vs_exact_ssim():
+    """SSIM of the shear-warp fast paths against the exact marchers ON
+    HARDWARE at a mid resolution (VERDICT r2 weak #5: goldens stopped
+    at 64×48 CPU renders, so a Mosaic-only compositing bug could ship
+    unseen). Different algorithms, so similarity — not equality — is
+    the right check; the value is recorded per round."""
+    from correrender_tpu.render import Camera, TransferFunction
+    from correrender_tpu.render.dvr import dvr_render
+    from correrender_tpu.render.dvr_fast import dvr_shearwarp
+    from correrender_tpu.render.iso import iso_render
+    from correrender_tpu.render.iso_fast import iso_shearwarp
+    from correrender_tpu.utils.metrics import ssim
+
+    g = 96  # exact marchers are gather-bound; keep the cross-check fast
+    vol = jax.random.uniform(jax.random.key(5), (g, g, g))
+    vol = jnp.asarray(
+        jax.scipy.signal.convolve(
+            vol, jnp.ones((3, 3, 3)) / 27.0, mode="same"
+        )
+    )  # smooth field: isosurface comparisons need coherent geometry
+    cam = Camera(position=(0.05, 0.3, 0.85))
+    tf = TransferFunction.from_colormap(
+        "coolwarm", domain=(0.0, 1.0),
+        opacity_points=((0.0, 0.0), (1.0, 0.9)),
+    )
+    size = (640, 360)
+    dvr_fast_img = np.asarray(
+        dvr_shearwarp(vol, cam, tf, image_size=size)
+    )
+    dvr_exact_img = np.asarray(
+        dvr_render(vol, cam, tf, image_size=size)
+    )
+    iso_fast_img = np.asarray(
+        iso_shearwarp(vol, cam, 0.55, image_size=size,
+                      background=(0, 0, 0, 1))
+    )
+    iso_exact_img = np.asarray(
+        iso_render(vol, cam, 0.55, image_size=size,
+                   background=(0, 0, 0, 1))
+    )
+    return {
+        "dvr_fast_vs_exact": round(
+            ssim(dvr_fast_img[..., :3], dvr_exact_img[..., :3]), 4
+        ),
+        "iso_fast_vs_exact": round(
+            ssim(iso_fast_img[..., :3], iso_exact_img[..., :3]), 4
+        ),
+    }
+
+
 def cpu_baseline_vox_per_s():
     """Reference-CPU-path Pearson throughput (native C++, extrapolated;
     measured fresh per call — see cpu_ksg_baseline_vox_per_s)."""
@@ -470,6 +520,7 @@ def main():
     equality = kernel_equality_sweep()
     equality["dvr_prepared_vs_unprepared"] = round(dvr_delta, 6)
     equality["iso_prepared_vs_unprepared"] = round(iso_delta, 6)
+    ssim_rows = fast_vs_exact_ssim()
 
     result = {
         "metric": "pearson_field_throughput_250c_1000m",
@@ -505,6 +556,7 @@ def main():
             for k, v in samples.items()
         },
         "kernel_equality_max_abs_delta": equality,
+        "fast_vs_exact_ssim": ssim_rows,
         "device": str(jax.devices()[0]),
         "bench_wall_s": round(time.time() - t_start, 1),
     }

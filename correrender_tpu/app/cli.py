@@ -299,6 +299,25 @@ def cmd_replicability(args):
         print(f"wrote {f}")
 
 
+def cmd_weights(args):
+    """Weight tooling: convert PyTorch/TorchScript archives (torch-free
+    reader) and LPIPS checkpoints into the framework's .npz formats."""
+    if args.weights_command == "convert":
+        from correrender_tpu.io.torchscript import torch_weights_to_npz
+
+        arrays = torch_weights_to_npz(args.input, args.output)
+        print(f"wrote {args.output} ({len(arrays)} tensors)")
+        for name, arr in sorted(arrays.items()):
+            print(f"  {name}: {list(arr.shape)} {arr.dtype}")
+    elif args.weights_command == "lpips":
+        from correrender_tpu.utils.lpips_alex import convert_lpips_weights
+
+        convert_lpips_weights(args.alexnet, args.lpips, args.output)
+        print(f"wrote {args.output} — set CORRERENDER_LPIPS_WEIGHTS="
+              f"{args.output} (or copy to ~/.cache/correrender_tpu/"
+              "lpips_alex.npz) to enable real LPIPS")
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="correrender_tpu",
@@ -455,6 +474,26 @@ def build_parser():
     sp.add_argument("--output-dir", default="replicability_out")
     sp.add_argument("--full", action="store_true")
     sp.set_defaults(fn=cmd_replicability)
+
+    sp = sub.add_parser("weights",
+                        help="weight tooling (torch->npz, LPIPS)")
+    wsub = sp.add_subparsers(dest="weights_command", required=True)
+    wc = wsub.add_parser(
+        "convert",
+        help="PyTorch/TorchScript archive -> .npz (torch-free reader)",
+    )
+    wc.add_argument("input", help=".pt/.pth archive")
+    wc.add_argument("output", help="output .npz path")
+    wl = wsub.add_parser(
+        "lpips",
+        help="official alexnet+lpips .pth files -> combined npz",
+    )
+    wl.add_argument("--alexnet", required=True,
+                    help="torchvision alexnet state-dict .pth")
+    wl.add_argument("--lpips", required=True,
+                    help="lpips linear-head .pth (alex.pth)")
+    wl.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_weights)
 
     return p
 

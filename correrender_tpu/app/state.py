@@ -310,13 +310,11 @@ class Scene:
             )
             model_matrix = getattr(vd, "model_matrix", None)
             nan_mode = r.get("nan_mode", "ignore")
-            # Opaque geometry present → the march must clip against
-            # the shared depth buffer; the exact marcher supports the
-            # per-sample depth test (the shear-warp compositor does
-            # not, yet — single-renderer views keep the fast path).
+            # Opaque geometry present → the march clips against the
+            # shared depth buffer; both paths support it (the
+            # shear-warp compositor via per-pixel stop-slice indices).
             use_fast = (fast_dvr and model_matrix is None
-                        and nan_mode == "ignore"
-                        and scene_depth is None)
+                        and nan_mode == "ignore")
             if use_fast:
                 from correrender_tpu.render.dvr_fast import (
                     prepare_shearwarp,
@@ -382,7 +380,7 @@ class Scene:
                     # one configuration repeatedly.
                     self._prepared_cache = {pkey: prep}
                 img = dvr_shearwarp(vol, cam, tf, prepared=prep,
-                                    **kwargs)
+                                    depth_limit=scene_depth, **kwargs)
             else:
                 img = dvr_render(vol, cam, tf,
                                  restriction=restriction,

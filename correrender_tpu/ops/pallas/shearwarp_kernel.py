@@ -30,18 +30,24 @@ from correrender_tpu.ops.pallas.common import on_tpu, round_up
 _EPS = 1e-6
 
 
-def _make_kernel(s: int, yv: int, xv: int, tile_h: int, wi: int):
+def _make_kernel(s: int, yv: int, xv: int, tile_h: int, wi: int,
+                 use_kstop: bool = False):
     def kernel(
         scalars_ref,  # SMEM (1, 8): e_u, e_v, dy, dx, slab_thk, atten, y0, x0
         g_ref,  # SMEM (1, S)
         grid_v_ref,  # VMEM (1, tile_h) — this tile's grid coords
         grid_u_ref,  # VMEM (1, wi)
         len_ref,  # VMEM (tile_h, wi) — this tile's Δs factors
-        cvol_hbm,  # ANY (S, 4, Yv, Xv) classified, channel-first
-        out_ref,  # VMEM (4, tile_h, wi)
-        slice_buf,  # VMEM scratch (2, 4, Yv, Xv)
-        sem,  # DMA semaphores (2,)
+        *rest,  # [kstop_ref] cvol_hbm out_ref slice_buf sem
     ):
+        if use_kstop:
+            # Fractional stop-slice per intermediate pixel — the
+            # shared per-view depth buffer pulled into slice units
+            # (reference DvrShader.glsl depth test).
+            kstop_ref, cvol_hbm, out_ref, slice_buf, sem = rest
+        else:
+            kstop_ref = None
+            cvol_hbm, out_ref, slice_buf, sem = rest
         e_u = scalars_ref[0, 0]
         e_v = scalars_ref[0, 1]
         dy = scalars_ref[0, 2]
@@ -103,8 +109,16 @@ def _make_kernel(s: int, yv: int, xv: int, tile_h: int, wi: int):
             )
             tau = slab[3]  # (tile_h, wi)
             valid = (gk > _EPS).astype(jnp.float32)
+            thickness = slab_thk * len_ref[:]
+            if use_kstop:
+                # Scale the slab's optical thickness by how much of it
+                # lies in front of the depth limit (fractional at the
+                # boundary slice, 0 beyond it).
+                thickness = thickness * jnp.clip(
+                    kstop_ref[:] - k.astype(jnp.float32), 0.0, 1.0
+                )
             alpha = (
-                1.0 - jnp.exp(-tau * slab_thk * len_ref[:] * atten)
+                1.0 - jnp.exp(-tau * thickness * atten)
             ) * valid
             inv_tau = alpha / jnp.maximum(tau, _EPS)
             acc_a = out_ref[0, 3]
@@ -235,13 +249,16 @@ def shearwarp_composite_pallas(
     wi: int,
     cvol_cf=None,  # optional prepare_cvol_cf result (resident layout)
     vu: tuple | None = None,  # (Yv, Xv) when cvol_cf is passed
+    kstop=None,  # optional (hi, wi) fractional stop-slice indices
     interpret: bool = False,
 ):
     """Fused composite; returns (rgb (hi, wi, 3), alpha (hi, wi)).
 
     Pass ``cvol`` for one-shot use, or ``cvol_cf``/``vu`` (see
     :func:`prepare_cvol_cf`) to skip the per-call layout transform —
-    then ``cvol`` may be None.
+    then ``cvol`` may be None. ``kstop`` clips the march against a
+    shared depth buffer expressed in slice units (see
+    render/dvr_fast.py::dvr_shearwarp's ``depth_limit``).
     """
     if cvol_cf is not None:
         s = cvol_cf.shape[0]
@@ -283,25 +300,38 @@ def shearwarp_composite_pallas(
         constant_values=1.0,
     )
 
-    kernel = _make_kernel(s, yv_pad, xv_pad, tile_h, wi_pad)
+    use_kstop = kstop is not None
+    kernel = _make_kernel(s, yv_pad, xv_pad, tile_h, wi_pad,
+                          use_kstop=use_kstop)
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, s), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, tile_h), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wi_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_h, wi_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, g.reshape(1, s), grid_v_p, grid_u_p, len_p]
+    if use_kstop:
+        in_specs.append(pl.BlockSpec((tile_h, wi_pad), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.pad(
+            jnp.asarray(kstop, jnp.float32),
+            ((0, hi_pad - hi), (0, wi_pad - wi)),
+            constant_values=float(s),
+        ))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(cvol_cf)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, tile_h, wi_pad),
                                        jnp.float32),
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, s), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tile_h), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wi_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, wi_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, tile_h, wi_pad),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -310,14 +340,7 @@ def shearwarp_composite_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(
-        scalars,
-        g.reshape(1, s),
-        grid_v_p,
-        grid_u_p,
-        len_p,
-        cvol_cf,
-    )
+    )(*args)
     img = out.transpose(0, 2, 1, 3).reshape(hi_pad, 4, wi_pad)[:hi, :, :wi]
     rgb = img[:, :3, :].transpose(0, 2, 1)  # (hi, wi, 3)
     alpha = img[:, 3, :]

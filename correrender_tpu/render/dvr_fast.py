@@ -69,6 +69,7 @@ def _composite_scan(
     hi: int,
     wi: int,
     chunk: int = 16,
+    kstop=None,  # optional (hi, wi) fractional stop-slice indices
 ):
     s, yv, xv, _ = cvol.shape
     dy = axis_coords_y[1] - axis_coords_y[0] if yv > 1 else 1.0
@@ -80,9 +81,10 @@ def _composite_scan(
         g = jnp.pad(g, (0, padded - s), constant_values=-1.0)  # inert
     cvol_c = cvol.reshape(num_chunks, chunk, yv, xv, 4).astype(jnp.bfloat16)
     g_c = g.reshape(num_chunks, chunk)
+    k_c = jnp.arange(padded, dtype=jnp.float32).reshape(num_chunks, chunk)
 
     def chunk_step(acc, inputs):
-        slices, gk = inputs  # (chunk, Yv, Xv, 4), (chunk,)
+        slices, gk, kidx = inputs  # (chunk, Yv, Xv, 4), (chunk,), (chunk,)
         # Per-slice separable tent-weight resample, batched over the
         # chunk — one big MXU contraction per chunk.
         qv = eye_uv[1] + (grid_v[None, :] - eye_uv[1]) * gk[:, None]
@@ -104,9 +106,16 @@ def _composite_scan(
         tau = slab[..., 3]
         rgb_straight = slab[..., :3] / jnp.maximum(tau, _EPS)[..., None]
         valid = (gk > _EPS).astype(jnp.float32)[:, None, None]
+        thickness = slab_thickness * len_factor[None]
+        if kstop is not None:
+            # Depth-buffer clip: scale each slab's optical thickness
+            # by the fraction in front of the per-pixel stop slice.
+            thickness = thickness * jnp.clip(
+                kstop[None] - kidx[:, None, None], 0.0, 1.0
+            )
         alpha = (
             1.0
-            - jnp.exp(-tau * slab_thickness * len_factor[None] * attenuation)
+            - jnp.exp(-tau * thickness * attenuation)
         ) * valid
         rgb = alpha[..., None] * rgb_straight  # premultiplied contribution
 
@@ -130,7 +139,7 @@ def _composite_scan(
         jnp.zeros((hi, wi, 3), jnp.float32),
         jnp.zeros((hi, wi), jnp.float32),
     )
-    (rgb, a), _ = jax.lax.scan(chunk_step, acc0, (cvol_c, g_c))
+    (rgb, a), _ = jax.lax.scan(chunk_step, acc0, (cvol_c, g_c, k_c))
     return rgb, a
 
 
@@ -258,6 +267,7 @@ def dvr_shearwarp(
     classified: jnp.ndarray | None = None,
     warp: str = "matmul",
     prepared: dict | None = None,
+    depth_limit=None,
 ) -> jnp.ndarray:
     """Fast DVR (see module docstring).
 
@@ -272,6 +282,13 @@ def dvr_shearwarp(
         resident slice layout. Skips the per-frame classify + layout
         transform entirely when its camera key (principal axis, slice
         order) still matches; rebuilt automatically otherwise.
+      depth_limit: optional (H, W) screen-space eye distances (the
+        shared per-view depth buffer): the march clips against it so
+        opaque geometry occludes the volume correctly (reference
+        DvrShader.glsl depth test). Pulled into the intermediate grid
+        through the inverse of the screen homography and converted to
+        fractional slice units; the compositor scales each slab's
+        optical thickness by its in-front fraction.
 
     Returns:
       ``(H, W, 4)`` straight-alpha RGBA.
@@ -387,6 +404,13 @@ def dvr_shearwarp(
         (box_max[a] - box_min[a])
     )
 
+    kstop = None
+    if depth_limit is not None:
+        kstop = _depth_to_kstop(
+            depth_limit, camera, width, height, in_plane, a, eye,
+            z_ref, grid_u, grid_v, len_factor, slice_coords, n_slices,
+        )
+
     composite_args = (
         cvol,
         jnp.asarray(g, jnp.float32),
@@ -411,10 +435,11 @@ def dvr_shearwarp(
             *composite_args, hi=hi_res, wi=wi_res,
             cvol_cf=None if prepared is None else prepared["cf"],
             vu=None if prepared is None else tuple(prepared["vu"]),
+            kstop=kstop,
         )
     else:
         inter_rgb, inter_a = _composite_scan(
-            *composite_args, hi=hi_res, wi=wi_res
+            *composite_args, hi=hi_res, wi=wi_res, kstop=kstop
         )
 
     # Final homography warp to the screen.
@@ -437,6 +462,67 @@ def dvr_shearwarp(
         jnp.asarray(np.eye(3)[a], jnp.float32),
         jnp.asarray(background, jnp.float32),
     )
+
+
+def _depth_to_kstop(
+    depth_limit, camera, width, height, in_plane, a, eye, z_ref,
+    grid_u, grid_v, len_factor, slice_coords, n_slices,
+):
+    """Screen-space depth buffer → fractional stop-slice indices on
+    the intermediate grid.
+
+    The intermediate→screen map is the projective homography of
+    :func:`_homography_coeffs`; its 3×3 inverse maps every
+    intermediate pixel to its screen position, where the depth buffer
+    is sampled bilinearly (+inf treated as no-clip). Depth along a
+    ray is linear in the slice coordinate — dist(k) = (|s₀−e_a| +
+    k·|Δs|)·len_factor — so the sampled distance converts to a
+    fractional slice index in closed form.
+    """
+    a_coef, b_coef, c_coef = _homography_coeffs(
+        camera, width, height, in_plane, a, eye, z_ref, grid_u, grid_v
+    )
+    m = np.array([a_coef, b_coef, c_coef], np.float64)
+    try:
+        minv = np.linalg.inv(m)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "depth_limit: degenerate screen homography for this camera"
+        ) from exc
+    hi_res, wi_res = len(grid_v), len(grid_u)
+    su = jnp.arange(wi_res, dtype=jnp.float32)[None, :]
+    sv = jnp.arange(hi_res, dtype=jnp.float32)[:, None]
+    minv = minv.astype(np.float32)
+    q0 = minv[0, 0] * su + minv[0, 1] * sv + minv[0, 2]
+    q1 = minv[1, 0] * su + minv[1, 1] * sv + minv[1, 2]
+    q2 = minv[2, 0] * su + minv[2, 1] * sv + minv[2, 2]
+    q0 = jnp.where(jnp.abs(q0) < 1e-12, 1e-12, q0)
+    px = q1 / q0
+    py = q2 / q0
+
+    d = jnp.asarray(depth_limit, jnp.float32)
+    d = jnp.where(jnp.isfinite(d), d, 1e9)
+    x0i = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, width - 2)
+    y0i = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, height - 2)
+    fx = jnp.clip(px - x0i, 0.0, 1.0)
+    fy = jnp.clip(py - y0i, 0.0, 1.0)
+    dint = (
+        d[y0i, x0i] * (1 - fy) * (1 - fx)
+        + d[y0i, x0i + 1] * (1 - fy) * fx
+        + d[y0i + 1, x0i] * fy * (1 - fx)
+        + d[y0i + 1, x0i + 1] * fy * fx
+    )
+    outside = (
+        (px < 0) | (px > width - 1) | (py < 0) | (py > height - 1)
+    )
+    dint = jnp.where(outside, 1e9, dint)
+    step_abs = (
+        abs(float(slice_coords[1] - slice_coords[0]))
+        if n_slices > 1 else 1.0
+    )
+    base = abs(float(slice_coords[0] - eye[a]))
+    kstop = (dint / jnp.maximum(len_factor, 1e-9) - base) / step_abs
+    return jnp.clip(kstop, 0.0, float(n_slices))
 
 
 def warp_to_screen(

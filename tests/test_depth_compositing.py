@@ -116,6 +116,40 @@ class TestDepthClip:
         assert np.isfinite(center)  # the sphere is hit head-on
         assert not np.isfinite(depth[0, 0])  # corners miss
 
+    def test_fast_dvr_depth_limit_matches_exact_clip(self):
+        # The shear-warp kstop clip must agree with the exact
+        # marcher's per-sample depth test (same scene, same limit).
+        from correrender_tpu.render.dvr_fast import dvr_shearwarp
+        from correrender_tpu.utils.metrics import ssim
+
+        vol = _sphere_volume()
+        cam = Camera(position=(0.0, 0.0, 0.9))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0.0, 1.0),
+            opacity_points=((0.0, 0.0), (1.0, 0.9)),
+        )
+        limit = jnp.full((48, 48), 0.9)  # clip at the box center
+        fast = np.asarray(dvr_shearwarp(
+            vol, cam, tf, image_size=(48, 48),
+            background=(0, 0, 0, 0), depth_limit=limit,
+        ))
+        fast_free = np.asarray(dvr_shearwarp(
+            vol, cam, tf, image_size=(48, 48), background=(0, 0, 0, 0),
+        ))
+        exact = np.asarray(dvr_render(
+            vol, cam, tf, image_size=(48, 48), attenuation=100.0,
+            background=(0, 0, 0, 0), depth_limit=limit,
+        ))
+        # Clip takes effect on the fast path (rays saturate early, so
+        # a center-plane clip shaves ~8% total alpha — compare against
+        # the exact marcher's clipped total, not an arbitrary ratio)...
+        assert fast[..., 3].sum() < 0.99 * fast_free[..., 3].sum()
+        assert abs(fast[..., 3].sum() - exact[..., 3].sum()) < (
+            0.02 * exact[..., 3].sum()
+        )
+        # ...and lands on the exact marcher's clipped image.
+        assert ssim(fast[..., 3], exact[..., 3]) > 0.9
+
     def test_slice_depth_matches_plane_distance(self):
         vol = _sphere_volume()
         cam = Camera(position=(0.0, 0.0, 0.9))

@@ -132,3 +132,15 @@ class TestSrnImport:
             jnp.zeros((4, 3)), jnp.ones((4, 3)) * 0.5,
         )
         assert np.asarray(out).shape == (4,)
+
+
+def test_cli_weights_convert(tmp_path, capsys):
+    from correrender_tpu.app import cli
+
+    _, path = _make_srn_module(tmp_path)
+    out = str(tmp_path / "w.npz")
+    parser = cli.build_parser()
+    args = parser.parse_args(["weights", "convert", path, out])
+    args.fn(args)
+    assert "tensors" in capsys.readouterr().out
+    assert np.load(out).files
