@@ -299,6 +299,32 @@ def cmd_replicability(args):
         print(f"wrote {f}")
 
 
+def cmd_imgmetrics(args):
+    """MSE/PSNR/SSIM/LPIPS between two image files — the reference's
+    scripts/similarity.py:47-66 workflow (ground truth vs
+    approximation screenshots)."""
+    import json as _json
+
+    from PIL import Image
+
+    import numpy as _np
+
+    from correrender_tpu.utils.metrics import compare_images
+
+    def load(p):
+        arr = _np.asarray(Image.open(p).convert("RGB"), _np.float32)
+        return arr / 255.0
+
+    a, b = load(args.image_a), load(args.image_b)
+    if a.shape != b.shape:
+        raise SystemExit(
+            f"image sizes differ: {a.shape} vs {b.shape}"
+        )
+    print(_json.dumps(
+        {k: round(float(v), 6) for k, v in compare_images(a, b).items()}
+    ))
+
+
 def cmd_weights(args):
     """Weight tooling: convert PyTorch/TorchScript archives (torch-free
     reader) and LPIPS checkpoints into the framework's .npz formats."""
@@ -474,6 +500,15 @@ def build_parser():
     sp.add_argument("--output-dir", default="replicability_out")
     sp.add_argument("--full", action="store_true")
     sp.set_defaults(fn=cmd_replicability)
+
+    sp = sub.add_parser(
+        "imgmetrics",
+        help="MSE/PSNR/SSIM/LPIPS between two images "
+             "(scripts/similarity.py role)",
+    )
+    sp.add_argument("image_a")
+    sp.add_argument("image_b")
+    sp.set_defaults(fn=cmd_imgmetrics)
 
     sp = sub.add_parser("weights",
                         help="weight tooling (torch->npz, LPIPS)")

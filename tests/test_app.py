@@ -377,3 +377,22 @@ def test_dock_layout_roundtrip(tmp_path):
     scene.save_state(path)
     loaded = Scene.load_state(path)
     assert loaded.dock_layout == [[0], [1]]
+
+
+def test_cli_imgmetrics(tmp_path, capsys):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    b = np.clip(a + rng.integers(-20, 20, a.shape), 0, 255).astype(
+        np.uint8
+    )
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    parser = cli.build_parser()
+    args = parser.parse_args(["imgmetrics", pa, pb])
+    args.fn(args)
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"mse", "psnr", "ssim", "lpips"}
+    assert 0 < out["ssim"] <= 1
