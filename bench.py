@@ -551,6 +551,26 @@ def main():
 
     med = {k: _summary(v)["median"] for k, v in samples.items()}
 
+    # Insurance line: the MI/equality phases below cost many minutes
+    # of tunnel compiles; if the harness kills the run mid-way, the
+    # tail still carries a complete headline record (the final full
+    # line supersedes it when the run finishes).
+    print(json.dumps({
+        "metric": "pearson_field_throughput_250c_1000m",
+        "value": round(med["pearson_vox_s"] / 1e9, 6),
+        "unit": "Gvoxel/s",
+        "vs_baseline": round(
+            med["pearson_vox_s"] / med["cpu_pearson_vox_s"], 2
+        ),
+        "partial": "pre-MI/equality checkpoint",
+        "dvr_1080p_250c_frame_ms": round(med["dvr_frame_ms"], 2),
+        "iso_1080p_250c_frame_ms": round(med["iso_frame_ms"], 2),
+        "mi_ksg_voxel_s_48c_1000m": round(med["mi48_vox_s"], 1),
+        "mi_vs_baseline": round(
+            med["mi48_vox_s"] / med["cpu_ksg_vox_s"], 2
+        ),
+    }), flush=True)
+
     mi_kernel_s, mi_stream = bench_mi_250_measured()
 
     equality = kernel_equality_sweep()

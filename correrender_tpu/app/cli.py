@@ -216,6 +216,12 @@ def cmd_state(args):
 
     scene = Scene.load_state(args.load)
     w, h = (int(v) for v in args.size.split("x"))
+    if args.dock:
+        # One canvas, all views arranged per the persisted dock
+        # layout (ViewManager role).
+        _save_png(scene.render_dock(image_size=(w, h)), args.output)
+        print(f"wrote {args.output}")
+        return
     for view in range(len(scene.views)):
         img = scene.render_view(view, image_size=(w, h))
         path = (
@@ -457,6 +463,8 @@ def build_parser():
     sp.add_argument("--load", required=True)
     sp.add_argument("--size", default="800x600")
     sp.add_argument("--output", required=True)
+    sp.add_argument("--dock", action="store_true",
+                    help="one canvas, views arranged per dock_layout")
     sp.set_defaults(fn=cmd_state)
 
     sp = sub.add_parser("sampling", help="sampling-method eval (CSV)")

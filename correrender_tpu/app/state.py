@@ -406,6 +406,33 @@ class Scene:
                     )
         return image
 
+    def render_dock(self, image_size=(1024, 768), fast_dvr: bool = True):
+        """Composite every view into one canvas per the dock layout.
+
+        ``dock_layout`` is a list of rows of view indices (persisted
+        in state files); each row shares the canvas height equally and
+        splits its width across its views — the headless analogue of
+        the reference's docked DataView grid (src/Widgets/DataView /
+        ViewManager).
+        """
+        width, height = image_size
+        layout = self.dock_layout or [[i] for i in range(len(self.views))]
+        rows = len(layout)
+        canvas = np.zeros((height, width, 4), np.float32)
+        row_h = height // rows
+        for r, row in enumerate(layout):
+            if not row:
+                continue
+            col_w = width // len(row)
+            for c, view_idx in enumerate(row):
+                img = np.asarray(self.render_view(
+                    int(view_idx), image_size=(col_w, row_h),
+                    fast_dvr=fast_dvr,
+                ))
+                y0, x0 = r * row_h, c * col_w
+                canvas[y0:y0 + row_h, x0:x0 + col_w] = img
+        return jnp.asarray(canvas)
+
     # -- persistence --------------------------------------------------------
 
     def save_state(self, path: str, dataset: Optional[dict] = None):

@@ -396,3 +396,16 @@ def test_cli_imgmetrics(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert set(out) == {"mse", "psnr", "ssim", "lpips"}
     assert 0 < out["ssim"] <= 1
+
+
+def test_render_dock_grid():
+    scene, _ = make_scene()
+    scene.views.append(Camera(position=(0.6, 0.2, 0.4)))
+    scene.dock_layout = [[0, 1]]
+    scene.add_renderer("dvr", view=0)
+    scene.add_renderer("domain_outline", view=1)
+    img = np.asarray(scene.render_dock(image_size=(128, 64)))
+    assert img.shape == (64, 128, 4)
+    # both half-canvases carry content
+    assert img[:, :64, 3].max() > 0
+    assert img[:, 64:, 3].max() > 0
