@@ -40,12 +40,48 @@ class NeuralCorrelationCalculator(Calculator):
         self.model = model or CorrelationSRN.create()
         self.params = params
         self.train_steps = train_steps
+        self.weights_path = weights_path
         self._stencil = None  # lazy NaN stencil (valid-voxel mask)
         if weights_path is not None:
             self.load_weights(weights_path)
 
     def default_output_name(self):
         return f"Neural Correlation ({self.field_name})"
+
+    # -- settings round-trip (SettingsMap analogue; state files
+    # -- persist the model source so reload reconstructs the same
+    # -- calculator — the reference stores the TorchScript path the
+    # -- same way, DeepLearningCorrelationCalculator settings) --------
+
+    @classmethod
+    def settings_to_kwargs(cls, s: dict) -> dict:
+        kwargs = {}
+        if "scalar_field_name" in s:
+            kwargs["field_name"] = s["scalar_field_name"]
+        if "correlation_measure_type" in s:
+            kwargs["measure"] = s["correlation_measure_type"]
+        if "reference_point_x" in s:
+            kwargs["reference_point"] = (
+                int(s.get("reference_point_x", 0)),
+                int(s.get("reference_point_y", 0)),
+                int(s.get("reference_point_z", 0)),
+            )
+        if "model_preset_path" in s and s["model_preset_path"]:
+            kwargs["weights_path"] = s["model_preset_path"]
+        if "train_steps" in s:
+            kwargs["train_steps"] = int(s["train_steps"])
+        return kwargs
+
+    def get_settings(self) -> dict:
+        return {
+            "scalar_field_name": self.field_name,
+            "correlation_measure_type": self.measure,
+            "reference_point_x": self.reference_point[0],
+            "reference_point_y": self.reference_point[1],
+            "reference_point_z": self.reference_point[2],
+            "model_preset_path": self.weights_path or "",
+            "train_steps": self.train_steps,
+        }
 
     # -- pretrained weights (reference loads TorchScript modules,
     # -- PyTorchCorrelationCalculator.cpp:261; here: .npz presets

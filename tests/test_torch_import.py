@@ -144,3 +144,23 @@ def test_cli_weights_convert(tmp_path, capsys):
     args.fn(args)
     assert "tensors" in capsys.readouterr().out
     assert np.load(out).files
+
+
+def test_neural_calculator_settings_roundtrip(tmp_path):
+    from correrender_tpu.calculators.base import calculator_from_settings
+    from correrender_tpu.calculators.neural import (
+        NeuralCorrelationCalculator,
+    )
+
+    _, path = _make_srn_module(tmp_path)
+    calc = NeuralCorrelationCalculator(
+        field_name="q", measure="spearman", reference_point=(1, 2, 3),
+        weights_path=path, train_steps=123,
+    )
+    settings = calc.get_settings()
+    clone = calculator_from_settings(calc.type_id, settings)
+    assert clone.field_name == "q"
+    assert clone.measure == "spearman"
+    assert clone.reference_point == (1, 2, 3)
+    assert clone.train_steps == 123
+    assert clone.params is not None  # weights reloaded from the path
