@@ -48,6 +48,17 @@ class _VelocityBase(Calculator):
         super().__init__(output_name)
         self.u, self.v, self.w = u, v, w
 
+    def get_settings(self) -> dict:
+        return {"u_field": self.u, "v_field": self.v, "w_field": self.w}
+
+    @classmethod
+    def settings_to_kwargs(cls, s: dict) -> dict:
+        return {
+            "u": s.get("u_field", "u"),
+            "v": s.get("v_field", "v"),
+            "w": s.get("w_field", "w"),
+        }
+
     def _uvw(self, time, member):
         vd = self.volume_data
         return (
