@@ -12,9 +12,11 @@ NIfTI). Capability matches the reference's used subset:
   value (:182-194, isobaric levels sorted descending pressure so z
   ascends with altitude);
 * grid definition template 3.0 (regular lat/lon incl. scan-order
-  normalization), data representation template 5.0 (simple packing:
-  ``Y = (R + X·2^E) / 10^D``), optional bitmap (section 6) → NaN,
-  constant fields (nbits = 0);
+  normalization); data representation templates 5.0 (simple packing:
+  ``Y = (R + X·2^E) / 10^D``) and 5.2/5.3 (complex packing with
+  optional 1st/2nd-order spatial differencing — the NCEP-standard
+  encodings, g2clib-compatible field layout); optional bitmap
+  (section 6) → NaN, constant fields (nbits = 0);
 * lat/lon metadata for the world-map renderer.
 
 Decoding is lazy per (field, time): ``open()`` only indexes message
@@ -81,8 +83,30 @@ class _Message:
         "discipline", "date", "time", "short_name", "level",
         "ni", "nj", "la1", "lo1", "la2", "lo2", "scan",
         "ref", "bin_scale", "dec_scale", "nbits", "npoints",
-        "bitmap_span", "data_span",
+        "bitmap_span", "data_span", "drt", "cpx",
     )
+
+
+class _BitReader:
+    """Sequential big-endian bit reader with byte-boundary alignment
+    (complex-packing fields are each padded to whole octets)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read(self, nbits: int, count: int) -> np.ndarray:
+        if nbits == 0:
+            return np.zeros(count, np.int64)
+        total = nbits * count
+        chunk = self.bits[self.pos:self.pos + total]
+        self.pos += total
+        vals = chunk.reshape(count, nbits).astype(np.int64)
+        weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+        return vals @ weights
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
 
 
 def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
@@ -109,6 +133,8 @@ def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
     msg.discipline = buf[start + 6]
     msg.bitmap_span = None
     msg.data_span = None
+    msg.drt = 0
+    msg.cpx = None
     pos = start + 16
     while pos < end - 4:
         sec_len, sec_num = struct.unpack(">IB", buf[pos:pos + 5])
@@ -153,11 +179,12 @@ def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
         elif sec_num == 5:  # data representation
             msg.npoints = struct.unpack(">I", body[5:9])[0]
             template = struct.unpack(">H", body[9:11])[0]
-            if template != 0:
+            if template not in (0, 2, 3):
                 raise NotImplementedError(
                     f"data representation template 5.{template} not "
-                    "supported (simple packing only)"
+                    "supported (simple/complex[+diff] packing only)"
                 )
+            msg.drt = template
             msg.ref = struct.unpack(">f", body[11:15])[0]
             msg.bin_scale = _sint(
                 struct.unpack(">H", body[15:17])[0], 16
@@ -166,6 +193,33 @@ def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
                 struct.unpack(">H", body[17:19])[0], 16
             )
             msg.nbits = body[19]
+            if template in (2, 3):
+                # Template 5.2/5.3 (complex packing [+ spatial
+                # differencing]), octet numbering per WMO FM92.
+                missing_mgmt = body[22]
+                if missing_mgmt != 0:
+                    raise NotImplementedError(
+                        "complex packing with embedded missing-value "
+                        f"management {missing_mgmt} not supported "
+                        "(bitmaps are)"
+                    )
+                cpx = {
+                    "ng": struct.unpack(">I", body[31:35])[0],
+                    "width_ref": body[35],
+                    "width_bits": body[36],
+                    "len_ref": struct.unpack(">I", body[37:41])[0],
+                    "len_inc": body[41],
+                    "last_len": struct.unpack(">I", body[42:46])[0],
+                    "len_bits": body[46],
+                }
+                if template == 3:
+                    cpx["order"] = body[47]
+                    cpx["extra_bytes"] = body[48]
+                    if cpx["order"] not in (1, 2):
+                        raise NotImplementedError(
+                            f"spatial differencing order {cpx['order']}"
+                        )
+                msg.cpx = cpx
         elif sec_num == 6:  # bitmap
             indicator = body[5]
             if indicator == 0:
@@ -188,9 +242,67 @@ def _parse_message(buf: bytes, start: int) -> tuple[list["_Message"], int]:
     return out, end
 
 
+def _decode_complex(data: bytes, msg: "_Message") -> np.ndarray:
+    """Data templates 7.2/7.3 (complex packing [+ spatial diff]).
+
+    Field order per WMO FM92 / g2clib unpk_complex: [initial value(s)
+    + overall minimum, template 7.3 only] → NG group references
+    (nbits each) → NG group widths → NG scaled group lengths (each
+    field padded to whole octets) → the groups' packed values,
+    contiguous. Spatial differencing reconstructs with the g2clib
+    recurrence (gmin added from index `order` on, initial values
+    replacing the first `order` entries), vectorized as nested
+    cumulative sums.
+    """
+    c = msg.cpx
+    ng = c["ng"]
+    br = _BitReader(data)
+    if msg.drt == 3:
+        nb = c["extra_bytes"] * 8
+        raw = br.read(nb, c["order"] + 1)
+        ivals = [_sint(int(v), nb) for v in raw[:-1]]
+        gmin = _sint(int(raw[-1]), nb)
+        br.align()
+    refs = br.read(msg.nbits, ng)
+    br.align()
+    widths = c["width_ref"] + br.read(c["width_bits"], ng)
+    br.align()
+    lens = c["len_ref"] + c["len_inc"] * br.read(c["len_bits"], ng)
+    br.align()
+    if ng:
+        lens[-1] = c["last_len"]
+    total = int(lens.sum())
+    x = np.empty(total, np.int64)
+    off = 0
+    for g in range(ng):
+        n = int(lens[g])
+        x[off:off + n] = refs[g] + br.read(int(widths[g]), n)
+        off += n
+    if msg.drt == 3:
+        order = c["order"]
+        x[order:] += gmin
+        if order == 1:
+            x[0] = ivals[0]
+            x = np.cumsum(x)
+        else:
+            x[0], x[1] = ivals[0], ivals[1]
+            first = np.empty(total - 1, np.int64)
+            first[0] = x[1] - x[0]
+            first[1:] = x[2:]
+            first = np.cumsum(first)  # f[i] − f[i−1]
+            out = np.empty(total, np.int64)
+            out[0] = x[0]
+            out[1:] = x[0] + np.cumsum(first)
+            x = out
+    return x
+
+
 def _decode_values(buf: bytes, msg: "_Message") -> np.ndarray:
     d0, d1 = msg.data_span
-    x = _unpack_bits(buf[d0:d1], msg.nbits, msg.npoints)
+    if getattr(msg, "drt", 0) in (2, 3):
+        x = _decode_complex(buf[d0:d1], msg)
+    else:
+        x = _unpack_bits(buf[d0:d1], msg.nbits, msg.npoints)
     y = (msg.ref + x.astype(np.float64) * 2.0 ** msg.bin_scale) \
         / 10.0 ** msg.dec_scale
     y = y.astype(np.float32)
@@ -301,6 +413,84 @@ class GribLoader(VolumeLoader):
             self._file = None
 
 
+def _pack_bits_concat(pieces) -> bytes:
+    """Pack [(values, nbits), ...] fields, each padded to octets."""
+    out = bytearray()
+    for vals, nb in pieces:
+        vals = np.asarray(vals, np.int64)
+        if nb == 0 or len(vals) == 0:
+            continue
+        bits = (
+            (vals[:, None] >> np.arange(nb - 1, -1, -1)) & 1
+        ).astype(np.uint8).ravel()
+        out += np.packbits(bits).tobytes()
+    return bytes(out)
+
+
+def _encode_complex(x: np.ndarray, diff_order: int = 0,
+                    group_len: int = 32):
+    """Encode non-negative ints as template 5.2/5.3 payloads.
+
+    Returns (sec5_tail: bytes from octet 22 on, sec7_payload, nbits).
+    Fixed-length groups (last one short) keep the scaled-length field
+    zero bits wide; spatial differencing uses 4-octet descriptors.
+    """
+    header = b""
+    if diff_order:
+        ivals = [int(v) for v in x[:diff_order]]
+        d = x.astype(np.int64).copy()
+        if diff_order == 1:
+            d[1:] = np.diff(d)
+        else:
+            d2 = d[2:] - 2 * d[1:-1] + d[:-2]
+            d = np.concatenate([d[:2], d2])
+        gmin = int(d[diff_order:].min()) if len(d) > diff_order else 0
+        d[diff_order:] -= gmin
+        d[:diff_order] = 0
+        x = d
+
+        def sm32(v):
+            return (1 << 31) | (-v) if v < 0 else v
+
+        header = b"".join(
+            struct.pack(">I", sm32(v)) for v in ivals + [gmin]
+        )
+
+    n = len(x)
+    ng = max(-(-n // group_len), 1)
+    groups = [x[g * group_len:(g + 1) * group_len] for g in range(ng)]
+    refs = np.array([int(g.min()) if len(g) else 0 for g in groups],
+                    np.int64)
+    spans = [g - r for g, r in zip(groups, refs)]
+    widths = np.array([
+        int(s.max()).bit_length() if len(s) and s.max() > 0 else 0
+        for s in spans
+    ], np.int64)
+    nbits_ref = max(int(refs.max()).bit_length(), 1) if refs.max() > 0 \
+        else 1
+    payload = header + _pack_bits_concat([(refs, nbits_ref)])
+    payload += _pack_bits_concat([(widths, 8)])
+    # lengths: all group_len (scaled field 0 bits); decoder overrides
+    # the last group from last_len.
+    data_bits = []
+    for s, w in zip(spans, widths):
+        if w:
+            data_bits.append((s, int(w)))
+    payload += _pack_bits_concat(data_bits)
+
+    sec5_tail = (
+        struct.pack(">BB", 1, 0)  # 22 splitting method, 23 missing mgmt
+        + struct.pack(">II", 0, 0)  # 24..31 missing substitutes
+        + struct.pack(">I", ng)  # 32..35
+        + struct.pack(">BB", 0, 8)  # 36 width ref, 37 width bits
+        + struct.pack(">IB", group_len, 1)  # 38..41 len ref, 42 inc
+        + struct.pack(">IB", len(groups[-1]), 0)  # 43..46 last, 47 bits
+    )
+    if diff_order:
+        sec5_tail += struct.pack(">BB", diff_order, 4)  # 48, 49
+    return sec5_tail, payload, nbits_ref
+
+
 def write_grib2(
     path: str,
     fields: dict,
@@ -310,8 +500,12 @@ def write_grib2(
     lat=(-90.0, 90.0),
     lon=(0.0, 359.0),
     nbits: int = 16,
+    packing: str = "simple",
 ):
-    """Minimal GRIB2 writer (template 3.0 / 5.0 simple packing).
+    """Minimal GRIB2 writer (grid template 3.0; data representation
+    5.0 simple packing, or 5.2/5.3 complex packing via ``packing`` in
+    {"simple", "complex", "complex_diff1", "complex_diff2"} — the
+    NCEP-style encodings the loader also decodes).
 
     Args:
       fields: ``{short_name: (L, Nj, Ni) array}``.
@@ -334,9 +528,15 @@ def write_grib2(
             lo = float(np.nanmin(grid))
             hi = float(np.nanmax(grid))
             span = max(hi - lo, 0.0)
+            sec5_tail = b""
+            drt = {"simple": 0, "complex": 2,
+                   "complex_diff1": 3, "complex_diff2": 3}[packing]
+            diff_order = {"simple": 0, "complex": 0,
+                          "complex_diff1": 1, "complex_diff2": 2}[packing]
             if span == 0.0 or nbits == 0:
                 nb, scale = 0, 0
                 packed = b""
+                drt = 0
             else:
                 nb = nbits
                 # binary scale s.t. (hi-lo) fits in nbits.
@@ -345,10 +545,15 @@ def write_grib2(
                     (grid - lo) / 2.0 ** scale
                 ).astype(np.int64).ravel()
                 x = np.clip(x, 0, 2**nb - 1)
-                bits = (
-                    (x[:, None] >> np.arange(nb - 1, -1, -1)) & 1
-                ).astype(np.uint8).ravel()
-                packed = np.packbits(bits).tobytes()
+                if drt == 0:
+                    bits = (
+                        (x[:, None] >> np.arange(nb - 1, -1, -1)) & 1
+                    ).astype(np.uint8).ravel()
+                    packed = np.packbits(bits).tobytes()
+                else:
+                    sec5_tail, packed, nb = _encode_complex(
+                        x, diff_order
+                    )
 
             def sec(num_, body):
                 return struct.pack(">IB", len(body) + 5, num_) + body
@@ -395,12 +600,12 @@ def write_grib2(
                               usint(levels[z] * 100, 32))  # 23..28
                 + struct.pack(">BBI", 255, 0, 0)  # 29..34 2nd surface
             ))
-            # Section 5 — data representation template 5.0 (6..21).
+            # Section 5 — data representation template 5.0/5.2/5.3.
             s5 = sec(5, struct.pack(
                 ">IHfHHBB",
-                ni * nj, 0, np.float32(lo),
+                ni * nj, drt, np.float32(lo),
                 usint(scale, 16), 0, nb, 0,
-            ))
+            ) + sec5_tail)
             s6 = sec(6, struct.pack(">B", 255))
             s7 = sec(7, packed)
             body = s1 + s3 + s4 + s5 + s6 + s7

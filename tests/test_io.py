@@ -483,6 +483,39 @@ class TestGrib:
         ld = loader_for_path(path).open(path)
         np.testing.assert_allclose(ld.load_field("t"), const, atol=1e-6)
 
+    @pytest.mark.parametrize(
+        "packing", ["complex", "complex_diff1", "complex_diff2"]
+    )
+    def test_complex_packing_roundtrip(self, tmp_path, packing):
+        # Templates 5.2/5.3 — the NCEP-standard encodings (complex
+        # packing, optionally with 1st/2nd-order spatial differencing).
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(3)
+        # Smooth + noise: realistic spatial-differencing statistics.
+        base = np.cumsum(rng.normal(size=(2, 12, 37)), axis=-1)
+        t_f = (250 + base + 0.1 * rng.random((2, 12, 37))).astype(
+            np.float32
+        )
+        path = str(tmp_path / f"{packing}.grb2")
+        write_grib2(path, {"t": t_f}, nbits=18, packing=packing)
+        ld = GribLoader().open(path)
+        got = ld.load_field("t")
+        np.testing.assert_allclose(got, t_f, atol=2e-3)
+
+    def test_complex_packing_matches_simple(self, tmp_path):
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(4)
+        f = (rng.random((1, 9, 21)) * 100).astype(np.float32)
+        ps, pc = str(tmp_path / "s.grb2"), str(tmp_path / "c.grb2")
+        write_grib2(ps, {"t": f}, nbits=16, packing="simple")
+        write_grib2(pc, {"t": f}, nbits=16, packing="complex_diff2")
+        a = GribLoader().open(ps).load_field("t")
+        b = GribLoader().open(pc).load_field("t")
+        # identical integer pipeline → identical decoded values
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
 
 class TestVts:
     def test_structured_grid_ascii(self, tmp_path, vol_zyx):
