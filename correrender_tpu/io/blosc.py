@@ -14,9 +14,9 @@ format directly:
 
 Inner codecs: zlib (stdlib), zstd (the ``zstandard`` wheel), lz4
 (ctypes onto the system ``liblz4.so`` — ``LZ4_decompress_safe``; the
-lz4hc encoder emits plain lz4 block streams). Byte-shuffle is undone
-per block with a numpy transpose; bitshuffle and snappy raise clear
-errors (not seen in practice for Zarr stores).
+lz4hc encoder emits plain lz4 block streams). Byte-shuffle and
+bitshuffle are undone per block with numpy transposes/bit unpacking;
+snappy raises a clear error (not seen in practice for Zarr stores).
 """
 
 from __future__ import annotations
@@ -75,6 +75,56 @@ def _decompress_block(codec: int, payload: bytes, dst_size: int) -> bytes:
     )
 
 
+def _bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Inverse bitshuffle (kitaev/bitshuffle scalar semantics).
+
+    Forward layout: for n elements of T bytes, the first n−n%8
+    elements become T·8 bit planes of (n−n%8)/8 bytes — plane
+    (b·8+k)'s byte j carries, as bit i (LSB-first), bit k of byte b
+    of element 8j+i; the ≤7 remaining elements are stored unshuffled
+    after the planes (bshuf_trans_bit_elem's remainder memcpy).
+    Validated on hand-computed vectors + encode/decode round-trips
+    (no C bitshuffle exists in this image to cross-check files).
+    """
+    if typesize < 1:
+        return block
+    n = len(block) // typesize
+    nkeep = n - n % 8
+    split = nkeep * typesize
+    if nkeep == 0:
+        return block
+    planes = np.frombuffer(block[:split], np.uint8).reshape(
+        typesize * 8, nkeep // 8
+    )
+    bits = np.unpackbits(planes, axis=1, bitorder="little")
+    # bits[b*8+k, e] = bit k of byte b of element e
+    bits = bits.reshape(typesize, 8, nkeep).transpose(2, 0, 1)
+    arr = np.packbits(
+        bits.reshape(nkeep, typesize, 8), axis=2, bitorder="little"
+    )[..., 0]
+    return arr.tobytes() + block[split:]
+
+
+def _bit_shuffle(block: bytes, typesize: int) -> bytes:
+    """Forward bitshuffle (see :func:`_bit_unshuffle`)."""
+    if typesize < 1:
+        return block
+    n = len(block) // typesize
+    nkeep = n - n % 8
+    split = nkeep * typesize
+    if nkeep == 0:
+        return block
+    arr = np.frombuffer(block[:split], np.uint8).reshape(
+        nkeep, typesize
+    )
+    bits = np.unpackbits(
+        arr[..., None], axis=2, bitorder="little"
+    )  # (n, T, 8)
+    planes = bits.transpose(1, 2, 0).reshape(typesize * 8, nkeep)
+    out = np.packbits(planes, axis=1, bitorder="little")
+    return out.tobytes() + block[split:]
+
+
 def _unshuffle(block: bytes, typesize: int) -> bytes:
     """Inverse byte shuffle: c-blosc shuffles whole items only; any
     trailing remainder bytes are stored unshuffled."""
@@ -98,8 +148,6 @@ def blosc_decompress(frame: bytes) -> bytes:
         # Tolerate trailing bytes (some writers pad) but not short reads.
         if cbytes > len(frame):
             raise ValueError("truncated blosc frame")
-    if flags & _BIT_SHUFFLE:
-        raise NotImplementedError("blosc bitshuffle not supported")
     if flags & _MEMCPYED:
         return frame[16:16 + nbytes]
     if nbytes == 0:
@@ -111,6 +159,7 @@ def blosc_decompress(frame: bytes) -> bytes:
         f"<{nblocks}i", frame[16:16 + 4 * nblocks]
     )
     shuffle = bool(flags & _BYTE_SHUFFLE)
+    bitshuffle = bool(flags & _BIT_SHUFFLE)
     out = bytearray()
     for b, off in enumerate(offsets):
         dst_size = min(blocksize, nbytes - b * blocksize)
@@ -120,7 +169,9 @@ def blosc_decompress(frame: bytes) -> bytes:
             block = payload
         else:
             block = _decompress_block(codec, payload, dst_size)
-        if shuffle:
+        if bitshuffle:
+            block = _bit_unshuffle(block, typesize)
+        elif shuffle:
             block = _unshuffle(block, typesize)
         out += block
     return bytes(out)
@@ -131,13 +182,14 @@ def blosc_compress(
     typesize: int = 4,
     cname: str = "lz4",
     blocksize: int = 1 << 18,
-    shuffle: bool = True,
+    shuffle: bool | str = True,
 ) -> bytes:
     """Encode a Blosc1 frame (round-trip/testing counterpart).
 
-    Uses zlib or zstd encoders (lz4 encoding would need the system
-    lib's compress entry points; decode-side lz4 support is what
-    matters for reading real stores)."""
+    ``shuffle`` accepts ``False``, ``True`` (byte shuffle), or
+    ``"bit"`` (bitshuffle). Uses zlib or zstd encoders (lz4 encoding
+    would need the system lib's compress entry points; decode-side
+    lz4 support is what matters for reading real stores)."""
     codec = {"zlib": 3, "zstd": 4}.get(cname)
     if codec is None:
         raise NotImplementedError(
@@ -145,11 +197,16 @@ def blosc_compress(
         )
     nbytes = len(data)
     nblocks = -(-nbytes // blocksize)
-    flags = (codec << 5) | (_BYTE_SHUFFLE if shuffle else 0)
+    bitshuffle = shuffle == "bit"
+    flags = (codec << 5) | (
+        _BIT_SHUFFLE if bitshuffle else (_BYTE_SHUFFLE if shuffle else 0)
+    )
     blocks = []
     for b in range(nblocks):
         raw = data[b * blocksize:(b + 1) * blocksize]
-        if shuffle and typesize > 1:
+        if bitshuffle:
+            raw = _bit_shuffle(raw, typesize)
+        elif shuffle and typesize > 1:
             items = len(raw) // typesize
             split = items * typesize
             body = np.frombuffer(raw[:split], np.uint8)

@@ -398,6 +398,29 @@ class TestBlosc:
     def test_zlib_no_shuffle(self):
         self._roundtrip("zlib", False)
 
+    def test_zstd_bitshuffle(self):
+        self._roundtrip("zstd", "bit")
+
+    def test_bitshuffle_remainder(self):
+        # n % 8 != 0 elements → trailing elements stored unshuffled.
+        self._roundtrip("zlib", "bit", n=1003)
+
+    def test_bitshuffle_vector(self):
+        # Hand-computed: 8 uint8 elements, element e = 1 << (e % 8).
+        # Bit plane k must then be the byte with only bit k set
+        # (element k contributes bit k at LSB-first position k).
+        from correrender_tpu.io.blosc import _bit_shuffle, _bit_unshuffle
+
+        data = bytes(1 << e for e in range(8))
+        shuffled = _bit_shuffle(data, 1)
+        assert shuffled == bytes(1 << k for k in range(8))
+        assert _bit_unshuffle(shuffled, 1) == data
+        # Multi-byte typesize: planes are per source byte, ordered
+        # byte-major (byte b's planes occupy rows b*8..b*8+7).
+        le16 = np.arange(8, dtype="<u2") * 257  # low==high byte
+        sh = _bit_unshuffle(_bit_shuffle(le16.tobytes(), 2), 2)
+        assert sh == le16.tobytes()
+
     def test_verbatim_blocks(self):
         # Incompressible data → blocks stored raw (csize == dst_size).
         from correrender_tpu.io.blosc import blosc_compress, blosc_decompress
