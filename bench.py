@@ -323,6 +323,20 @@ def kernel_equality_sweep():
         out[f"ksg_banded_est{est}"] = mx(
             mi_ksg_banded(series, ref, k=3, estimator=est), want
         )
+
+    # Repair-path tripwire: at n=200 the band covers the whole padded
+    # array, so the per-point repair rarely fires above — which let
+    # bf16-lowered matmuls (the repair's column-index extraction dot,
+    # and the exact kernel's ψ-table lookup this row compares against)
+    # ship unseen in round 3. n=1000 independent Gaussians drive ~10
+    # invalid points per voxel through BOTH repair tiers.
+    n2, v2 = 1000, 256
+    ref2 = jnp.asarray(rng.normal(size=n2).astype(np.float32))
+    series2 = jnp.asarray(rng.normal(size=(v2, n2)).astype(np.float32))
+    want2 = mutual_information_kraskov(ref2, series2, k=3, estimator=1)
+    out["ksg_banded_repair_est1"] = mx(
+        mi_ksg_banded(series2, ref2, k=3, estimator=1), want2
+    )
     return out
 
 

@@ -61,7 +61,11 @@ from correrender_tpu.ops.mi_ksg import (
     _key_query,
     _key_ref,
 )
-from correrender_tpu.ops.pallas.common import on_tpu, round_up
+from correrender_tpu.ops.pallas.common import (
+    digamma_vpu as _digamma,
+    on_tpu,
+    round_up,
+)
 
 _BIG = 1e30
 _COUNT_ROWS = 256  # j-chunk height of the full-row count pass
@@ -218,23 +222,6 @@ def _band_select(dch, k, w_band, npad):
     return _select_kth_plain(dch, k)
 
 
-def _digamma(x):
-    """Branch-free ψ(x) for x ≥ 1: recurrence-shift by 8 then the
-    asymptotic series (|err| < 1e-9 — well inside the f32 tolerance
-    the KSG tests assert)."""
-    shifted = x + 8.0
-    acc = 0.0
-    for i in range(8):
-        acc = acc + 1.0 / (x + float(i))
-    inv = 1.0 / shifted
-    inv2 = inv * inv
-    return (
-        jnp.log(shifted) - 0.5 * inv
-        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
-        - acc
-    )
-
-
 def _psi_of_counts(cx, cy, estimator):
     """Est-adjusted ψ terms (same index conventions as the exact
     kernel / XLA path)."""
@@ -246,14 +233,21 @@ def _psi_of_counts(cx, cy, estimator):
 
 
 def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
-                       n: int, bpad: int, vb: int, rows: int):
+                       n: int, bpad: int, vb: int, rows: int,
+                       t1: int):
     def kernel(sdxt_ref, xs_ref, gaplo_ref, gaphi_ref, ys_ref,
                out_ref, yband):
+      # Voxel-independent loads/derivations (CSE'd across the b loop).
+      sdxt = sdxt_ref[:]  # (W, npad) signed x-band diffs, BIG at edges
+      adx = jnp.abs(sdxt)
+      xs = xs_ref[:]
+      xband = xs + sdxt
+      col = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+      real = col < n
+      lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
       for b in range(vb):
         ys = ys_ref[pl.ds(b, 1), :]  # (1, npad)
         _build_band_val(ys, yband, w_band, npad)
-        sdxt = sdxt_ref[:]  # (W, npad) signed x-band diffs, BIG at edges
-        adx = jnp.abs(sdxt)
         dy = yband[:] - ys
         dch = jnp.maximum(adx, jnp.abs(dy))
 
@@ -273,8 +267,6 @@ def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
             rcy = ry + COUNT_EPSILON
 
         # Value-space x-count [x_i − rcx, x_i + rcx) within the band.
-        xs = xs_ref[:]
-        xband = xs + sdxt
         cx = jnp.sum(
             ((xband >= xs - rcx) & (xband < xs + rcx)).astype(jnp.float32),
             axis=0, keepdims=True,
@@ -301,55 +293,72 @@ def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
         margin = r + COUNT_EPSILON
         valid = (gaplo_ref[:] > margin) & (gaphi_ref[:] > margin) & tie_ok
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
-        real = col < n
         psix, psiy = _psi_of_counts(cx, cy, estimator)
         psi_sum = jnp.sum(jnp.where(real, psix + psiy, 0.0))
 
         bad = jnp.where(real & jnp.logical_not(valid), 1.0, 0.0)
         n_bad = jnp.sum(bad)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        # -- compaction: prefix-sum the bad flags; slot q holds the
+        # column whose inclusive count is q+1. Kept OUTSIDE the repair
+        # branches (the validated round-2 shape): the per-voxel cost
+        # is ~10 (1, npad) roll passes — noise next to the (W, npad)
+        # band stages — and hoisting lets both repair tiers share one
+        # compaction.
+        s = bad
+        d = 1
+        while d < npad:
+            sh = pltpu.roll(s, shift=d, axis=1)
+            s = s + jnp.where(col >= d, sh, 0.0)
+            d *= 2
+        rowb = jax.lax.broadcasted_iota(
+            jnp.int32, (bpad, npad), 0
+        ).astype(jnp.float32)
+        hit = ((s == rowb + 1.0) & (bad > 0.0)).astype(jnp.float32)
+        colv = jax.lax.broadcasted_iota(
+            jnp.int32, (npad, 1), 0
+        ).astype(jnp.float32)
+        # precision=HIGHEST is load-bearing: Mosaic lowers a default
+        # f32 matmul as ONE bf16 pass on v5e, which rounds column
+        # indices ≥ 256 to bf16 ulps (267→268, 537→536, …) — the
+        # repair then fixes the WRONG columns. Measured on-device
+        # (interpret mode can't see it); with HIGHEST the extracted
+        # indices are exact through npad=1024 (isolation probe +
+        # full-kernel agreement with interpret to 2e-6).
+        pos_all = jax.lax.dot_general(
+            hit, colv, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        has = jnp.sum(hit, axis=1, keepdims=True) > 0.0
+        pos_all = jnp.where(has, pos_all, -1.0)  # (bpad, 1), -1 dead
 
         @pl.when(n_bad == 0.0)
         def _():
             out_ref[pl.ds(b, 1), :] = jnp.where(lane == 0, psi_sum, 0.0)
 
-        # -- exact per-point repair of the ≤bpad invalid points -------
-        # (skipped entirely when the voxel has none — the common case
-        # on correlated fields; the compaction lives inside the branch
-        # so clean voxels never pay for it)
-        @pl.when(n_bad > 0.0)
-        def _():
-          # compaction: prefix-sum the bad flags; slot q holds the
-          # column whose inclusive count is q+1
-          s = bad
-          d = 1
-          while d < npad:
-              sh = pltpu.roll(s, shift=d, axis=1)
-              s = s + jnp.where(col >= d, sh, 0.0)
-              d *= 2
-          rowb = jax.lax.broadcasted_iota(
-              jnp.int32, (bpad, npad), 0
-          ).astype(jnp.float32)
-          hit = ((s == rowb + 1.0) & (bad > 0.0)).astype(jnp.float32)
-          colv = jax.lax.broadcasted_iota(
-              jnp.int32, (npad, 1), 0
-          ).astype(jnp.float32)
-          pos = jnp.dot(hit, colv, preferred_element_type=jnp.float32)
-          has = jnp.sum(hit, axis=1, keepdims=True) > 0.0
-          pos = jnp.where(has, pos, -1.0)  # (bpad, 1), -1 dead
+        # -- exact per-point repair of the invalid points -------------
+        # Two fixed tiers (t1 rows, then bpad rows): the dense repair
+        # block costs tier·npad regardless of the actual invalid
+        # count, and measured counts are bimodal — uniform/correlated
+        # voxels have 0-4 invalid points while independent-Gaussian
+        # voxels run ~10-25 — so a right-sized small tier handles the
+        # common case at ~1/8 the cost and only degenerate voxels
+        # (mass ties) escalate to the big tier.
+        def emit_repair(tier, ys=ys, cx=cx, cy=cy, psi_sum=psi_sum,
+                        bad=bad, n_bad=n_bad, b=b, pos_all=pos_all):
+          pos = pos_all[pl_ds_static(0, tier)]  # (tier, 1)
 
           cols_b = jax.lax.broadcasted_iota(
-              jnp.int32, (bpad, npad), 1
+              jnp.int32, (tier, npad), 1
           ).astype(jnp.float32)
-          oh = (cols_b == pos).astype(jnp.float32)  # (bpad, npad)
-          xi = jnp.sum(oh * xs, axis=1, keepdims=True)  # (bpad, 1)
+          oh = (cols_b == pos).astype(jnp.float32)  # (tier, npad)
+          xi = jnp.sum(oh * xs, axis=1, keepdims=True)  # (tier, 1)
           yi = jnp.sum(oh * ys, axis=1, keepdims=True)
-          adx_r = jnp.abs(xs - xi)  # (bpad, npad) full rows
+          adx_r = jnp.abs(xs - xi)  # (tier, npad) full rows
           ady_r = jnp.abs(ys - yi)
           dch_r = jnp.maximum(adx_r, ady_r)
-          r_r = _select_kth(dch_r, k, axis=1)  # (bpad, 1)
+          r_r = _select_kth(dch_r, k, axis=1)  # (tier, 1)
           if estimator == 1:
               rcx_r = r_r - COUNT_EPSILON
               rcy_r = rcx_r
@@ -377,6 +386,19 @@ def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
               + jnp.where(lane == 1, n_bad, 0.0)
           )
 
+        if t1 < bpad:
+            @pl.when((n_bad > 0.0) & (n_bad <= float(t1)))
+            def _():
+                emit_repair(t1)
+
+            @pl.when(n_bad > float(t1))
+            def _():
+                emit_repair(bpad)
+        else:
+            @pl.when(n_bad > 0.0)
+            def _():
+                emit_repair(bpad)
+
     return kernel
 
 
@@ -387,9 +409,11 @@ def _shared_spec(shape):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "estimator", "w_band", "bpad", "interpret"),
+    static_argnames=("k", "estimator", "w_band", "bpad", "interpret",
+                     "t1"),
 )
-def _banded_full(series, x, k, estimator, w_band, bpad, interpret):
+def _banded_full(series, x, k, estimator, w_band, bpad, interpret,
+                 t1=32):
     """The full fused pipeline. Returns (mi, max_bad): if
     max_bad > bpad some voxel overflowed the repair tier (corrections
     beyond the first bpad invalid points were dropped) and the caller
@@ -434,8 +458,11 @@ def _banded_full(series, x, k, estimator, w_band, bpad, interpret):
                            mode="edge")
     rows = _COUNT_ROWS if npad % _COUNT_ROWS == 0 else 128
 
+    # Small tier floor of 8 keeps the (tier, npad) repair block at
+    # one full sublane tile — below that Mosaic pads the block
+    # anyway, so tiers < 8 save nothing.
     kernel = _make_kernel_fused(k, w_band, npad, estimator, n, bpad, vb,
-                                rows)
+                                rows, int(min(max(t1, 8), bpad)))
     (out,) = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((vpad, 128), jnp.float32)],
@@ -460,7 +487,7 @@ def _banded_full(series, x, k, estimator, w_band, bpad, interpret):
     if estimator == 2:
         const = const - 1.0 / k
     mi = jnp.maximum(-psi_sum / n + const, 0.0).astype(jnp.float32)
-    return mi, jnp.max(n_bad)
+    return mi, n_bad
 
 
 def mi_ksg_banded(
@@ -518,10 +545,10 @@ def mi_ksg_banded(
     # kernel through a traceable lax.cond — only the taken branch
     # executes at runtime, so clean fields never pay for it.
     bpad = int(min(256, npad))
-    mi, max_bad = _banded_full(series, x, k, estimator, w_band, bpad,
-                               interpret)
+    mi, n_bad = _banded_full(series, x, k, estimator, w_band, bpad,
+                             interpret)
     mi = jax.lax.cond(
-        max_bad <= bpad,
+        jnp.max(n_bad) <= bpad,
         lambda s, xx, banded: banded,
         lambda s, xx, banded: _mi_ksg_flat(s, xx, k, estimator,
                                            interpret),

@@ -27,9 +27,15 @@ def _kernel(ref_ref, y_ref, stats_ref, out_ref):
     n = y.shape[-1]
     sum_y = jnp.sum(y, axis=-1)
     sum_yy = jnp.sum(y * y, axis=-1)
-    # Σxy via MXU: (TILE_V, n) @ (n, 1).
-    sum_xy = jnp.dot(
-        y, x.reshape(n, 1), preferred_element_type=jnp.float32
+    # Σxy via MXU: (TILE_V, n) @ (n, 1). precision=HIGHEST is
+    # load-bearing: Mosaic lowers a default f32 matmul as a single
+    # bf16 pass on v5e, which cost up to 3.4e-4 absolute error vs
+    # float64 on measured fields; the 3-pass decomposition restores
+    # f32 accuracy and is free here (the kernel is HBM-bound).
+    sum_xy = jax.lax.dot_general(
+        y, x.reshape(n, 1), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )[:, 0]
     sum_x = stats_ref[0, 0]
     sum_xx = stats_ref[0, 1]

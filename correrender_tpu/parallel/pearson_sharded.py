@@ -42,7 +42,11 @@ def _pearson_sharded_fn(mesh: Mesh, n: int):
         sum_xx = jnp.sum(x * x)
         sum_y = jnp.sum(y, axis=-1)
         sum_yy = jnp.sum(y * y, axis=-1)
-        sum_xy = jnp.einsum("zyxe,e->zyx", y, x)
+        # HIGHEST: XLA's default f32 matmul precision on TPU is bf16,
+        # which costs ~3e-4 absolute on correlation fields; the 3-pass
+        # decomposition is free here (HBM-bound reduction).
+        sum_xy = jnp.einsum("zyxe,e->zyx", y, x,
+                            precision=jax.lax.Precision.HIGHEST)
         # Combine partials across the member shards.
         sum_x = jax.lax.psum(sum_x, "members")
         sum_xx = jax.lax.psum(sum_xx, "members")

@@ -310,12 +310,12 @@ def iso_shearwarp(
     step_slice = float(slice_coords[1] - slice_coords[0]) if (
         len(slice_coords) > 1
     ) else 1.0
-    s_hit = jnp.float32(slice_coords[0]) + depth * jnp.float32(step_slice)
-    du = jnp.asarray(grid_u)[None, :] - e_u
-    dv = jnp.asarray(grid_v)[:, None] - e_v
-    ref_len = jnp.sqrt(du * du + dv * dv + float(z_ref - e_a) ** 2)
-    dist = jnp.abs(s_hit - e_a) / abs(float(z_ref - e_a)) * ref_len
-    dist = jnp.where(found, dist, 0.0)
+    dist = _depth_intermediate(
+        found, depth, jnp.asarray(grid_u), jnp.asarray(grid_v),
+        jnp.float32(e_u), jnp.float32(e_v), jnp.float32(e_a),
+        jnp.float32(slice_coords[0]), jnp.float32(step_slice),
+        jnp.float32(z_ref - e_a),
+    )
     # Warp depth through the same homography: depth rides channel 0
     # with coverage as alpha; un-premultiplied by warp_to_screen.
     dimg = df.warp_to_screen(
@@ -329,28 +329,36 @@ def iso_shearwarp(
     return img, screen_depth
 
 
-def shade_and_warp(
-    found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye, z_ref,
-    surface_color, background, width, height,
+@jax.jit
+def _depth_intermediate(found, depth, grid_u, grid_v, e_u, e_v, e_a,
+                        s0, step_slice, dz):
+    s_hit = s0 + depth * step_slice
+    du = grid_u[None, :] - e_u
+    dv = grid_v[:, None] - e_v
+    ref_len = jnp.sqrt(du * du + dv * dv + dz * dz)
+    dist = jnp.abs(s_hit - e_a) / jnp.abs(dz) * ref_len
+    return jnp.where(found, dist, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ip0", "ip1", "a"))
+def _shade_intermediate(
+    found, grad_hit, grid_u, grid_v, e_u, e_v, dz, col, ip0, ip1, a
 ):
-    """Blinn–Phong shade a first-hit map on the intermediate grid and
-    homography-warp it to the screen (shared with the sharded path)."""
-    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
-    e_a = eye[a]
-    # Shade on the intermediate grid (elementwise; rays known per
-    # pixel). Directions are broadcast ON DEVICE from the 1D grids — a
-    # host meshgrid would upload two full-image arrays per frame.
-    shape2 = (len(grid_v), len(grid_u))
-    dir_u = jnp.broadcast_to(
-        jnp.asarray(grid_u)[None, :] - e_u, shape2
-    )
-    dir_v = jnp.broadcast_to(
-        jnp.asarray(grid_v)[:, None] - e_v, shape2
-    )
-    dir_a = jnp.full(shape2, float(z_ref - e_a), jnp.float32)
-    d3 = jnp.zeros(dir_u.shape + (3,))
-    d3 = d3.at[..., in_plane[0]].set(dir_u)
-    d3 = d3.at[..., in_plane[1]].set(dir_v)
+    """Blinn–Phong shade a first-hit map on the intermediate grid.
+
+    One compiled program for the ~30 elementwise ops: shading runs
+    eagerly otherwise, and per-dispatch overhead on the tunneled
+    device dwarfs the actual VPU work for half-resolution
+    intermediates."""
+    shape2 = (grid_v.shape[0], grid_u.shape[0])
+    # Directions are broadcast ON DEVICE from the 1D grids — a host
+    # meshgrid would upload two full-image arrays per frame.
+    dir_u = jnp.broadcast_to(grid_u[None, :] - e_u, shape2)
+    dir_v = jnp.broadcast_to(grid_v[:, None] - e_v, shape2)
+    dir_a = jnp.full(shape2, dz, jnp.float32)
+    d3 = jnp.zeros(shape2 + (3,))
+    d3 = d3.at[..., ip0].set(dir_u)
+    d3 = d3.at[..., ip1].set(dir_v)
     d3 = d3.at[..., a].set(dir_a)
     d3 = d3 / jnp.maximum(
         jnp.linalg.norm(d3, axis=-1, keepdims=True), 1e-9
@@ -370,11 +378,25 @@ def shade_and_warp(
     )
     spec = 0.1 * jnp.abs(jnp.sum(n_facing * half_v, axis=-1)) ** 32
     intensity = (ambient + diffuse + spec)[..., None]
-    col = jnp.asarray(surface_color, jnp.float32)[:3]
     found_f = found.astype(jnp.float32)
-    inter_rgb = found_f[..., None] * col * intensity  # premultiplied
-    inter_a = found_f
+    inter_rgb = found_f[..., None] * col[:3] * intensity  # premultiplied
+    return inter_rgb, found_f
 
+
+def shade_and_warp(
+    found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye, z_ref,
+    surface_color, background, width, height,
+):
+    """Blinn–Phong shade a first-hit map on the intermediate grid and
+    homography-warp it to the screen (shared with the sharded path)."""
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
+    e_a = eye[a]
+    inter_rgb, inter_a = _shade_intermediate(
+        found, grad_hit, jnp.asarray(grid_u), jnp.asarray(grid_v),
+        jnp.float32(e_u), jnp.float32(e_v), jnp.float32(z_ref - e_a),
+        jnp.asarray(surface_color, jnp.float32),
+        in_plane[0], in_plane[1], a,
+    )
     return df.warp_to_screen(
         inter_rgb, inter_a, camera, width, height, in_plane, a, eye,
         z_ref, grid_u, grid_v, jnp.asarray(background, jnp.float32),
