@@ -496,7 +496,7 @@ def mi_ksg_banded(
     k: int = 3,
     estimator: int = 1,
     use_noise: bool = True,
-    w_band: int = 256,
+    w_band: int = 192,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """KSG MI field via the banded kernel with exact per-point repair.
@@ -511,8 +511,12 @@ def mi_ksg_banded(
       k: neighbour count.
       estimator: Kraskov estimator 1 or 2.
       use_noise: add the deterministic tie-breaking noise.
-      w_band: rank-band width (256 measured fastest on v5e at
-        n = 1000: ~2% invalid rate).
+      w_band: rank-band width. 192 measured best-or-equal on v5e at
+        n = 1000 across correlated AND independent fields (133k/132k
+        vox/s marginal vs 132k/128k at W=256, 138k/83k at W=128 —
+        narrow bands push the invalid rate past the small repair
+        tier on independent data). Band width only affects speed,
+        never results.
       interpret: force interpreter mode (auto: off-TPU only).
 
     Returns:
