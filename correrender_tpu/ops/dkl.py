@@ -53,7 +53,13 @@ def dkl_binned(v: jnp.ndarray, num_bins: int = 80) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def dkl_knn(v: jnp.ndarray, k: int = 3) -> jnp.ndarray:
-    """Kozachenko–Leonenko entropy-based KL divergence vs N(0,1)."""
+    """Kozachenko–Leonenko entropy-based KL divergence vs N(0,1).
+
+    Exactly-tied samples make the k-NN distance 0 → the estimate is
+    NaN; that is reference behavior (DKL.cpp:133-166 takes
+    ``log(nnDist)`` unguarded and maps the resulting inf to NaN), and
+    this port mirrors it — verified identical on TPU and CPU against
+    quantized (heavily tied) member series."""
     n = v.shape[-1]
     vn = _normalize(v.astype(jnp.float32))
     # k-th NN distance in 1D: pairwise |vi − vj|, exclude self via +inf.

@@ -311,6 +311,19 @@ class TestDKL:
         out = np.asarray(ops.dkl_knn(jnp.asarray(v)))
         assert out.shape == (3,)
 
+    def test_knn_ties_nan_reference_parity(self):
+        # Exactly tied samples → k-NN distance 0 → NaN, matching the
+        # reference's unguarded log(nnDist) + inf→NaN mapping
+        # (DKL.cpp:133-166). Quantization must NOT silently produce a
+        # finite wrong value, and the binned estimator must stay
+        # finite on the same data.
+        rng = np.random.default_rng(9)
+        v = np.round(rng.normal(size=500) * 4) / 4  # heavy ties
+        v = v.astype(np.float32)
+        assert np.isnan(float(ops.dkl_knn(jnp.asarray(v), k=3)))
+        assert np.isfinite(float(ops.dkl_binned(jnp.asarray(v),
+                                                num_bins=40)))
+
 
 class TestCorrelateDispatch:
     @pytest.mark.parametrize(
