@@ -156,6 +156,24 @@ def cmd_similarity(args):
 
 
 def cmd_diagram(args):
+    if args.kind == "timeseries":
+        # Time-series datasets are (samples, time) NetCDF files, not
+        # volumes — the branch has its own loader, and routing them
+        # through load_volume would reject the (valid) 2-D layout.
+        from correrender_tpu.diagrams.timeseries import (
+            load_time_series,
+            render_heatmap_svg,
+            time_series_correlation,
+        )
+
+        series = load_time_series(args.dataset, variable=args.field)
+        m = time_series_correlation(
+            series, measure=args.measure,
+            estimator=getattr(args, "estimator", "classical"),
+        )
+        render_heatmap_svg(m, path=args.output)
+        print(f"wrote {args.output}")
+        return
     vd = _load(args)
     field = args.field or vd.field_names[0]
     if args.kind == "scatter":
@@ -195,19 +213,6 @@ def cmd_diagram(args):
         )
         n_clusters = len(set(labels.tolist()) - {-1})
         print(f"{n_clusters} clusters over {len(labels)} points")
-    else:  # timeseries
-        from correrender_tpu.diagrams.timeseries import (
-            load_time_series,
-            render_heatmap_svg,
-            time_series_correlation,
-        )
-
-        series = load_time_series(args.dataset, variable=args.field)
-        m = time_series_correlation(
-            series, measure=args.measure,
-            estimator=getattr(args, "estimator", "classical"),
-        )
-        render_heatmap_svg(m, path=args.output)
     print(f"wrote {args.output}")
 
 

@@ -18,7 +18,14 @@ from correrender_tpu.render.tf import TransferFunction
 
 
 def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
-    """Load a (samples, time) series matrix from NetCDF3/4."""
+    """Load a (samples, time) series matrix from NetCDF3/4.
+
+    Singleton axes are squeezed (a (S, 1, T) layout is common); a
+    variable that is not 2-D after squeezing is a volume, not a time
+    series, and raises with an explanation instead of crashing the
+    heatmap downstream (reference analogue: the TimeSeriesCorrelation
+    renderer loads dedicated (samples, time) NetCDF files,
+    src/Renderers/Diagram/TimeSeriesCorrelationRenderer.cpp)."""
     with open(path, "rb") as f:
         magic = f.read(8)
     if magic[:3] == b"CDF":
@@ -29,14 +36,24 @@ def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
             k: v for k, v in nc.variables.items() if v.data.ndim >= 2
         }
         name = variable or next(iter(candidates))
-        return np.asarray(candidates[name].data, np.float32)
-    import h5py
+        arr = np.asarray(candidates[name].data, np.float32)
+    else:
+        import h5py
 
-    with h5py.File(path, "r") as f:
-        name = variable or next(
-            k for k, v in f.items() if getattr(v, "ndim", 0) >= 2
+        with h5py.File(path, "r") as f:
+            name = variable or next(
+                k for k, v in f.items() if getattr(v, "ndim", 0) >= 2
+            )
+            arr = np.asarray(f[name][...], np.float32)
+    arr = np.squeeze(arr)
+    if arr.ndim != 2:
+        raise ValueError(
+            f"variable {name!r} in {path} has shape {arr.shape} after "
+            "squeezing — the time-series diagram needs a (samples, "
+            "time) 2-D series variable, not a volume; use "
+            "'diagram --kind matrix' for volume ensembles"
         )
-        return np.asarray(f[name][...], np.float32)
+    return arr
 
 
 def time_series_correlation_neural(

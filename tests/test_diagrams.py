@@ -180,6 +180,31 @@ class TestTimeSeries:
         assert m.shape == (1, 101)
         assert m[0, 0] > 0.99
 
+    def test_loader_squeezes_and_rejects_volumes(self, tmp_path):
+        # (S, 1, T) squeezes to a valid series; a 5-D ensemble volume
+        # must raise a clear error instead of crashing the heatmap
+        # (round-3 CLI sweep regression).
+        import pytest
+        from correrender_tpu.diagrams.timeseries import load_time_series
+        from correrender_tpu.io import writers
+
+        rng = np.random.default_rng(0)
+        ok = tmp_path / "ok.nc"
+        writers.write_netcdf(
+            str(ok), rng.normal(size=(6, 1, 40)).astype(np.float32),
+            name="series",
+        )
+        assert load_time_series(str(ok)).shape == (6, 40)
+
+        vol = tmp_path / "vol.nc"
+        writers.write_netcdf(
+            str(vol),
+            rng.normal(size=(5, 2, 4, 6, 6)).astype(np.float32),
+            name="f",
+        )
+        with pytest.raises(ValueError, match="2-D series"):
+            load_time_series(str(vol))
+
 
 class TestDistributionSimilarity:
     def test_feature_modes(self, box_stack):
