@@ -9,10 +9,44 @@ view space.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _rays_core(inv_view, inv_proj, width: int, height: int):
+    origin = inv_view[:3, 3]
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    ndc_x = 2.0 * px - 1.0
+    ndc_y = 1.0 - 2.0 * py  # flip so row 0 = top
+    gx, gy = jnp.meshgrid(ndc_x, ndc_y)  # (H, W)
+    target = jnp.stack(
+        [gx, gy, jnp.ones_like(gx)], axis=-1
+    )  # NDC z=1 (far plane direction)
+    # View-space direction through the pixel. Elementwise contraction
+    # at HIGHEST precision: TPU matmuls default to bf16 inputs, which
+    # visibly shifts rays (~0.25%, same finding as dvr.py's model
+    # matrix path).
+    t4 = jnp.concatenate(
+        [target, jnp.ones(target.shape[:-1] + (1,))], axis=-1
+    )
+    view_target = jnp.einsum(
+        "ij,...j->...i", inv_proj, t4,
+        precision=jax.lax.Precision.HIGHEST,
+    )[..., :3]
+    view_dir = view_target / jnp.linalg.norm(
+        view_target, axis=-1, keepdims=True
+    )
+    world_dir = jnp.einsum(
+        "ij,...j->...i", inv_view[:3, :3], view_dir,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return origin, world_dir
 
 
 def look_at(eye, center, up) -> np.ndarray:
@@ -75,30 +109,17 @@ class Camera:
         Returns (origin (3,), directions (H, W, 3)). Pixel (0,0) is the
         top-left of the image (y flipped from GL window coords so the
         output array is directly viewable).
+
+        The generation runs as ONE compiled program per (width,
+        height): eagerly it is ~15 small dispatches, and per-dispatch
+        overhead on the tunneled device costs more than the math —
+        measured as part of the round-3 eager-renderer sweep.
         """
-        inv_view = jnp.asarray(self.inverse_view_matrix())
-        inv_proj = jnp.asarray(
-            self.inverse_projection_matrix(width / height)
+        return _rays_core(
+            jnp.asarray(self.inverse_view_matrix()),
+            jnp.asarray(self.inverse_projection_matrix(width / height)),
+            width, height,
         )
-        origin = inv_view[:3, 3]
-        px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-        py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-        ndc_x = 2.0 * px - 1.0
-        ndc_y = 1.0 - 2.0 * py  # flip so row 0 = top
-        gx, gy = jnp.meshgrid(ndc_x, ndc_y)  # (H, W)
-        target = jnp.stack(
-            [gx, gy, jnp.ones_like(gx)], axis=-1
-        )  # NDC z=1 (far plane direction)
-        # View-space direction through the pixel.
-        t4 = jnp.concatenate(
-            [target, jnp.ones(target.shape[:-1] + (1,))], axis=-1
-        )
-        view_target = (inv_proj @ t4[..., None])[..., 0][..., :3]
-        view_dir = view_target / jnp.linalg.norm(
-            view_target, axis=-1, keepdims=True
-        )
-        world_dir = (inv_view[:3, :3] @ view_dir[..., None])[..., 0]
-        return origin, world_dir
 
 
 def ray_dirs_affine(camera: "Camera", width: int, height: int):

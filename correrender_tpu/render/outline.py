@@ -8,6 +8,9 @@ over pixels — no triangle rasterizer needed).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,40 +64,63 @@ def outline_render(
     proj = np.linalg.inv(camera.inverse_projection_matrix(width / height))
     pts, w_clip = _project(corners, view, proj, width, height)
 
+    eye = np.asarray(camera.position, np.float32)
+    corner_depth = np.linalg.norm(corners - eye, axis=-1)
+
+    # Host-side edge setup (12 tiny segments); edges with an endpoint
+    # behind the camera are masked out (no clipping for now).
+    pa = np.array([pts[a] for a, b in _EDGES], np.float32)
+    pb = np.array([pts[b] for a, b in _EDGES], np.float32)
+    da = np.array([corner_depth[a] for a, b in _EDGES], np.float32)
+    db = np.array([corner_depth[b] for a, b in _EDGES], np.float32)
+    valid = np.array(
+        [w_clip[a] > 0 and w_clip[b] > 0 for a, b in _EDGES], np.float32
+    )
+    if base_image is None:
+        base_image = jnp.zeros((height, width, 4), jnp.float32)
+    return _outline_core(
+        jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(da),
+        jnp.asarray(db), jnp.asarray(valid),
+        jnp.asarray(color, jnp.float32), jnp.float32(line_width),
+        base_image, width, height, return_depth,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "return_depth")
+)
+def _outline_core(pa, pb, da, db, valid, col, line_width, base_image,
+                  width, height, return_depth):
+    """All 12 edge rasterizations in ONE compiled program — eagerly
+    this was ~100 small dispatches and per-dispatch overhead on the
+    tunneled device made the hairline wireframe cost 3× a full DVR
+    frame (round-3 perf sweep, 209 ms vs 72 ms at 640×480)."""
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     gx, gy = jnp.meshgrid(xs, ys)
     pix = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
 
-    eye = np.asarray(camera.position, np.float32)
-    corner_depth = np.linalg.norm(corners - eye, axis=-1)
+    # Vectorized over the 12 edges: (E, H, W) coverage then reduce.
+    ab = pb - pa  # (E, 2)
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-9)  # (E,)
+    t = jnp.clip(
+        jnp.sum((pix[None] - pa[:, None, None]) * ab[:, None, None],
+                axis=-1) / denom[:, None, None],
+        0.0, 1.0,
+    )  # (E, H, W)
+    closest = pa[:, None, None] + t[..., None] * ab[:, None, None]
+    d = jnp.linalg.norm(pix[None] - closest, axis=-1)
+    cov_e = jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
+    cov_e = cov_e * valid[:, None, None]
+    coverage = jnp.max(cov_e, axis=0)
 
-    coverage = jnp.zeros((height, width), jnp.float32)
-    depth = jnp.full((height, width), jnp.inf)
-    for a, b in _EDGES:
-        if w_clip[a] <= 0 or w_clip[b] <= 0:
-            continue  # behind the camera — skip (no clipping for now)
-        pa = jnp.asarray(pts[a], jnp.float32)
-        pb = jnp.asarray(pts[b], jnp.float32)
-        ab = pb - pa
-        denom = jnp.maximum(jnp.dot(ab, ab), 1e-9)
-        t = jnp.clip(jnp.sum((pix - pa) * ab, axis=-1) / denom, 0.0, 1.0)
-        closest = pa + t[..., None] * ab
-        d = jnp.linalg.norm(pix - closest, axis=-1)
-        cov_edge = jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
-        coverage = jnp.maximum(coverage, cov_edge)
-        if return_depth:
-            ed = corner_depth[a] + t * (corner_depth[b] - corner_depth[a])
-            depth = jnp.where(cov_edge > 0.5, jnp.minimum(depth, ed),
-                              depth)
-
-    col = jnp.asarray(color, jnp.float32)
-    if base_image is None:
-        base_image = jnp.zeros((height, width, 4), jnp.float32)
     cov = (coverage * col[3])[..., None]
     rgb = cov * col[:3] + (1 - cov) * base_image[..., :3]
     alpha = jnp.maximum(cov[..., 0], base_image[..., 3])
     img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-    if return_depth:
-        return img, depth
-    return img
+    if not return_depth:
+        return img
+    ed = da[:, None, None] + t * (db - da)[:, None, None]
+    ed = jnp.where(cov_e > 0.5, ed, jnp.inf)
+    depth = jnp.min(ed, axis=0)
+    return img, depth
