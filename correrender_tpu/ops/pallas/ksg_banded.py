@@ -209,7 +209,46 @@ def _select_kth_plain(dch, k):
     return thresh, c == float(k + 1)
 
 
-def _band_select(dch, k, w_band, npad):
+def _select_kth_bf16(dch, k):
+    """Exact k-th selection run mostly at bf16 width.
+
+    The structural idea (ROUND3 notes: "bf16 distance prefilter with
+    exact refinement"): the extract-min rounds — the serial half of the
+    kernel — run on a bf16 COPY of the band, which packs two lanes per
+    register, then ONE f32 pass recovers the exact multiset order
+    statistic. Correctness rests on round-to-nearest being monotone:
+    ``x < y ⟹ bf16(x) ≤ bf16(y)``, so the set
+    ``S = {j : bf16(dch_j) ≤ r_b}`` is downward-closed in f32 order.
+    When ``|S| == k+1`` (no bf16-granularity collision at the
+    threshold), S *is* the exact (k+1)-smallest set and
+    ``r = max_{j∈S} dch_j`` is the exact f32 k-th order statistic —
+    the same value the f32 loop returns. Columns where bf16 rounding
+    collides (``|S| ≠ k+1``, which also covers genuine f32 ties) are
+    flagged, exactly like :func:`_select_kth_plain` flags ties, and the
+    existing per-point repair recomputes them from full f32 rows — so
+    results stay exactly equal to the full-matrix path; the cast only
+    moves speed and the repair rate (collisions at bf16's 2⁻⁸ relative
+    granularity: ~1-2% of points at n=1000 with tie-break noise).
+
+    Returns ``(r, sel_ok)`` with r exact where ``sel_ok`` and an upper
+    bound elsewhere (S always contains the (k+1)-smallest, so the max
+    over S only overshoots — the ``margin`` validity test stays sound).
+    """
+    shape = list(dch.shape)
+    shape[0] = 1
+    dchb = dch.astype(jnp.bfloat16)
+    big_b = jnp.bfloat16(_BIG)
+    thresh = jnp.full(shape, -1.0, jnp.bfloat16)
+    for _ in range(k + 1):
+        masked = jnp.where(dchb > thresh, dchb, big_b)
+        thresh = jnp.min(masked, axis=0, keepdims=True)
+    sel = dchb <= thresh
+    c = jnp.sum(sel.astype(jnp.float32), axis=0, keepdims=True)
+    r = jnp.max(jnp.where(sel, dch, -1.0), axis=0, keepdims=True)
+    return r, c == float(k + 1)
+
+
+def _band_select(dch, k, w_band, npad, sel_bf16=False):
     """(r, tie_ok) for the in-band selection.
 
     A sorting-network variant (sort-8 over row slabs + bitonic
@@ -218,7 +257,11 @@ def _band_select(dch, k, w_band, npad):
     nominal row-ops, eaten by materialized intermediates — so the
     cheaper tie-flagging loop is the production path; the network is
     kept for k+1 > 8 experiments and as the measured record.
+    ``sel_bf16`` switches to the half-width variant
+    (:func:`_select_kth_bf16`) — exact via f32 refinement.
     """
+    if sel_bf16:
+        return _select_kth_bf16(dch, k)
     return _select_kth_plain(dch, k)
 
 
@@ -234,7 +277,7 @@ def _psi_of_counts(cx, cy, estimator):
 
 def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
                        n: int, bpad: int, vb: int, rows: int,
-                       t1: int):
+                       t1: int, sel_bf16: bool):
     def kernel(sdxt_ref, xs_ref, gaplo_ref, gaphi_ref, ys_ref,
                out_ref, yband):
       # Voxel-independent loads/derivations (CSE'd across the b loop).
@@ -253,7 +296,7 @@ def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
 
         # r: (1, npad) kth NN dist — exact where tie_ok, an upper
         # bound on tied columns (which repair below recomputes).
-        r, tie_ok = _band_select(dch, k, w_band, npad)
+        r, tie_ok = _band_select(dch, k, w_band, npad, sel_bf16)
 
         if estimator == 1:
             rcx = r - COUNT_EPSILON
@@ -410,10 +453,10 @@ def _shared_spec(shape):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "estimator", "w_band", "bpad", "interpret",
-                     "t1"),
+                     "t1", "sel_bf16"),
 )
 def _banded_full(series, x, k, estimator, w_band, bpad, interpret,
-                 t1=32):
+                 t1=32, sel_bf16=False):
     """The full fused pipeline. Returns (mi, max_bad): if
     max_bad > bpad some voxel overflowed the repair tier (corrections
     beyond the first bpad invalid points were dropped) and the caller
@@ -462,7 +505,8 @@ def _banded_full(series, x, k, estimator, w_band, bpad, interpret,
     # one full sublane tile — below that Mosaic pads the block
     # anyway, so tiers < 8 save nothing.
     kernel = _make_kernel_fused(k, w_band, npad, estimator, n, bpad, vb,
-                                rows, int(min(max(t1, 8), bpad)))
+                                rows, int(min(max(t1, 8), bpad)),
+                                sel_bf16)
     (out,) = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((vpad, 128), jnp.float32)],
@@ -498,6 +542,7 @@ def mi_ksg_banded(
     use_noise: bool = True,
     w_band: int = 192,
     interpret: bool | None = None,
+    sel_bf16: bool = False,
 ) -> jnp.ndarray:
     """KSG MI field via the banded kernel with exact per-point repair.
 
@@ -518,6 +563,11 @@ def mi_ksg_banded(
         tier on independent data). Band width only affects speed,
         never results.
       interpret: force interpreter mode (auto: off-TPU only).
+      sel_bf16: run the extract-min selection rounds on a bf16 copy of
+        the band with an exact f32 refinement (see
+        :func:`_select_kth_bf16`) — exactness is unchanged (bf16
+        threshold collisions are flagged to the per-point repair);
+        only speed and the repair rate move.
 
     Returns:
       ``(...)`` float32 MI field.
@@ -550,7 +600,7 @@ def mi_ksg_banded(
     # executes at runtime, so clean fields never pay for it.
     bpad = int(min(256, npad))
     mi, n_bad = _banded_full(series, x, k, estimator, w_band, bpad,
-                             interpret)
+                             interpret, sel_bf16=sel_bf16)
     mi = jax.lax.cond(
         jnp.max(n_bad) <= bpad,
         lambda s, xx, banded: banded,

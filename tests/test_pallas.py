@@ -207,6 +207,18 @@ class TestKsgBanded:
         series[:6] = np.asarray(ref)[None, :] * 0.9 + 0.3 * series[:6]
         self._ab(jnp.asarray(series), ref, est)
 
+    @pytest.mark.parametrize("est", [1, 2])
+    def test_bf16_selection_matches_exact(self, est):
+        # sel_bf16 runs the extract-min rounds on a bf16 band copy with
+        # an exact f32 refinement; bf16 threshold collisions route to
+        # the per-point repair, so values must not move at all.
+        rng = np.random.default_rng(3)
+        n, v = 150, 20
+        ref = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        series = rng.normal(size=(v, n)).astype(np.float32)
+        series[:6] = np.asarray(ref)[None, :] * 0.9 + 0.3 * series[:6]
+        self._ab(jnp.asarray(series), ref, est, sel_bf16=True)
+
     def test_narrow_band_forces_repairs(self):
         # A tiny band makes most points invalid: exercises the repair
         # kernel heavily and the per-point ψ corrections.
