@@ -521,24 +521,40 @@ def _composite(base, over):
 def _depth_merge(layers):
     """Z-merge ``[(rgba, depth)]`` opaque layers per pixel.
 
-    Pairwise per-pixel front/back ordering + OVER — exact for opaque
-    coverage (the depth arrays are +inf where a layer is empty), and
-    the shared-depth analogue of the reference's z-buffered geometry
-    passes (SceneData.hpp). Returns (rgba | None, depth | None).
+    Layers are per-pixel depth-SORTED, then folded front-to-back with
+    OVER — registration-order invariant for any number of overlapping
+    layers (a pairwise fold is not: merging the nearest and farthest
+    of three layers first composites the true middle layer behind the
+    pair, because the pair carries only its min depth). Depth is +inf
+    where a layer is empty; the shared-depth analogue of the
+    reference's z-buffered geometry passes (SceneData.hpp). Returns
+    (rgba | None, depth | None).
     """
     if not layers:
         return None, None
-    img, depth = layers[0]
-    for over_img, over_depth in layers[1:]:
-        new_in_front = (over_depth < depth)[..., None]
-        top = jnp.where(new_in_front, over_img, img)
-        bot = jnp.where(new_in_front, img, over_img)
-        a = top[..., 3:4]
-        rgb = top[..., :3] * a + bot[..., :3] * (1 - a)
-        alpha = a[..., 0] + bot[..., 3] * (1 - a[..., 0])
-        img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-        depth = jnp.minimum(depth, over_depth)
-    return img, depth
+    if len(layers) == 1:
+        return layers[0]
+    rgba = jnp.stack([im for im, _ in layers])      # (N, H, W, 4)
+    depth = jnp.stack([d for _, d in layers])       # (N, H, W)
+    order = jnp.argsort(depth, axis=0)              # N is tiny
+    rgba = jnp.take_along_axis(rgba, order[..., None], axis=0)
+    # Fold back-to-front in PREMULTIPLIED space — the associative OVER
+    # (straight-alpha folds drop the back layer's alpha, which breaks
+    # order invariance wherever same-depth layers tie, e.g. two empty
+    # +inf pixels under a translucent fringe).
+    a = rgba[-1][..., 3:4]
+    rgbp = rgba[-1][..., :3] * a
+    alpha = a[..., 0]
+    for i in range(rgba.shape[0] - 2, -1, -1):      # toward the camera
+        top = rgba[i]
+        ta = top[..., 3:4]
+        rgbp = top[..., :3] * ta + rgbp * (1 - ta)
+        alpha = ta[..., 0] + alpha * (1 - ta[..., 0])
+    rgb = rgbp / jnp.maximum(alpha[..., None], 1e-9)  # back to straight
+    return (
+        jnp.concatenate([rgb, alpha[..., None]], axis=-1),
+        jnp.min(depth, axis=0),
+    )
 
 
 def _jsonable(obj):

@@ -45,7 +45,13 @@ def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
                 k for k, v in f.items() if getattr(v, "ndim", 0) >= 2
             )
             arr = np.asarray(f[name][...], np.float32)
-    arr = np.squeeze(arr)
+    # Squeeze only when MORE than 2 axes remain: a legitimate (1, T)
+    # single-sample series keeps its sample axis (a plain np.squeeze
+    # turned it 1-D and rejected a valid file — round-3 self-review).
+    if arr.ndim > 2:
+        arr = np.squeeze(arr)
+    if arr.ndim == 1:
+        arr = arr[None, :]  # fully-singleton leading axes: one series
     if arr.ndim != 2:
         raise ValueError(
             f"variable {name!r} in {path} has shape {arr.shape} after "

@@ -427,6 +427,28 @@ def _pack_bits_concat(pieces) -> bytes:
     return bytes(out)
 
 
+def _pack_bits_stream(pieces) -> bytes:
+    """Pack [(values, nbits), ...] as ONE contiguous bit stream.
+
+    Unlike :func:`_pack_bits_concat` no piece is octet-padded — only
+    the final stream is. The group-values field of templates 7.2/7.3
+    is specified (and decoded, see `_decode_complex`) this way: with a
+    group length that is not a multiple of 8 per-group padding would
+    shift every following group's bits.
+    """
+    chunks = []
+    for vals, nb in pieces:
+        vals = np.asarray(vals, np.int64)
+        if nb == 0 or len(vals) == 0:
+            continue
+        chunks.append((
+            (vals[:, None] >> np.arange(nb - 1, -1, -1)) & 1
+        ).astype(np.uint8).ravel())
+    if not chunks:
+        return b""
+    return np.packbits(np.concatenate(chunks)).tobytes()
+
+
 def _encode_complex(x: np.ndarray, diff_order: int = 0,
                     group_len: int = 32):
     """Encode non-negative ints as template 5.2/5.3 payloads.
@@ -436,6 +458,12 @@ def _encode_complex(x: np.ndarray, diff_order: int = 0,
     zero bits wide; spatial differencing uses 4-octet descriptors.
     """
     header = b""
+    # Spatial differencing needs diff_order leading values to store as
+    # initial values (and the recurrence to be meaningful): degenerate
+    # grids (n ≤ diff_order) silently drop to a lower order — otherwise
+    # the header would hold fewer ivals than section 5 advertises and
+    # the decoder would read into the group references.
+    diff_order = min(diff_order, max(len(x) - 1, 0))
     if diff_order:
         ivals = [int(v) for v in x[:diff_order]]
         d = x.astype(np.int64).copy()
@@ -476,7 +504,7 @@ def _encode_complex(x: np.ndarray, diff_order: int = 0,
     for s, w in zip(spans, widths):
         if w:
             data_bits.append((s, int(w)))
-    payload += _pack_bits_concat(data_bits)
+    payload += _pack_bits_stream(data_bits)
 
     sec5_tail = (
         struct.pack(">BB", 1, 0)  # 22 splitting method, 23 missing mgmt
@@ -501,6 +529,7 @@ def write_grib2(
     lon=(0.0, 359.0),
     nbits: int = 16,
     packing: str = "simple",
+    group_len: int = 32,
 ):
     """Minimal GRIB2 writer (grid template 3.0; data representation
     5.0 simple packing, or 5.2/5.3 complex packing via ``packing`` in
@@ -551,8 +580,13 @@ def write_grib2(
                     ).astype(np.uint8).ravel()
                     packed = np.packbits(bits).tobytes()
                 else:
+                    # Keep the template number consistent with the
+                    # encoder's degenerate-grid order clamp (n ≤ order
+                    # drops to a lower/no differencing).
+                    diff_order = min(diff_order, max(x.size - 1, 0))
+                    drt = 3 if diff_order else 2
                     sec5_tail, packed, nb = _encode_complex(
-                        x, diff_order
+                        x, diff_order, group_len
                     )
 
             def sec(num_, body):

@@ -123,10 +123,19 @@ def srn_from_torch_archive(
         )
 
     def mlp_like(params, activation):
+        # The MLP config assumes one uniform hidden width (the
+        # published models are uniform); reject archives that are not,
+        # so a config-rebuilt model can never silently mismatch the
+        # imported parameter shapes.
+        hidden_widths = {p["w"].shape[1] for p in params[:-1]}
+        if len(hidden_widths) > 1:
+            raise ValueError(
+                "imported MLP has non-uniform hidden widths "
+                f"{sorted(hidden_widths)}; MLP config supports one"
+            )
         return MLP(
             in_features=params[0]["w"].shape[0],
-            hidden=(params[0]["w"].shape[1] if len(params) > 1
-                    else params[0]["w"].shape[1]),
+            hidden=params[0]["w"].shape[1],
             out_features=params[-1]["w"].shape[1],
             num_layers=len(params) - 1,
             activation=activation,

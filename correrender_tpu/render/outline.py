@@ -76,21 +76,23 @@ def outline_render(
     valid = np.array(
         [w_clip[a] > 0 and w_clip[b] > 0 for a, b in _EDGES], np.float32
     )
-    if base_image is None:
+    layer = base_image is None
+    if layer:
         base_image = jnp.zeros((height, width, 4), jnp.float32)
     return _outline_core(
         jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(da),
         jnp.asarray(db), jnp.asarray(valid),
         jnp.asarray(color, jnp.float32), jnp.float32(line_width),
-        base_image, width, height, return_depth,
+        base_image, width, height, return_depth, layer,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "return_depth")
+    jax.jit, static_argnames=("width", "height", "return_depth",
+                              "layer")
 )
 def _outline_core(pa, pb, da, db, valid, col, line_width, base_image,
-                  width, height, return_depth):
+                  width, height, return_depth, layer=False):
     """All 12 edge rasterizations in ONE compiled program — eagerly
     this was ~100 small dispatches and per-dispatch overhead on the
     tunneled device made the hairline wireframe cost 3× a full DVR
@@ -115,12 +117,25 @@ def _outline_core(pa, pb, da, db, valid, col, line_width, base_image,
     coverage = jnp.max(cov_e, axis=0)
 
     cov = (coverage * col[3])[..., None]
-    rgb = cov * col[:3] + (1 - cov) * base_image[..., :3]
-    alpha = jnp.maximum(cov[..., 0], base_image[..., 3])
-    img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    if layer:
+        # Layer mode (no base): STRAIGHT rgba — constant line color,
+        # coverage in alpha only. Emitting rgb pre-multiplied by
+        # coverage here made the depth compositor (which treats all
+        # layers as straight alpha) darken the AA fringe twice and,
+        # worse, registration-order-dependently (round-3 self-review).
+        img = jnp.concatenate(
+            [jnp.broadcast_to(col[:3], cov.shape[:2] + (3,)), cov],
+            axis=-1,
+        )
+    else:
+        rgb = cov * col[:3] + (1 - cov) * base_image[..., :3]
+        alpha = jnp.maximum(cov[..., 0], base_image[..., 3])
+        img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
     if not return_depth:
         return img
     ed = da[:, None, None] + t * (db - da)[:, None, None]
-    ed = jnp.where(cov_e > 0.5, ed, jnp.inf)
+    # Any covered pixel carries depth (a visible AA fringe with +inf
+    # depth would z-sort behind everything registration-dependently).
+    ed = jnp.where(cov_e > 0.0, ed, jnp.inf)
     depth = jnp.min(ed, axis=0)
     return img, depth

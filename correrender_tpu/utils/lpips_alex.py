@@ -150,11 +150,17 @@ def convert_lpips_weights(alexnet_path: str, lpips_path: str,
     return params
 
 
+_WEIGHTS_CACHE: dict = {}
+
+
 def load_lpips_weights(path: str | None = None) -> dict | None:
     """Locate and load LPIPS weights; None when unavailable.
 
     Search order: explicit ``path`` → ``$CORRERENDER_LPIPS_WEIGHTS``
-    → ``~/.cache/correrender_tpu/lpips_alex.npz``.
+    → ``~/.cache/correrender_tpu/lpips_alex.npz``. Loaded weights are
+    memoized per resolved path — metric loops (perf sweeps, per-frame
+    compare_images) must not re-read and re-upload the full AlexNet
+    stack on every distance call.
     """
     candidates = [
         path,
@@ -163,6 +169,11 @@ def load_lpips_weights(path: str | None = None) -> dict | None:
     ]
     for cand in candidates:
         if cand and os.path.exists(cand):
-            with np.load(cand) as data:
-                return {k: jnp.asarray(data[k]) for k in data.files}
+            key = os.path.abspath(cand)
+            if key not in _WEIGHTS_CACHE:
+                with np.load(cand) as data:
+                    _WEIGHTS_CACHE[key] = {
+                        k: jnp.asarray(data[k]) for k in data.files
+                    }
+            return _WEIGHTS_CACHE[key]
     return None

@@ -165,3 +165,38 @@ class TestDepthClip:
         d = float(np.asarray(depth)[16, 16])
         # Plane z=0 (box center), eye at z=0.9 looking at the origin.
         assert abs(d - 0.9) < 0.02
+
+
+class TestDepthMergeOrderInvariance:
+    """_depth_merge must sort per pixel: a pairwise fold composites the
+    true MIDDLE of three overlapping layers behind a near/far pair
+    (found by round-3 self-review; repro'd with translucent-over-
+    opaque-over-opaque layers)."""
+
+    def test_three_overlapping_layers_any_registration_order(self):
+        from correrender_tpu.app.state import _depth_merge
+
+        h = w = 4
+
+        def layer(rgb, alpha, depth):
+            img = jnp.broadcast_to(
+                jnp.asarray(list(rgb) + [alpha], jnp.float32), (h, w, 4)
+            )
+            return img, jnp.full((h, w), depth, jnp.float32)
+
+        a = layer((1, 0, 0), 0.5, 1.0)  # translucent red, nearest
+        b = layer((0, 1, 0), 1.0, 2.0)  # opaque green, middle
+        c = layer((0, 0, 1), 1.0, 3.0)  # opaque blue, farthest
+
+        want = None
+        for perm in itertools.permutations([a, b, c]):
+            img, depth = _depth_merge(list(perm))
+            got = np.asarray(img)
+            assert np.allclose(np.asarray(depth), 1.0)
+            # Red over green; blue fully hidden by the opaque middle.
+            np.testing.assert_allclose(
+                got[0, 0], [0.5, 0.5, 0.0, 1.0], atol=1e-6
+            )
+            if want is None:
+                want = got
+            np.testing.assert_allclose(got, want, atol=0)

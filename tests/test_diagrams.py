@@ -205,6 +205,20 @@ class TestTimeSeries:
         with pytest.raises(ValueError, match="2-D series"):
             load_time_series(str(vol))
 
+    def test_loader_keeps_single_sample_series(self, tmp_path):
+        # A (1, T) series is valid — squeezing must not drop the
+        # sample axis (round-3 self-review regression).
+        from correrender_tpu.diagrams.timeseries import load_time_series
+        from correrender_tpu.io import writers
+
+        rng = np.random.default_rng(1)
+        p = tmp_path / "one.nc"
+        writers.write_netcdf(
+            str(p), rng.normal(size=(1, 40)).astype(np.float32),
+            name="series",
+        )
+        assert load_time_series(str(p)).shape == (1, 40)
+
 
 class TestDistributionSimilarity:
     def test_feature_modes(self, box_stack):

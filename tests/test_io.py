@@ -650,3 +650,36 @@ class TestVts:
         ld = GribLoader().open(merged, dataset_info=info)
         assert ld.ts == 1
         np.testing.assert_allclose(ld.load_field("t"), b, atol=1e-5)
+
+
+class TestGribEncoderRegressions:
+    def test_complex_non_octet_group_len_roundtrip(self, tmp_path):
+        # Group values are ONE contiguous bit stream (decoder reads
+        # them without re-aligning): per-group octet padding — which a
+        # group_len that is a multiple of 8 can never expose — shifted
+        # every following group's bits (round-3 self-review).
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(5)
+        f = (np.cumsum(rng.normal(size=(1, 11, 23)), axis=-1)
+             + 0.2 * rng.random((1, 11, 23))).astype(np.float32)
+        for packing in ("complex", "complex_diff2"):
+            path = str(tmp_path / f"g20_{packing}.grb2")
+            write_grib2(path, {"t": f}, nbits=17, packing=packing,
+                        group_len=20)
+            got = GribLoader().open(path).load_field("t")
+            np.testing.assert_allclose(got, f, atol=2e-3)
+
+    def test_complex_diff_degenerate_grid(self, tmp_path):
+        # n ≤ diff_order grids must drop to a lower order instead of
+        # advertising more initial values than the header holds.
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        for shape in ((1, 1, 1), (1, 1, 2)):
+            f = (np.arange(np.prod(shape), dtype=np.float32)
+                 .reshape(shape) + 3.5)
+            path = str(tmp_path / f"deg{shape[-1]}.grb2")
+            write_grib2(path, {"t": f}, nbits=12,
+                        packing="complex_diff2")
+            got = GribLoader().open(path).load_field("t")
+            np.testing.assert_allclose(got, f, atol=1e-3)

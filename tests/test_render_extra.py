@@ -82,8 +82,11 @@ class TestOutline:
             outline_render(cam, box, image_size=(64, 64),
                            color=(1, 0, 0, 1))
         )
+        # Layer mode emits STRAIGHT rgba: constant line color, the
+        # wireframe coverage lives in alpha (round-3 convention fix).
         assert img[..., 0].max() > 0.9  # red lines present
-        assert (img[..., 0] > 0.5).mean() < 0.35  # but sparse
+        assert img[..., 3].max() == 1.0
+        assert (img[..., 3] > 0.5).mean() < 0.35  # coverage is sparse
 
 
 class TestMesh:
