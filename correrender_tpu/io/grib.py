@@ -68,10 +68,51 @@ def _sint(raw: int, bits: int) -> int:
     return raw
 
 
+_IO_CODEC: object = None
+_IO_CODEC_TRIED = False
+
+
+def _io_codec():
+    """The native bit-unpack library (None off-toolchain)."""
+    global _IO_CODEC, _IO_CODEC_TRIED
+    if not _IO_CODEC_TRIED:
+        from correrender_tpu.native import io_codec
+
+        _IO_CODEC = io_codec()
+        _IO_CODEC_TRIED = True
+    return _IO_CODEC
+
+
+def _unpack_bits_native(buf: np.ndarray, bit_offset: int, nbits: int,
+                        count: int, codec) -> np.ndarray:
+    import ctypes
+
+    if bit_offset + nbits * count > buf.size * 8:
+        raise ValueError("GRIB bit stream exhausted")
+    out = np.empty(count, np.int64)
+    codec.unpack_bits_u64(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bit_offset, nbits, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
 def _unpack_bits(data: bytes, nbits: int, count: int) -> np.ndarray:
-    """Unpack ``count`` big-endian ``nbits``-wide unsigned ints."""
+    """Unpack ``count`` big-endian ``nbits``-wide unsigned ints.
+
+    Single-pass native loop when the toolchain is available (the
+    byte-level hot path of both GRIB packings — the numpy route pays
+    an 8x bit expansion plus a (count, nbits) matmul); numpy fallback
+    otherwise.
+    """
     if nbits == 0:
         return np.zeros(count, np.int64)
+    codec = _io_codec()
+    if codec is not None:
+        return _unpack_bits_native(
+            np.frombuffer(data, np.uint8), 0, nbits, count, codec
+        )
     bits = np.unpackbits(np.frombuffer(data, np.uint8))
     bits = bits[: count * nbits].reshape(count, nbits).astype(np.int64)
     weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
@@ -89,16 +130,29 @@ class _Message:
 
 class _BitReader:
     """Sequential big-endian bit reader with byte-boundary alignment
-    (complex-packing fields are each padded to whole octets)."""
+    (complex-packing header fields are each padded to whole octets).
+
+    Uses the native single-pass unpacker when available; the numpy
+    fallback pre-expands the buffer to one byte per bit."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self._codec = _io_codec()
+        if self._codec is None:
+            self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        else:
+            self.buf = np.frombuffer(data, np.uint8)
         self.pos = 0
 
     def read(self, nbits: int, count: int) -> np.ndarray:
         if nbits == 0:
             return np.zeros(count, np.int64)
         total = nbits * count
+        if self._codec is not None:
+            out = _unpack_bits_native(
+                self.buf, self.pos, nbits, count, self._codec
+            )
+            self.pos += total
+            return out
         chunk = self.bits[self.pos:self.pos + total]
         self.pos += total
         vals = chunk.reshape(count, nbits).astype(np.int64)
@@ -273,11 +327,31 @@ def _decode_complex(data: bytes, msg: "_Message") -> np.ndarray:
         lens[-1] = c["last_len"]
     total = int(lens.sum())
     x = np.empty(total, np.int64)
-    off = 0
-    for g in range(ng):
-        n = int(lens[g])
-        x[off:off + n] = refs[g] + br.read(int(widths[g]), n)
-        off += n
+    if br._codec is not None and ng:
+        # Group expansion stays native: ng ~ npoints/32 Python-level
+        # reader calls otherwise.
+        import ctypes
+
+        need = int((widths * lens).sum())
+        if br.pos + need > br.buf.size * 8:
+            raise ValueError("GRIB bit stream exhausted")
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        refs_a = np.ascontiguousarray(refs, np.int64)
+        widths_a = np.ascontiguousarray(widths, np.int64)
+        lens_a = np.ascontiguousarray(lens, np.int64)
+        br.pos += br._codec.unpack_groups_u64(
+            br.buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            br.pos, refs_a.ctypes.data_as(i64p),
+            widths_a.ctypes.data_as(i64p),
+            lens_a.ctypes.data_as(i64p), ng,
+            x.ctypes.data_as(i64p),
+        )
+    else:
+        off = 0
+        for g in range(ng):
+            n = int(lens[g])
+            x[off:off + n] = refs[g] + br.read(int(widths[g]), n)
+            off += n
     if msg.drt == 3:
         order = c["order"]
         x[order:] += gmin

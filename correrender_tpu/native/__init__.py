@@ -81,3 +81,26 @@ def ksg_field_cpu(reference, fields, k=3, estimator=1):
         num_voxels, es, k, estimator, out.ctypes.data_as(fp),
     )
     return out
+
+
+def io_codec():
+    """Native bit-unpack codec (GRIB2 hot loop), or None off-toolchain.
+
+    Soft-fails to None so the pure-numpy decoders keep working on
+    boxes without g++ — callers treat this strictly as a fast path.
+    """
+    try:
+        dll = build_and_load("io_codec")
+    except Exception:  # noqa: BLE001 - missing toolchain/compile error
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    dll.unpack_bits_u64.restype = None
+    dll.unpack_bits_u64.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, i64p,
+    ]
+    dll.unpack_groups_u64.restype = ctypes.c_int64
+    dll.unpack_groups_u64.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, i64p,
+    ]
+    return dll

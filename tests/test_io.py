@@ -683,3 +683,25 @@ class TestGribEncoderRegressions:
                         packing="complex_diff2")
             got = GribLoader().open(path).load_field("t")
             np.testing.assert_allclose(got, f, atol=1e-3)
+
+    def test_native_and_numpy_decoders_agree(self, tmp_path, monkeypatch):
+        # The native bit-unpack fast path (native/io_codec.cpp) and the
+        # numpy fallback must decode identically.
+        import correrender_tpu.io.grib as G
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(7)
+        f = np.cumsum(rng.normal(size=(2, 9, 31)), axis=-1).astype(
+            np.float32
+        )
+        outs = {}
+        for packing in ("simple", "complex_diff1"):
+            p = str(tmp_path / f"agree_{packing}.grb2")
+            write_grib2(p, {"t": f}, nbits=15, packing=packing)
+            for native in (True, False):
+                monkeypatch.setattr(G, "_IO_CODEC_TRIED", not native)
+                monkeypatch.setattr(G, "_IO_CODEC", None)
+                outs[(packing, native)] = GribLoader().open(p).load_field("t")
+            np.testing.assert_array_equal(
+                outs[(packing, True)], outs[(packing, False)]
+            )
