@@ -118,6 +118,26 @@ class Calculator:
     def compute(self, time: int, member: int):
         raise NotImplementedError
 
+    def input_fields(self):
+        """Field names this calculator reads — VolumeData.mark_dirty
+        propagates input-field dirtiness to the outputs (the reference
+        covers this via Calculator::onFieldRemoved/setDirty hooks).
+
+        The default introspects the conventional attribute names; a
+        ``None`` entry means "the dataset's first field" (resolved by
+        the caller). Returning ``None`` (no conventional attributes)
+        is CONSERVATIVE: the output is invalidated on every field
+        change.
+        """
+        names = []
+        found = False
+        for attr in ("field_name", "field_name_ref", "field_name_a",
+                     "field_name_b", "u", "v", "w"):
+            if hasattr(self, attr):
+                found = True
+                names.append(getattr(self, attr))
+        return names if found else None
+
     # -- settings (SettingsMap analogue, InternalState.hpp:44-126) -------
 
     @classmethod

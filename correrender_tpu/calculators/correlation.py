@@ -41,14 +41,17 @@ from correrender_tpu.ops.registry import (
 DEFAULT_CHUNK_BUDGET_BYTES = 256 << 20
 
 
-def _auto_chunk(measure: CorrelationMeasure, n: int, budget: int) -> int:
+def _auto_chunk(measure: CorrelationMeasure, n: int, budget: int,
+                num_bins: int = 80) -> int:
     """Pick a voxel chunk so the per-chunk working set fits the budget."""
     if measure in (CorrelationMeasure.PEARSON, CorrelationMeasure.SPEARMAN):
         per_voxel = 16 * n  # a few (V, n) f32 temporaries
     elif measure == CorrelationMeasure.KENDALL:
         per_voxel = 4 * n * min(n, 128) * 3  # (V, n, chunk) sign products
     elif is_measure_binned_mi(measure):
-        per_voxel = 4 * n * 80 * 2 + 4 * 80 * 80  # one-hots + joint
+        # one-hots + joint at the ACTUAL bin count (a hardcoded 80
+        # undercounted mi_bins=256 working sets ~5x -> HBM OOM).
+        per_voxel = 4 * n * num_bins * 2 + 4 * num_bins * num_bins
     else:  # Kraskov
         per_voxel = 4 * n * n * 3  # dx, dy, dcheb
     chunk = max(budget // max(per_voxel, 1), 1)
@@ -209,7 +212,8 @@ def correlate_field(
         rmin, rmax = jnp.nanmin(ref), jnp.nanmax(ref)
         mi_bounds = ((rmin, rmax), (qmin, qmax))
 
-    chunk = min(_auto_chunk(m, n, chunk_budget_bytes), series.shape[0])
+    chunk = min(_auto_chunk(m, n, chunk_budget_bytes, num_bins),
+                series.shape[0])
     out = _correlate_chunked(
         series,
         ref,
@@ -337,9 +341,10 @@ class CorrelationCalculator(Calculator):
     def compute(self, time: int, member: int):
         vd = self.volume_data
         field = self.field_name or vd.field_names[0]
+        field_ref = self.field_name_ref or field
         stack = self._stack(field, time, member)
         if self.symmetric_fields:
-            ref = self._stack(self.field_name_ref, time, member)
+            ref = self._stack(field_ref, time, member)
         else:
             ref_time = time
             if self.ensemble_mode and self.use_time_lag_correlations:
@@ -348,8 +353,8 @@ class CorrelationCalculator(Calculator):
                 ref_time = self.time_lag_time_step_idx
             ref_stack = (
                 stack
-                if self.field_name_ref == field and ref_time == time
-                else self._stack(self.field_name_ref, ref_time, member)
+                if field_ref == field and ref_time == time
+                else self._stack(field_ref, ref_time, member)
             )
             x, y, z = self.reference_point
             ref = ref_stack[z, y, x]
@@ -371,9 +376,19 @@ class CorrelationCalculator(Calculator):
                     ref = ref[: ts + lag]
         mi_bounds = None
         if is_measure_binned_mi(self.measure):
-            lo, hi = vd.get_global_min_max(field, self.ensemble_mode, time)
+            lo, hi = vd.get_global_min_max(
+                field, self.ensemble_mode, time, member
+            )
+            # The reference series' bounds come from ITS timestep —
+            # under time-lag correlation that is the absolute lag
+            # timestep, not the queried one (review finding: a field
+            # whose range drifts between the two mis-normalized ref).
+            ref_bounds_time = time
+            if (not self.symmetric_fields and self.ensemble_mode
+                    and self.use_time_lag_correlations):
+                ref_bounds_time = self.time_lag_time_step_idx
             lo2, hi2 = vd.get_global_min_max(
-                self.field_name_ref or field, self.ensemble_mode, time
+                field_ref, self.ensemble_mode, ref_bounds_time, member
             )
             mi_bounds = ((lo2, hi2), (lo, hi))
         return correlate_field(
@@ -416,6 +431,17 @@ class CorrelationCalculator(Calculator):
             kwargs["absolute"] = bool(s["calculate_absolute_value"])
         if "scalar_field_name" in s:
             kwargs["field_name"] = s["scalar_field_name"]
+        # SEPARATE / SEPARATE_SYMMETRIC field modes
+        # (CorrelationCalculator.hpp:58-64; name-based analogue of the
+        # reference's scalar_field_idx_ref/query keys).
+        if "correlation_field_mode" in s:
+            kwargs["symmetric_fields"] = (
+                s["correlation_field_mode"] == "Separate Symmetric"
+            )
+        if "scalar_field_name_ref" in s:
+            kwargs["field_name_ref"] = s["scalar_field_name_ref"]
+        if "time_lag" in s:  # framework extension: time-mode rel. lag
+            kwargs["time_lag"] = int(s["time_lag"])
         if "use_time_lag_correlations" in s:
             kwargs["use_time_lag_correlations"] = bool(
                 s["use_time_lag_correlations"]
@@ -458,6 +484,18 @@ class CorrelationCalculator(Calculator):
             "kraskov_estimator_index": self.kraskov_estimator - 1,
             "calculate_absolute_value": self.absolute,
             "scalar_field_name": self.field_name,
+            "correlation_field_mode": (
+                "Separate Symmetric" if self.symmetric_fields
+                else "Separate"
+                if self.field_name_ref
+                and self.field_name_ref != self.field_name
+                else "Single"
+            ),
+            **(
+                {"scalar_field_name_ref": self.field_name_ref}
+                if self.field_name_ref else {}
+            ),
+            **({"time_lag": self.time_lag} if self.time_lag else {}),
             "use_time_lag_correlations": self.use_time_lag_correlations,
             "time_lag_time_step_idx": self.time_lag_time_step_idx,
         }

@@ -231,23 +231,47 @@ class VolumeData:
         return mm
 
     def get_global_min_max(self, name: str, ensemble_mode: bool = True,
-                           time: int = 0):
+                           time: int = 0, member: int = 0):
         """Min/max across all members (or timesteps) — used to normalize
-        binned-MI inputs (CorrelationCalculator.cpp:820-845)."""
+        binned-MI inputs (CorrelationCalculator.cpp:820-845).
+
+        In time mode the sweep runs over ``member``'s series (the
+        member actually being correlated), not always member 0.
+        """
         cs = self.get_correlation_member_count(ensemble_mode)
         lo, hi = np.inf, -np.inf
         for c in range(cs):
-            t, e = (time, c) if ensemble_mode else (c, 0)
+            t, e = (time, c) if ensemble_mode else (c, member)
             mn, mx = self.get_min_max(name, t, e)
             lo, hi = min(lo, mn), max(hi, mx)
         return lo, hi
 
-    def mark_dirty(self, name: str):
+    def mark_dirty(self, name: str, _visited: set | None = None):
         """Invalidate cached slabs of a (calculator) field; next access
         recomputes — the functional analogue of the reference's dirty
-        flag protocol (Calculator::setDirty)."""
+        flag protocol (Calculator::setDirty).
+
+        Dirtiness PROPAGATES to calculators that read ``name`` (per
+        ``Calculator.input_fields``), transitively — re-registering an
+        input field must not leave a dependent correlation field
+        serving values of the old data (round-3 review finding).
+        """
         self.cache.invalidate_field(name)
         self._dirty_epochs[name] = self._dirty_epochs.get(name, 0) + 1
+        visited = _visited if _visited is not None else {name}
+        first = next(iter(self._providers), None)
+        for out, calc in self._calculators.items():
+            if out == name or out in visited:
+                continue
+            deps = calc.input_fields()
+            # None deps = undeclared (conservative: always dependent);
+            # a None ENTRY means "the first field".
+            hit = deps is None or name in deps or (
+                None in deps and name == first
+            )
+            if hit:
+                visited.add(out)
+                self.mark_dirty(out, visited)
 
     def dirty_epoch(self, name: str) -> int:
         """Monotonic per-field version counter, bumped by mark_dirty.

@@ -26,6 +26,19 @@ def exchange_halo_z(block: jnp.ndarray, halo: int, axis_name: str = "space"):
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    zb = block.shape[0]
+    if halo <= 0:
+        raise ValueError(f"halo must be positive, got {halo}")
+    if halo > zb:
+        # One ppermute hop supplies at most one neighbour slab; a halo
+        # wider than the local Z extent would need multi-hop exchange
+        # (and the jnp.where below would shape-mismatch). Resize the
+        # mesh or the volume rather than silently mis-padding.
+        raise ValueError(
+            f"halo {halo} exceeds the per-shard Z extent {zb}; "
+            f"use fewer shards (or a smaller stencil) so each shard "
+            "holds at least one full halo of planes"
+        )
 
     # Send the top slab up and the bottom slab down the ring.
     top = block[:halo]
@@ -59,6 +72,9 @@ def make_sharded_stencil(
     ``fn(block_with_halo) -> block_with_halo`` is applied per shard on
     the halo-padded block; the halo planes are cropped from the result.
     """
+
+    if halo <= 0:
+        raise ValueError(f"halo must be positive, got {halo}")
 
     def local(block, *extra):
         padded = exchange_halo_z(block, halo, axis_name)

@@ -22,6 +22,8 @@ only uneven shard counts fall back to a gathered render.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,7 +142,33 @@ def iso_shearwarp_sharded(
     g_unflipped = g[::-1] if flip else g
     g_blocks = jnp.asarray(g_unflipped.reshape(n_shards, s_loc))
 
-    def local_first_hit(cvol_blk, g_blk):
+    fn = _sharded_first_hit_fn(mesh, axis_name, flip, n_shards,
+                               hi_res, wi_res)
+    found, grad_hit = fn(
+        cvol, g_blocks,
+        jnp.asarray(coords_v, jnp.float32),
+        jnp.asarray(coords_u, jnp.float32),
+        jnp.asarray(grid_v), jnp.asarray(grid_u),
+        jnp.asarray([e_u, e_v], jnp.float32),
+        jnp.float32(iso_value),
+    )
+
+    return shade_and_warp(
+        found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye,
+        z_ref, surface_color, background, width, height,
+    )
+
+@functools.lru_cache(maxsize=32)
+def _sharded_first_hit_fn(mesh: Mesh, axis_name: str, flip: bool,
+                          n_shards: int, hi_res: int, wi_res: int):
+    """Build + jit the per-shard first-hit program once per static
+    signature — camera geometry enters as ARRAYS so frames reuse the
+    compiled executable (a fresh un-jitted shard_map closure per call
+    retraced + recompiled every frame; dvr_sharded.py measured the
+    identical trap at ~20 s/frame in round 1)."""
+
+    def local_first_hit(cvol_blk, g_blk, coords_v, coords_u, grid_v,
+                        grid_u, euv, iso_value):
         cvol_loc = cvol_blk  # (s_loc, Y, X, 4), global (unflipped) order
         g_loc = g_blk[0]
         if flip:
@@ -162,16 +190,8 @@ def iso_shearwarp_sharded(
         cvol_h = jnp.concatenate([halo_slice, cvol_loc], axis=0)
         g_h = jnp.concatenate([halo_g, g_loc], axis=0)
         found, depth, grad_hit = _first_hit_scan(
-            cvol_h,
-            g_h,
-            jnp.asarray(coords_v, jnp.float32),
-            jnp.asarray(coords_u, jnp.float32),
-            jnp.asarray(grid_v),
-            jnp.asarray(grid_u),
-            jnp.asarray([e_u, e_v], jnp.float32),
-            jnp.float32(iso_value),
-            hi_res,
-            wi_res,
+            cvol_h, g_h, coords_v, coords_u, grid_v, grid_u, euv,
+            iso_value, hi_res, wi_res,
         )
         del depth  # the combine is ordered; no global depth needed
         founds = jax.lax.all_gather(found, axis_name)  # (N, hi, wi)
@@ -185,16 +205,11 @@ def iso_shearwarp_sharded(
             acc_found = acc_found | founds[i]
         return acc_found, acc_grad
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_first_hit,
         mesh=mesh,
-        in_specs=(P(axis_name, None, None, None), P(axis_name, None)),
+        in_specs=(P(axis_name, None, None, None), P(axis_name, None),
+                  P(), P(), P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None, None)),
         check_vma=False,
-    )
-    found, grad_hit = fn(cvol, g_blocks)
-
-    return shade_and_warp(
-        found, grad_hit, camera, grid_u, grid_v, in_plane, a, eye,
-        z_ref, surface_color, background, width, height,
-    )
+    ))

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from correrender_tpu.ops.registry import CorrelationMeasure, measure_from_id
+from correrender_tpu.ops.pearson import pearson_from_sums
+from correrender_tpu.ops.registry import (
+    CorrelationMeasure,
+    is_measure_binned_mi,
+    measure_from_id,
+)
 
 
 @functools.lru_cache(maxsize=32)
@@ -53,12 +58,9 @@ def _pearson_sharded_fn(mesh: Mesh, n: int):
         sum_y = jax.lax.psum(sum_y, "members")
         sum_yy = jax.lax.psum(sum_yy, "members")
         sum_xy = jax.lax.psum(sum_xy, "members")
-        nn = jnp.float32(n)
-        num = nn * sum_xy - sum_x * sum_y
-        den = jnp.sqrt(
-            (nn * sum_xx - sum_x * sum_x) * (nn * sum_yy - sum_y * sum_y)
-        )
-        return num / den
+        # Shared assembly helper — one home for the num/den math, so a
+        # numerical fix reaches both the dense and sharded paths.
+        return pearson_from_sums(n, sum_x, sum_y, sum_xy, sum_xx, sum_yy)
 
     return jax.jit(shard_map(
         local_moments,
@@ -104,6 +106,17 @@ def correlate_member_sharded(
     m = measure_from_id(measure)
     if m == CorrelationMeasure.PEARSON:
         return pearson_member_sharded(stack, ref, mesh)
+    if is_measure_binned_mi(m) and kwargs.get("mi_bounds") is None:
+        # Binned MI normalizes by GLOBAL min/max
+        # (CorrelationCalculator.cpp:820-845). Inside shard_map each
+        # space shard would see only its local Z-slab (review finding:
+        # seams at shard boundaries + divergence from the dense path);
+        # the bounds reduce once here, outside the shard_map.
+        kwargs = dict(kwargs)
+        kwargs["mi_bounds"] = (
+            (float(jnp.nanmin(ref)), float(jnp.nanmax(ref))),
+            (float(jnp.nanmin(stack)), float(jnp.nanmax(stack))),
+        )
     return _gather_sharded_fn(
         mesh, m, tuple(sorted(kwargs.items()))
     )(stack, ref)

@@ -297,3 +297,56 @@ def test_bf16_member_stacks():
     want = np.corrcoef(data.reshape(es, -1).T, ref_series)[:-1, -1]
     np.testing.assert_allclose(out.reshape(-1), want, atol=0.02)
     assert out[1, 3, 2] == pytest.approx(1.0, abs=1e-2)
+
+
+class TestReviewRegressions:
+    """Round-3 self-review findings (core/calculators)."""
+
+    def test_default_field_names_compute(self):
+        # CorrelationCalculator() with no field_name must fall back to
+        # the dataset's first field for BOTH query and reference
+        # (crashed with KeyError: None).
+        vd, _ = make_volume(members=30)
+        c = calc.CorrelationCalculator(reference_point=(2, 2, 2))
+        vd.add_calculator(c)
+        field = np.asarray(vd.get_field(c.output_name))
+        assert field[2, 2, 2] == pytest.approx(1.0, abs=1e-5)
+
+    def test_input_dirty_propagates_to_calculator(self):
+        # Re-registering an input field must invalidate dependent
+        # calculator outputs (stale-cache finding).
+        vd, _ = make_volume(members=30)
+        c = calc.CorrelationCalculator(field_name="data",
+                                       reference_point=(1, 1, 1))
+        vd.add_calculator(c)
+        f1 = np.asarray(vd.get_field(c.output_name))
+        epoch = vd.dirty_epoch(c.output_name)
+        new = np.asarray(
+            fixtures.synth_box_ensemble(8, 8, 4, 30, seed=9))
+        vd.add_field("data", lambda t, e: new[e])
+        assert vd.dirty_epoch(c.output_name) > epoch
+        f2 = np.asarray(vd.get_field(c.output_name))
+        assert not np.allclose(f1, f2)
+
+    def test_settings_roundtrip_field_mode(self):
+        # symmetric_fields / field_name_ref / time_lag must survive a
+        # get_settings -> settings_to_kwargs round-trip.
+        c = calc.CorrelationCalculator(
+            field_name="a", field_name_ref="b", symmetric_fields=True,
+        )
+        kw = calc.CorrelationCalculator.settings_to_kwargs(
+            c.get_settings()
+        )
+        assert kw["symmetric_fields"] is True
+        assert kw["field_name_ref"] == "b"
+
+        c2 = calc.CorrelationCalculator(
+            field_name="a", field_name_ref="b", ensemble_mode=False,
+            time_lag=3,
+        )
+        kw2 = calc.CorrelationCalculator.settings_to_kwargs(
+            c2.get_settings()
+        )
+        assert kw2["time_lag"] == 3
+        assert kw2["symmetric_fields"] is False
+        assert kw2["field_name_ref"] == "b"

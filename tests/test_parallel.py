@@ -44,7 +44,9 @@ def test_pearson_sharded_matches_dense(stack_and_ref, space, members):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-@pytest.mark.parametrize("measure", ["spearman", "kendall", "mi_kraskov"])
+@pytest.mark.parametrize(
+    "measure", ["spearman", "kendall", "mi_kraskov", "mi_binned"]
+)
 def test_allgather_measures_match_dense(stack_and_ref, measure):
     stack, ref = stack_and_ref
     mesh = make_mesh(space=2, members=4)
@@ -52,7 +54,13 @@ def test_allgather_measures_match_dense(stack_and_ref, measure):
     got = np.asarray(
         correlate_member_sharded(sharded, ref, mesh, measure)
     )
-    want = np.asarray(ops.correlate(ref, stack, measure))
+    # Oracle = the dense CALCULATOR path: for binned MI it normalizes
+    # by global min/max (reference semantics) — the sharded path must
+    # match it, not per-shard bounds (round-3 review finding: Z-seam
+    # divergence when each shard normalized by its local slab).
+    from correrender_tpu.calculators.correlation import correlate_field
+
+    want = np.asarray(correlate_field(stack, ref, measure))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
