@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from correrender_tpu.render.camera import default_render_box
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -106,11 +108,7 @@ def dvr_shearwarp_sharded(
     """Render a Z-sharded volume with distributed shear-warp DVR."""
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min = np.asarray(box[0], np.float32)
     box_max = np.asarray(box[1], np.float32)
 

@@ -98,6 +98,9 @@ class Camera:
     def inverse_view_matrix(self) -> np.ndarray:
         return np.linalg.inv(self.view_matrix()).astype(np.float32)
 
+    def projection_matrix(self, aspect: float) -> np.ndarray:
+        return perspective(self.fovy, aspect, self.z_near, self.z_far)
+
     def inverse_projection_matrix(self, aspect: float) -> np.ndarray:
         return np.linalg.inv(
             perspective(self.fovy, aspect, self.z_near, self.z_far)
@@ -161,3 +164,20 @@ def orbit_camera(
         cz + radius * math.cos(phi) * math.cos(theta),
     )
     return Camera(position=pos, look_at_point=center, **kwargs)
+
+
+def default_render_box(shape_zyx):
+    """The package-wide default render AABB for a (Z, Y, X) volume.
+
+    Longest side normalized to 0.5 world units, centered at the origin
+    (VolumeData.cpp:322-330 convention). One definition — this used to
+    be copy-pasted in six renderers, where a drift between e.g.
+    prepare_iso_shearwarp and iso_shearwarp would silently corrupt the
+    prepared-layout geometry.
+    """
+    zs, ys, xs = shape_zyx
+    dims = np.array(
+        [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
+    )
+    normalized = dims / dims.max()
+    return (-0.25 * normalized, 0.25 * normalized)

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from correrender_tpu.render.camera import default_render_box
+
 from correrender_tpu.render.sampling import sample_trilinear, ray_box_intersect
 
 
@@ -183,11 +185,7 @@ def dvr_render(
     """
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min, box_max = np.asarray(box[0], np.float32), np.asarray(
         box[1], np.float32
     )

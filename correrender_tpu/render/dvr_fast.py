@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from correrender_tpu.render.camera import default_render_box
+
 from correrender_tpu.render.classify import classify_volume
 
 _EPS = 1e-6
@@ -295,11 +297,7 @@ def dvr_shearwarp(
     """
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min = np.asarray(box[0], np.float32)
     box_max = np.asarray(box[1], np.float32)
 
@@ -310,6 +308,20 @@ def dvr_shearwarp(
     in_plane = [i for i in range(3) if i != a]  # (u, v) world axes
 
     flip = bool(forward[a] < 0)
+    # Shear-warp factorization requires every slice plane strictly in
+    # front of the eye along the principal axis: with the eye inside
+    # (or past the near face of) the slab, behind-eye slices flip the
+    # projection sign and composite mirrored content (round-3 review
+    # finding). Fly-through/zoom-in frames fall back to the exact
+    # marcher, which handles eye-inside via t_start = max(t_near, 0).
+    if (eye[a] >= box_min[a]) if not flip else (eye[a] <= box_max[a]):
+        from correrender_tpu.render.dvr import dvr_render
+
+        return dvr_render(
+            volume, camera, transfer_function, image_size=image_size,
+            box=box, attenuation=attenuation, background=background,
+            depth_limit=depth_limit,
+        )
     if prepared is not None and prepared["key"] != (a, flip):
         prepared = None  # camera crossed an axis/order boundary
     if prepared is not None:
@@ -357,7 +369,7 @@ def dvr_shearwarp(
     # Intermediate grid: union of slice footprints projected to the
     # reference plane through the eye (q_ref = e + (q − e)/g_k).
     e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
-    lo_u = hi_u = None
+    lo_u = hi_u = lo_v = hi_v = None
     for gk in (g.min(), g.max(), 1.0):
         if gk <= 0:
             continue
@@ -365,13 +377,6 @@ def dvr_shearwarp(
         cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
         lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
         hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
-        if gk == g.min() or lo_u is None:
-            pass
-    lo_v, hi_v = None, None
-    for gk in (g.min(), g.max(), 1.0):
-        if gk <= 0:
-            continue
-        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
         lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
         hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
 

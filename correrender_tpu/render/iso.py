@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from correrender_tpu.render.camera import default_render_box
+
 from correrender_tpu.render.sampling import sample_trilinear, ray_box_intersect
 from correrender_tpu.render.dvr import num_steps_for, world_step_size
 
@@ -323,11 +325,7 @@ def iso_render(
     """
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min = np.asarray(box[0], np.float32)
     box_max = np.asarray(box[1], np.float32)
     step = world_step_size(volume.shape, box_min, box_max, voxel_step)

@@ -12,10 +12,11 @@ ray anyway), the surface normal comes from the interpolated gradient,
 Blinn-Phong shading matches render/iso.py, and the homography warp
 maps to the screen.
 
-Boundary semantics: outside-box samples are zero, so surfaces closed
-by the box boundary appear where boundary values exceed the iso level
-(the reference's "closed surface" option; the marcher's clamp-to-edge
-leaves them open).
+Boundary semantics: like the exact marcher's default, surfaces are
+OPEN at the box boundary — the resampling clamps to edge and the scan
+only fires on crossings between in-box samples, so no box-face caps
+are generated. Users needing the reference's "closed surface" option
+use render/iso.py with closed_surface=True.
 """
 
 from __future__ import annotations
@@ -25,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from correrender_tpu.render.camera import default_render_box
 
 from correrender_tpu.render import dvr_fast as df
 
@@ -160,11 +163,7 @@ def prepare_iso_shearwarp(
     """
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min = np.asarray(box[0], np.float32)
     box_max = np.asarray(box[1], np.float32)
     eye = np.asarray(camera.position, np.float32)
@@ -207,11 +206,7 @@ def iso_shearwarp(
     each ray) and warped through the same homography as the color."""
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     box_min = np.asarray(box[0], np.float32)
     box_max = np.asarray(box[1], np.float32)
 
@@ -221,6 +216,16 @@ def iso_shearwarp(
     a = df._principal_axis(forward)
     in_plane = [i for i in range(3) if i != a]
     flip = bool(forward[a] < 0)
+    # Eye inside/past the slab: behind-eye slices flip the projection
+    # sign (see dvr_fast.dvr_shearwarp) — use the exact raycaster.
+    if (eye[a] >= box_min[a]) if not flip else (eye[a] <= box_max[a]):
+        from correrender_tpu.render.iso import iso_render
+
+        return iso_render(
+            volume, camera, iso_value, surface_color=surface_color,
+            image_size=image_size, box=box, background=background,
+            return_depth=return_depth,
+        )
 
     if prepared is not None and prepared["key"] != (a, flip):
         prepared = None  # camera crossed an axis/order boundary

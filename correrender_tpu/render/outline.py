@@ -19,7 +19,10 @@ def _project(points, view, proj, width, height):
     """World → pixel coordinates (+depth)."""
     p4 = np.concatenate([points, np.ones((len(points), 1))], axis=-1)
     clip = (proj @ (view @ p4.T)).T
-    ndc = clip[:, :3] / clip[:, 3:4]
+    # w == 0 (corner exactly in the camera plane) yields inf/NaN here;
+    # such edges are masked downstream — suppress the host warning.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndc = clip[:, :3] / clip[:, 3:4]
     px = (ndc[:, 0] * 0.5 + 0.5) * width
     py = (0.5 - ndc[:, 1] * 0.5) * height
     return np.stack([px, py], axis=-1), clip[:, 3]
@@ -61,7 +64,7 @@ def outline_render(
     )
     width, height = image_size
     view = camera.view_matrix()
-    proj = np.linalg.inv(camera.inverse_projection_matrix(width / height))
+    proj = camera.projection_matrix(width / height)
     pts, w_clip = _project(corners, view, proj, width, height)
 
     eye = np.asarray(camera.position, np.float32)
@@ -113,7 +116,10 @@ def _outline_core(pa, pb, da, db, valid, col, line_width, base_image,
     closest = pa[:, None, None] + t[..., None] * ab[:, None, None]
     d = jnp.linalg.norm(pix[None] - closest, axis=-1)
     cov_e = jnp.clip(1.0 + line_width * 0.5 - d, 0.0, 1.0)
-    cov_e = cov_e * valid[:, None, None]
+    # where, not multiply: an invalid edge (endpoint in the camera
+    # plane, w_clip == 0) projects to inf/NaN coordinates and
+    # NaN * 0.0 = NaN would poison every pixel through the max.
+    cov_e = jnp.where(valid[:, None, None] > 0, cov_e, 0.0)
     coverage = jnp.max(cov_e, axis=0)
 
     cov = (coverage * col[3])[..., None]

@@ -97,7 +97,7 @@ def render_reference_point_marker(
                        / np.array([xs, ys, zs])) * (box_max - box_min)
 
     view = camera.view_matrix()
-    proj = np.linalg.inv(camera.inverse_projection_matrix(width / height))
+    proj = camera.projection_matrix(width / height)
     clip = proj @ (view @ np.append(world, 1.0))
     if clip[3] <= 0:
         return (

@@ -28,7 +28,12 @@ def restriction_center(reference_point, shape_zyx, box):
     """World position of a reference-point index in the render box.
 
     Mirrors CorrelationCalculator.cpp:366-370: normalized position =
-    index / (dims − 1), mapped over the AABB.
+    index / (dims − 1), mapped over the AABB. Note this CORNER
+    convention sits up to half a voxel from the voxel CENTER that
+    :func:`restriction_mask` tests — deliberately: the reference maps
+    the restriction center the same way while its shaders sample at
+    texel centers, so matching its fields means keeping both
+    conventions as-is.
     """
     x, y, z = reference_point
     zs, ys, xs = shape_zyx

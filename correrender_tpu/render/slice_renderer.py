@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from correrender_tpu.render.camera import default_render_box
 from correrender_tpu.render.sampling import sample_trilinear
 
 _AXES = {"x": 0, "y": 1, "z": 2}
@@ -123,11 +124,7 @@ def slice_render_3d(
     per-view depth buffer (reference SceneData.hpp)."""
     zs, ys, xs = volume.shape
     if box is None:
-        dims = np.array(
-            [max(xs - 1, 1), max(ys - 1, 1), max(zs - 1, 1)], np.float32
-        )
-        normalized = dims / dims.max()
-        box = (-0.25 * normalized, 0.25 * normalized)
+        box = default_render_box((zs, ys, xs))
     bmin = np.asarray(box[0], np.float32)
     bmax = np.asarray(box[1], np.float32)
     a = _AXES[axis]

@@ -215,7 +215,12 @@ def world_map_render(
     if base_image is None:
         base_image = jnp.zeros((height, width, 4), jnp.float32)
     # Plane renders behind existing content (it is the backdrop).
+    # Straight-alpha under-compositing — every producer/compositor in
+    # this package uses straight rgba (adding un-weighted base rgb
+    # treated it as premultiplied and over-brightened translucent
+    # pixels, round-3 review).
     base_a = base_image[..., 3:4]
-    out_rgb = base_image[..., :3] + (1 - base_a) * mask * rgb
+    out_rgb = base_image[..., :3] * base_a + (1 - base_a) * mask * rgb
     out_a = jnp.maximum(base_a[..., 0], mask[..., 0])
+    out_rgb = out_rgb / jnp.maximum(out_a[..., None], 1e-9)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

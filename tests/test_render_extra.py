@@ -351,3 +351,63 @@ class TestModelTransform:
         scene2.add_renderer("iso_ray", iso_value=0.5)
         img2 = np.asarray(scene2.render_view(0, image_size=(32, 24)))
         assert np.isfinite(img2).all()
+
+
+class TestEyeInsideFallback:
+    def test_dvr_shearwarp_inside_box_matches_exact(self):
+        # Eye inside the slab: behind-eye slices flip the projection
+        # sign and the shear-warp composites mirrored content (round-3
+        # review). Inside-box cameras must take the exact marcher.
+        from correrender_tpu.render.dvr import dvr_render
+        from correrender_tpu.render.dvr_fast import dvr_shearwarp
+        from correrender_tpu.render.tf import TransferFunction
+
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.random((24, 24, 24), np.float32))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0, 1),
+            opacity_points=((0.0, 0.2), (1.0, 0.8)),
+        )
+        cam = Camera(position=(0.02, 0.01, 0.1))  # inside ±0.25 box
+        fast = np.asarray(
+            dvr_shearwarp(vol, cam, tf, image_size=(64, 48))
+        )
+        exact = np.asarray(
+            dvr_render(vol, cam, tf, image_size=(64, 48))
+        )
+        np.testing.assert_array_equal(fast, exact)  # literal fallback
+        assert np.isfinite(fast).all()
+
+    def test_iso_shearwarp_inside_box_matches_exact(self):
+        from correrender_tpu.render.iso import iso_render
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        vol, _ = sphere_volume(24), None
+        vol = vol[0] if isinstance(vol, tuple) else vol
+        cam = Camera(position=(0.0, 0.02, 0.05))
+        fast = np.asarray(
+            iso_shearwarp(vol, cam, 0.5, image_size=(64, 48))
+        )
+        exact = np.asarray(
+            iso_render(vol, cam, 0.5, image_size=(64, 48))
+        )
+        np.testing.assert_array_equal(fast, exact)
+
+
+class TestOutlineDegenerateCorner:
+    def test_corner_in_camera_plane_no_nan(self):
+        # A corner with w_clip == 0 projects to inf/NaN; the invalid-
+        # edge mask must be a where (NaN * 0.0 = NaN poisoned every
+        # pixel through the max — round-3 review).
+        from correrender_tpu.render.outline import outline_render
+
+        box = (np.array([-0.25, -0.25, -0.25], np.float32),
+               np.array([0.25, 0.25, 0.25], np.float32))
+        # Eye placed so a corner lies exactly in the camera plane
+        # (z_view == 0 for that corner).
+        cam = Camera(position=(0.25, 0.25, 0.25),
+                     look_at_point=(-0.25, -0.25, -0.25))
+        img = np.asarray(
+            outline_render(cam, box, image_size=(48, 32))
+        )
+        assert np.isfinite(img).all()
