@@ -25,14 +25,22 @@ def dbscan(points: np.ndarray, eps: float = 0.5, min_samples: int = 5
     degree = adj.sum(axis=1)
     core = degree >= min_samples
 
-    # Connected components over the core-core graph by label propagation:
-    # labels start as point indices; repeatedly take the min label over
-    # core neighbours until fixpoint.
+    # Connected components over the core-core graph: min-label
+    # propagation with POINTER JUMPING (labels[labels] each round), so
+    # convergence is O(log diameter) matrix passes instead of
+    # O(diameter) — filament-shaped t-SNE clusters made the plain
+    # propagation O(n³) (round-3 review finding).
     labels = np.arange(n)
     core_adj = adj & core[None, :] & core[:, None]
     while True:
         neigh = np.where(core_adj, labels[None, :], n)
         new = np.minimum(labels, neigh.min(axis=1))
+        # Path-halving: chase each label to its current representative.
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
         if np.array_equal(new, labels):
             break
         labels = new

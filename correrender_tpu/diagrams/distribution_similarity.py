@@ -67,11 +67,18 @@ def build_features(
     if mode == "cell_member_values":
         cells = sample_cells((zs, ys, xs), max_points, pattern)
         feats = stack[cells[:, 0], cells[:, 1], cells[:, 2]]  # (N, n)
-        return feats.astype(np.float32), cells
+        # Drop NaN-carrying cells (masked/fill voxels): one NaN row
+        # poisons every pairwise t-SNE distance and the whole
+        # embedding comes back NaN (round-3 review finding).
+        ok = np.isfinite(feats).all(axis=-1)
+        return feats[ok].astype(np.float32), cells[ok]
     if mode == "member_cell_values":
         cells = sample_cells((zs, ys, xs), max_points, pattern)
         vals = stack[cells[:, 0], cells[:, 1], cells[:, 2]]  # (N, n)
-        return vals.T.astype(np.float32), np.arange(n)  # (n, N)
+        # Feature axis = sampled cells: keep members comparable by
+        # dropping CELLS with any non-finite value across members.
+        ok = np.isfinite(vals).all(axis=-1)
+        return vals[ok].T.astype(np.float32), np.arange(n)  # (n, N_ok)
     if mode == "cell_neighborhood_correlations":
         cells = sample_cells((zs, ys, xs), max_points, pattern)
         r = neighborhood

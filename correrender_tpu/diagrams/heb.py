@@ -88,16 +88,21 @@ class HEBChart:
     def _leaf_stddev(self) -> np.ndarray:
         """Per-leaf mean ensemble std-dev (the outer ring data)."""
         std = np.nanstd(self.means, axis=-1)  # (zs, ys, xs)
-        return np.array(
-            [
-                std[
-                    r.z_min : r.z_max + 1,
-                    r.y_min : r.y_max + 1,
-                    r.x_min : r.x_max + 1,
-                ].mean()
-                for r in self.leaves
-            ]
-        )
+        # nanmean + nan_to_num: all-NaN voxels (masked ocean cells,
+        # GRIB bitmaps) must not NaN-poison the ring normalization —
+        # lut[int(NaN * 255)] killed the whole chart (round-3 review).
+        with np.errstate(invalid="ignore"):
+            vals = np.array(
+                [
+                    np.nanmean(std[
+                        r.z_min : r.z_max + 1,
+                        r.y_min : r.y_max + 1,
+                        r.x_min : r.x_max + 1,
+                    ])
+                    for r in self.leaves
+                ]
+            )
+        return np.nan_to_num(vals, nan=0.0)
 
     # -- correlation ------------------------------------------------------
 
@@ -229,7 +234,9 @@ class HEBChart:
         leaf_index_of_node = {n: k for k, n in enumerate(leaf_nodes)}
 
         # Std-dev outer ring.
-        smax = self.leaf_stddev.max() or 1.0
+        smax = float(np.nanmax(self.leaf_stddev))
+        if not np.isfinite(smax) or smax <= 0.0:
+            smax = 1.0
         ring_tf = TransferFunction.from_colormap("viridis", domain=(0, 1))
         lut = np.asarray(ring_tf.lut)
         arc = 2 * math.pi / self.num_leaves

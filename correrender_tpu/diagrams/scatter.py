@@ -34,10 +34,30 @@ def render_scatter_svg(
     size: int = 600,
     colors=None,
     point_radius: float = 2.0,
+    max_points: int = 4096,
+    seed: int = 0,
 ) -> str:
     """Scatter-plot SVG; ``colors`` is an optional per-point cluster id
-    array (colored via a categorical wheel, −1 = gray noise)."""
+    array (colored via a categorical wheel, −1 = gray noise).
+
+    Inputs are finite-filtered and subsampled to ``max_points`` HERE
+    (with ``colors`` kept aligned) — plotting raw 3-D fields emitted
+    one circle per voxel (a multi-GB SVG on a 256³ volume) and NaN
+    voxels produced invalid cx="nan" coordinates (round-3 review).
+    """
     a, b = (np.asarray(field_a).ravel(), np.asarray(field_b).ravel())
+    colors = None if colors is None else np.asarray(colors).ravel()
+    ok = np.isfinite(a) & np.isfinite(b)
+    a, b = a[ok], b[ok]
+    if colors is not None:
+        colors = colors[ok]
+    if len(a) > max_points:
+        idx = np.random.default_rng(seed).choice(
+            len(a), max_points, replace=False
+        )
+        a, b = a[idx], b[idx]
+        if colors is not None:
+            colors = colors[idx]
     margin = 50
     span = size - 2 * margin
     canvas = SvgCanvas(size, size)

@@ -70,16 +70,18 @@ class SvgCanvas:
     def bezier(self, control_points, color="black", width=1.0, opacity=1.0):
         """Cubic beziers through successive control-point windows."""
         cp = control_points
+        if len(cp) < 4 or (len(cp) - 1) % 3 != 0:
+            raise ValueError(
+                "cubic bezier needs 1 + 3k control points, got "
+                f"{len(cp)}"
+            )
         d = f"M {cp[0][0]:.2f} {cp[0][1]:.2f}"
-        i = 1
-        while i + 2 < len(cp) + 1:
-            if i + 2 < len(cp):
-                d += (
-                    f" C {cp[i][0]:.2f} {cp[i][1]:.2f},"
-                    f" {cp[i+1][0]:.2f} {cp[i+1][1]:.2f},"
-                    f" {cp[i+2][0]:.2f} {cp[i+2][1]:.2f}"
-                )
-            i += 3
+        for i in range(1, len(cp) - 2, 3):
+            d += (
+                f" C {cp[i][0]:.2f} {cp[i][1]:.2f},"
+                f" {cp[i+1][0]:.2f} {cp[i+1][1]:.2f},"
+                f" {cp[i+2][0]:.2f} {cp[i+2][1]:.2f}"
+            )
         self._elems.append(
             f'<path d="{d}" fill="none" stroke="{_fmt_color(color)}" '
             f'stroke-width="{width}" stroke-opacity="{opacity:.3f}"/>'
@@ -87,15 +89,19 @@ class SvgCanvas:
 
     def text(self, x, y, content, size=12, color="black", anchor="middle",
              rotate=None):
+        from xml.sax.saxutils import escape
+
         rot = (
             f' transform="rotate({rotate:.1f} {x:.2f} {y:.2f})"'
             if rotate is not None
             else ""
         )
+        # escape: labels come straight from dataset field names — an
+        # '&' or '<' written verbatim makes the SVG unparsable.
         self._elems.append(
             f'<text x="{x:.2f}" y="{y:.2f}" font-size="{size}" '
             f'fill="{_fmt_color(color)}" text-anchor="{anchor}"'
-            f"{rot}>{content}</text>"
+            f"{rot}>{escape(str(content))}</text>"
         )
 
     def arc_ring(self, cx, cy, r_inner, r_outer, a0, a1, fill="gray",

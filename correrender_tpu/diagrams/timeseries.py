@@ -17,6 +17,25 @@ from correrender_tpu import ops
 from correrender_tpu.render.tf import TransferFunction
 
 
+
+def _pick_series_variable(candidates: dict, variable, path: str) -> str:
+    """Resolve the series variable with actionable errors — a raw
+    KeyError/StopIteration defeated this loader's documented purpose
+    (round-3 review finding)."""
+    if variable is not None:
+        if variable not in candidates:
+            raise ValueError(
+                f"variable {variable!r} in {path} is not a >=2-D "
+                f"series variable; available: {sorted(candidates)}"
+            )
+        return variable
+    if not candidates:
+        raise ValueError(
+            f"{path} has no >=2-D variable — the time-series diagram "
+            "needs a (samples, time) series variable"
+        )
+    return next(iter(candidates))
+
 def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
     """Load a (samples, time) series matrix from NetCDF3/4.
 
@@ -35,15 +54,17 @@ def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
         candidates = {
             k: v for k, v in nc.variables.items() if v.data.ndim >= 2
         }
-        name = variable or next(iter(candidates))
+        name = _pick_series_variable(candidates, variable, path)
         arr = np.asarray(candidates[name].data, np.float32)
     else:
         import h5py
 
         with h5py.File(path, "r") as f:
-            name = variable or next(
-                k for k, v in f.items() if getattr(v, "ndim", 0) >= 2
-            )
+            candidates = {
+                k: v for k, v in f.items()
+                if getattr(v, "ndim", 0) >= 2
+            }
+            name = _pick_series_variable(candidates, variable, path)
             arr = np.asarray(f[name][...], np.float32)
     # Squeeze only when MORE than 2 axes remain: a legitimate (1, T)
     # single-sample series keeps its sample axis (a plain np.squeeze

@@ -19,7 +19,11 @@ import math
 import jax
 import jax.numpy as jnp
 
-_PRIMES = (1, 2654435761, 805459861, 3674653429)
+# Reference prime tables (Encodings.glsl:283-288): PRIME hashes every
+# axis; COHERENT_PRIME leaves axis 0 unhashed (cache locality);
+# REVERSED_PRIME walks the table backwards.
+_PRIMES = (1958374283, 2654435761, 805459861, 3674653429,
+           2097192037, 1434869437, 2165219737)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,7 +113,7 @@ class HashGridEncoding:
             return idx
         primes = _PRIMES[: self.dims]
         if self.hash_type == "reversed_prime":
-            primes = primes[::-1]
+            primes = _PRIMES[::-1][: self.dims]
         elif self.hash_type == "coherent_prime":
             # Coherent variant: first axis unhashed for cache locality.
             primes = (1,) + _PRIMES[1 : self.dims]

@@ -66,10 +66,17 @@ class CorrelationSRN:
                    symmetrizer=symmetrizer)
 
     _SYMMETRIZERS = ("add", "add_diff", "mul")
+    _ACTIVATIONS = ("relu", "snake", "snake_alt", "none")
 
     def config_array(self):
         """Hyperparameters as a small int array (rides inside .npz
-        weight presets so loading needs no side-channel config)."""
+        weight presets so loading needs no side-channel config).
+
+        Records the MLP DEPTHS and activation too: presets saved from
+        imported torch archives are not always the 2-hidden-layer
+        default, and rebuilding against the wrong depth mis-chains the
+        loaded parameter shapes (round-3 review finding).
+        """
         import numpy as np
 
         return np.asarray([
@@ -77,14 +84,31 @@ class CorrelationSRN:
             self.encoder.out_features,
             self.encoding.num_frequencies,
             self._SYMMETRIZERS.index(self.symmetrizer),
+            self.encoder.num_layers,
+            self.decoder.num_layers,
+            self._ACTIVATIONS.index(self.encoder.activation),
         ], np.int64)
 
     @classmethod
     def from_config_array(cls, cfg):
-        return cls.create(
-            hidden=int(cfg[0]), latent=int(cfg[1]),
-            num_frequencies=int(cfg[2]),
-            symmetrizer=cls._SYMMETRIZERS[int(cfg[3])],
+        hidden, latent = int(cfg[0]), int(cfg[1])
+        num_frequencies = int(cfg[2])
+        symmetrizer = cls._SYMMETRIZERS[int(cfg[3])]
+        # Older 4-element presets predate the depth/activation fields.
+        enc_layers = int(cfg[4]) if len(cfg) > 4 else 2
+        dec_layers = int(cfg[5]) if len(cfg) > 5 else 2
+        activation = (cls._ACTIVATIONS[int(cfg[6])]
+                      if len(cfg) > 6 else "relu")
+        enc = FrequencyEncoding(dims=3, num_frequencies=num_frequencies)
+        return cls(
+            encoding=enc,
+            encoder=MLP(enc.num_features, hidden, latent,
+                        num_layers=enc_layers, activation=activation),
+            decoder=MLP(
+                symmetrizer_output_features(latent, symmetrizer),
+                hidden, 1, num_layers=dec_layers, activation=activation,
+            ),
+            symmetrizer=symmetrizer,
         )
 
     def init(self, key):

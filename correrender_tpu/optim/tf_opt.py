@@ -64,20 +64,28 @@ def optimize_tf_ols(
         premultiply=False,
     )  # (V, 4)
     w = _two_hot(b_vals, domain_b, tf_size)  # (V, R)
-    ata = jnp.einsum("vr,vs->rs", w, w, preferred_element_type=jnp.float32)
-    atb = jnp.einsum("vr,vc->rc", w, target,
-                     preferred_element_type=jnp.float32)
     if solver in ("cgls", "lsqr"):
+        # Iterative solvers work on (w, target) directly — the (R, R)
+        # normal equations are only formed for the dense/NNLS branches
+        # (building them here anyway doubled the fit's dominant cost,
+        # round-3 review), and the caller's iteration budget applies.
         fn = solvers.cgls if solver == "cgls" else solvers.lsqr
-        x = jnp.stack([fn(w, target[:, c], iters=100) for c in range(4)],
-                      axis=-1)
-    elif nonneg:
         x = jnp.stack(
-            [solvers.solve_nonneg(ata, atb[:, c], iters=iters)
-             for c in range(4)], axis=-1,
+            [fn(w, target[:, c], iters=iters) for c in range(4)],
+            axis=-1,
         )
     else:
-        x = solvers.solve_dense(ata, atb, solver)
+        ata = jnp.einsum("vr,vs->rs", w, w,
+                         preferred_element_type=jnp.float32)
+        atb = jnp.einsum("vr,vc->rc", w, target,
+                         preferred_element_type=jnp.float32)
+        if nonneg:
+            x = jnp.stack(
+                [solvers.solve_nonneg(ata, atb[:, c], iters=iters)
+                 for c in range(4)], axis=-1,
+            )
+        else:
+            x = solvers.solve_dense(ata, atb, solver)
     lut = jnp.clip(x, 0.0, 1.0)
     return TransferFunction(lut=lut, domain=tuple(domain_b))
 
