@@ -414,11 +414,13 @@ def build_parser():
     add_dataset_args(sp)
     sp.add_argument("--measure", default="pearson")
     sp.add_argument("--downsample", type=int, default=8)
+    # Static tuple, NOT imported from diagrams.sampling: parser
+    # construction must stay import-light (that import pulls the whole
+    # jax/ops chain into every `cli info`/`--help` invocation — round-3
+    # review). Pinned by a test against SAMPLING_METHODS.
     sp.add_argument("--sampling-method", default="mean",
-                    choices=list(__import__(
-                        "correrender_tpu.diagrams.sampling",
-                        fromlist=["SAMPLING_METHODS"],
-                    ).SAMPLING_METHODS))
+                    choices=("mean", "random", "halton", "plastic",
+                             "bayesian"))
     sp.add_argument("--num-samples", type=int, default=64)
     sp.add_argument("--max-chords", type=int, default=100)
     sp.add_argument("--output", required=True)

@@ -20,6 +20,7 @@ the reference's RENDERING_MODE_NAMES_ID (RenderingModes.hpp:62-73).
 from __future__ import annotations
 
 import json
+from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
@@ -90,8 +91,10 @@ class Scene:
         ]
         # Resident shear-warp slice layouts: (field, t, e, tf, camera
         # axis key, restriction) → prepare_shearwarp result. Keeps the
-        # classify + layout cost per change, not per frame.
-        self._prepared_cache: dict = {}
+        # classify + layout cost per change, not per frame — a bounded
+        # LRU, because a single entry thrashed on every frame of any
+        # scene with two fast renderers or two views (round-3 review).
+        self._prepared_cache: OrderedDict = OrderedDict()
 
     # -- construction ------------------------------------------------------
 
@@ -121,6 +124,20 @@ class Scene:
                 )
             )
         return self.transfer_functions[field_name]
+
+    _PREPARED_CACHE_CAP = 8
+
+    def _prep_cache_get(self, key):
+        prep = self._prepared_cache.get(key)
+        if prep is not None:
+            self._prepared_cache.move_to_end(key)
+        return prep
+
+    def _prep_cache_put(self, key, prep):
+        self._prepared_cache[key] = prep
+        self._prepared_cache.move_to_end(key)
+        while len(self._prepared_cache) > self._PREPARED_CACHE_CAP:
+            self._prepared_cache.popitem(last=False)
 
     # -- rendering ---------------------------------------------------------
 
@@ -204,10 +221,10 @@ class Scene:
                     pkey = ("iso", field, self.current_time,
                             self.current_member, vd.dirty_epoch(field),
                             shearwarp_camera_key(cam), rest_sig)
-                    prep = self._prepared_cache.get(pkey)
+                    prep = self._prep_cache_get(pkey)
                     if prep is None:
                         prep = prepare_iso_shearwarp(vol, cam, box=box)
-                        self._prepared_cache = {pkey: prep}
+                        self._prep_cache_put(pkey, prep)
                     img, depth = iso_shearwarp(
                         vol, cam, r.get("iso_value", 0.5),
                         surface_color=r.get("color",
@@ -336,19 +353,20 @@ class Scene:
                             vd.dirty_epoch(field))
                 pkey = (vol_part, tf.uid,
                         shearwarp_camera_key(cam), rest_sig)
-                prep = self._prepared_cache.get(pkey)
+                prep = self._prep_cache_get(pkey)
                 if prep is None:
                     # A TF-only change can reuse the resident
-                    # scalar layout: pass the stale entry as prior
-                    # (prepare_shearwarp revalidates its axis key).
+                    # scalar layout: pass the newest same-volume
+                    # entry as prior (prepare_shearwarp revalidates
+                    # its axis key).
                     prior = None
-                    if rest_sig is None and self._prepared_cache:
-                        (old_key, old_prep), = (
-                            self._prepared_cache.items()
-                        )
-                        if (old_key[0] == vol_part
-                                and old_key[3] is None):
-                            prior = old_prep
+                    if rest_sig is None:
+                        for old_key, old_prep in reversed(
+                                list(self._prepared_cache.items())):
+                            if (old_key[0] == vol_part
+                                    and old_key[3] is None):
+                                prior = old_prep
+                                break
                     classified = None
                     if restriction is not None:
                         # Voxel-granular restriction: mask the
@@ -376,9 +394,7 @@ class Scene:
                         vol, tf, cam, classified=classified,
                         prior=prior,
                     )
-                    # Single-entry cache: interactive use renders
-                    # one configuration repeatedly.
-                    self._prepared_cache = {pkey: prep}
+                    self._prep_cache_put(pkey, prep)
                 img = dvr_shearwarp(vol, cam, tf, prepared=prep,
                                     depth_limit=scene_depth, **kwargs)
             else:

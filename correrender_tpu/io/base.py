@@ -154,11 +154,23 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
 
     es = first.es
     ts = first.ts
+    per_file_es = first.es
+    per_file_ts = first.ts
     if len(paths) > 1:
-        # File series: one file per member (time_steps from catalog).
+        # File series (VolumeData.cpp:663-673): ts from the catalog's
+        # time_steps COUNT (the attribute itself is the index list —
+        # assigning it to ts raised TypeError at max(ts, 1) and would
+        # have stored a list as the timestep count, round-3 review);
+        # es = numFiles / ts, or members stack across files when each
+        # file already holds several.
         if dataset_info is not None and dataset_info.time_steps:
-            ts = dataset_info.time_steps
-        es = len(paths) // max(ts, 1) if first.es == 1 else first.es * len(paths)
+            ts = dataset_info.time_steps_count
+        if per_file_es > 1:
+            es = per_file_es * len(paths)  # member groups per file
+        elif per_file_ts > 1:
+            es = len(paths)  # one member per file, timesteps inside
+        else:
+            es = max(len(paths) // max(ts, 1), 1)
 
     grid = first.grid_metadata(dataset_info)
     import dataclasses as _dc
@@ -188,8 +200,20 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
     def make_provider(name):
         def provider(t, e, _name=name):
             if len(loaders) > 1:
-                ld = loaders[e] if ts == 1 else loaders[e * ts + t]
-                arr = ld.load_field(_name, 0, 0)
+                if per_file_es > 1:
+                    # Each file holds a member group: e spans files ×
+                    # in-file members (the old path indexed loaders[e]
+                    # past the list and always loaded member 0).
+                    ld = loaders[e // per_file_es]
+                    arr = ld.load_field(_name, t, e % per_file_es)
+                elif per_file_ts > 1:
+                    # One file per member, timesteps inside the file.
+                    ld = loaders[e]
+                    arr = ld.load_field(_name, t, 0)
+                else:
+                    # One file per (member[, time]) snapshot.
+                    ld = loaders[e] if ts == 1 else loaders[e * ts + t]
+                    arr = ld.load_field(_name, 0, 0)
             else:
                 arr = first.load_field(_name, t, e)
             arr = first.apply_transforms(arr, dataset_info)

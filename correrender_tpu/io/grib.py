@@ -628,8 +628,14 @@ def write_grib2(
         disc, cat, num = name_to_code.get(name, (0, 254, 0))
         for z in range(nz):
             grid = np.asarray(vol[z], np.float64)
-            lo = float(np.nanmin(grid))
-            hi = float(np.nanmax(grid))
+            # NaN voxels (loader _FillValue slabs) are encoded through
+            # a section-6 bitmap — quantizing them silently round-
+            # tripped as the field minimum (round-3 review finding).
+            valid = np.isfinite(grid).ravel()
+            has_bitmap = not valid.all()
+            vals = grid.ravel()[valid]
+            lo = float(vals.min()) if vals.size else 0.0
+            hi = float(vals.max()) if vals.size else 0.0
             span = max(hi - lo, 0.0)
             sec5_tail = b""
             drt = {"simple": 0, "complex": 2,
@@ -645,8 +651,8 @@ def write_grib2(
                 # binary scale s.t. (hi-lo) fits in nbits.
                 scale = int(np.ceil(np.log2(span / (2**nb - 1))))
                 x = np.round(
-                    (grid - lo) / 2.0 ** scale
-                ).astype(np.int64).ravel()
+                    (vals - lo) / 2.0 ** scale
+                ).astype(np.int64)
                 x = np.clip(x, 0, 2**nb - 1)
                 if drt == 0:
                     bits = (
@@ -709,12 +715,18 @@ def write_grib2(
                 + struct.pack(">BBI", 255, 0, 0)  # 29..34 2nd surface
             ))
             # Section 5 — data representation template 5.0/5.2/5.3.
+            # npoints = number of encoded VALUES (valid points only
+            # when a bitmap is present, FM92 section 5 octets 6-9).
             s5 = sec(5, struct.pack(
                 ">IHfHHBB",
-                ni * nj, drt, np.float32(lo),
+                int(valid.sum()), drt, np.float32(lo),
                 usint(scale, 16), 0, nb, 0,
             ) + sec5_tail)
-            s6 = sec(6, struct.pack(">B", 255))
+            if has_bitmap:
+                s6 = sec(6, struct.pack(">B", 0)
+                         + np.packbits(valid.astype(np.uint8)).tobytes())
+            else:
+                s6 = sec(6, struct.pack(">B", 255))
             s7 = sec(7, packed)
             body = s1 + s3 + s4 + s5 + s6 + s7
             total = 16 + len(body) + 4

@@ -129,8 +129,14 @@ class NetCdfLoader(VolumeLoader):
             if short in coord_names or len(shape) < 3 or len(shape) > 5:
                 continue
             roles = _axis_order(dims)
-            self._vars[name] = (roles, shape)
             idx = {r: shape[i] for i, r in enumerate(roles)}
+            if not {"z", "y", "x"} <= idx.keys():
+                # Fully-classified without a z role — a 2D surface
+                # series like t2m(time, lat, lon). Skip it instead of
+                # KeyError-ing the whole file unloadable (round-3
+                # review); the volume model is (Z, Y, X) per field.
+                continue
+            self._vars[name] = (roles, shape)
             self.zs, self.ys, self.xs = idx["z"], idx["y"], idx["x"]
             self.ts = max(self.ts, idx.get("t", 1))
             self.es = max(self.es, idx.get("e", 1))

@@ -95,9 +95,13 @@ class RawLoader(VolumeLoader):
             )
         self.xs, self.ys, self.zs = (int(g) for g in m.groups())
         dtype = np.uint8
+        # Longest match wins: 'short' is a substring of 'ushort', so
+        # iteration order let the later key overwrite the right one
+        # (ushort volumes loaded as int16 — round-3 review).
+        best = ""
         for key, dt in _DAT_FORMATS.items():
-            if key in os.path.basename(path).lower():
-                dtype = dt
+            if key in os.path.basename(path).lower() and len(key) > len(best):
+                best, dtype = key, dt
         self._dtype = dtype
         self.field_names = [os.path.splitext(os.path.basename(path))[0]]
         return self

@@ -69,7 +69,28 @@ class _Tensor:
         dtype = self.storage.dtype
         flat = np.frombuffer(blob, dtype=dtype)
         if not self.size:
+            if not 0 <= self.offset < flat.size:
+                raise ValueError("tensor offset outside storage blob")
             return flat[self.offset].copy()
+        # Bounds-check BEFORE as_strided: a crafted/truncated archive
+        # declaring size/stride past the storage blob would otherwise
+        # read arbitrary process memory (the module advertises itself
+        # as safe on untrusted files — round-3 review).
+        max_index = self.offset
+        for n, st in zip(self.size, self.stride):
+            if n < 0:
+                raise ValueError("negative tensor dimension")
+            if n > 0:
+                if st < 0:
+                    raise ValueError("negative stride unsupported")
+                max_index += (n - 1) * st
+        numel = int(np.prod(self.size))
+        if numel > 0 and max_index >= flat.size:
+            raise ValueError(
+                f"tensor view (offset {self.offset}, size {self.size}, "
+                f"stride {self.stride}) exceeds storage of {flat.size} "
+                "elements"
+            )
         item = dtype.itemsize
         arr = np.lib.stride_tricks.as_strided(
             flat[self.offset:],

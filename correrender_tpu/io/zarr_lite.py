@@ -30,7 +30,10 @@ class ZarrArray:
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
-        self.fill_value = meta.get("fill_value", 0)
+        fv = meta.get("fill_value", 0)
+        if fv is None:  # spec-valid "fill_value": null
+            fv = np.nan if np.issubdtype(self.dtype, np.floating) else 0
+        self.fill_value = fv
         self.order = meta.get("order", "C")
         comp = meta.get("compressor")
         self.compressor = comp["id"] if comp else None

@@ -61,8 +61,12 @@ def synth_box_ensemble(
     """Ensemble ``(members, zs, ys, xs)`` with planted correlated boxes.
 
     Each voxel's member series is ``λ·s1 + (1−λ)·s0`` with s0 i.i.d.
-    normal and s1 a shared (anti-)linear ramp, so voxels inside a box
-    correlate strongly with each other and with the box sign.
+    normal and s1 a shared linear ramp, so voxels inside a box
+    correlate strongly with each other. NOTE the default layout
+    (matching the reference generate_synth_box_ensembles.py, where
+    every peak scale is +1.0) only produces POSITIVE λ — the
+    negative-sign branch below exists for callers planting
+    negative-scale peaks, not for the stock 4×4 layout.
     """
     lam = synth_box_lambda_field(xs, ys, zs)
     rng = np.random.default_rng(seed)

@@ -409,3 +409,20 @@ def test_render_dock_grid():
     # both half-canvases carry content
     assert img[:, :64, 3].max() > 0
     assert img[:, 64:, 3].max() > 0
+
+
+def test_cli_sampling_method_choices_match_registry():
+    # cli.py keeps a static choices tuple so parser construction stays
+    # import-light; pin it against the actual registry.
+    from correrender_tpu.app.cli import build_parser
+    from correrender_tpu.diagrams.sampling import SAMPLING_METHODS
+
+    parser = build_parser()
+    heb = next(
+        a for a in parser._subparsers._group_actions[0].choices.items()
+        if a[0] == "heb"
+    )[1]
+    choice_action = next(
+        a for a in heb._actions if a.dest == "sampling_method"
+    )
+    assert set(choice_action.choices) == set(SAMPLING_METHODS)

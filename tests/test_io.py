@@ -705,3 +705,78 @@ class TestGribEncoderRegressions:
             np.testing.assert_array_equal(
                 outs[(packing, True)], outs[(packing, False)]
             )
+
+    def test_nan_voxels_roundtrip_via_bitmap(self, tmp_path):
+        # NaN voxels must encode through a section-6 bitmap and decode
+        # back as NaN (they silently became the field minimum).
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(8)
+        f = rng.random((1, 7, 19)).astype(np.float32) * 50
+        f[0, 2, 3:9] = np.nan
+        f[0, 6, 0] = np.nan
+        for packing in ("simple", "complex_diff1"):
+            path = str(tmp_path / f"nan_{packing}.grb2")
+            write_grib2(path, {"t": f}, nbits=14, packing=packing)
+            got = GribLoader().open(path).load_field("t")
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(f))
+            m = np.isfinite(f)
+            np.testing.assert_allclose(got[m], f[m], atol=2e-2)
+
+
+class TestMultiFileSeries:
+    """load_volume file-series layouts (round-3 review regressions)."""
+
+    def _write_series(self, tmp_path, n, shape, offset_scale=1.0):
+        from correrender_tpu.io import writers
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for m in range(n):
+            p = str(tmp_path / f"s{m:02d}.nc")
+            writers.write_netcdf(
+                p,
+                (rng.normal(size=shape) + offset_scale * m).astype(
+                    np.float32
+                ),
+                name="v",
+            )
+            paths.append(p)
+        return paths
+
+    def test_catalog_time_steps_list(self, tmp_path):
+        # catalog time_range expansion stores a LIST of indices;
+        # assigning it as the timestep count raised TypeError.
+        from correrender_tpu.io.base import load_volume
+        from correrender_tpu.io.catalog import DataSetInformation
+
+        paths = self._write_series(tmp_path, 6, (1, 4, 8, 8))
+        info = DataSetInformation(name="series", filenames=paths)
+        info.time_steps = [0, 1]
+        vd = load_volume(paths, dataset_info=info)
+        assert (vd.grid.ts, vd.grid.es) == (2, 3)
+
+    def test_one_member_per_file_with_timesteps(self, tmp_path):
+        # Files carrying several timesteps each = one member per file.
+        from correrender_tpu.io.base import load_volume
+
+        paths = self._write_series(tmp_path, 3, (5, 4, 8, 8),
+                                   offset_scale=10.0)
+        vd = load_volume(paths)
+        assert (vd.grid.ts, vd.grid.es) == (5, 3)
+        m2t3 = np.asarray(vd.get_field("v", 3, 2))
+        assert 15 < m2t3.mean() < 25  # file 2's offset
+
+    def test_raw_ushort_sniffing(self, tmp_path):
+        # 'short' is a substring of 'ushort' — iteration order loaded
+        # ushort volumes as int16.
+        from correrender_tpu.io.base import loader_for_path
+
+        rng = np.random.default_rng(1)
+        raw = (rng.random((4, 8, 8)) * 60000).astype(np.uint16)
+        p = str(tmp_path / "vol_8x8x4_ushort.raw")
+        raw.tofile(p)
+        ld = loader_for_path(p).open(p)
+        arr = ld.load_field(ld.field_names[0])
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+        assert arr.max() > 0.8  # u16 normalization, not wrapped int16
