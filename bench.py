@@ -515,7 +515,39 @@ def _summary(vals):
     }
 
 
+def _device_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe the backend in a subprocess with a timeout.
+
+    A wedged TPU tunnel BLOCKS jax.devices() forever without raising
+    (observed round 3, 4+ hours) — an unguarded bench would then hang
+    instead of reporting, losing the round's artifact entirely.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        return proc.returncode == 0 and int(
+            proc.stdout.strip().splitlines()[-1]) >= 1
+    except Exception:  # noqa: BLE001 - timeout/crash/unparsable
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "pearson_field_throughput_250c_1000m",
+            "value": None,
+            "unit": "Gvoxel/s",
+            "vs_baseline": None,
+            "error": "device backend unreachable (jax.devices() probe "
+                     "timed out) — bench aborted instead of hanging",
+        }), flush=True)
+        sys.exit(1)
     if "--full" in sys.argv:
         # The five BASELINE.json configs end-to-end → BASELINE_RESULTS.json.
         from correrender_tpu.app.baseline_configs import run_all
