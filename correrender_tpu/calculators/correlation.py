@@ -149,7 +149,12 @@ def correlate_field(
     # Fast path: Kendall against a single reference series on TPU —
     # VMEM-resident pairwise sign sweep (exact equality with the XLA
     # path; ops/pallas/kendall_kernel.py).
-    if m == CorrelationMeasure.KENDALL and not per_voxel_ref:
+    if (m == CorrelationMeasure.KENDALL and not per_voxel_ref
+            and n <= 4000):
+        # n bound: the kernel accumulates double-counted pair sums in
+        # f32, exact only while n^2 stays within the 24-bit integer
+        # window (same bound ops/kendall.py documents; larger n takes
+        # the XLA path, which escalates to float64 pair counts).
         from correrender_tpu.ops.pallas.common import on_tpu
 
         if on_tpu():

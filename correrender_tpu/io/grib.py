@@ -335,6 +335,13 @@ def _decode_complex(data: bytes, msg: "_Message") -> np.ndarray:
         need = int((widths * lens).sum())
         if br.pos + need > br.buf.size * 8:
             raise ValueError("GRIB bit stream exhausted")
+        if int(widths.max(initial=0)) > 57:
+            # unpack_bits_u64's accumulator contract; wider groups are
+            # corrupt for physical fields anyway.
+            raise ValueError(
+                f"GRIB group width {int(widths.max())} > 57 bits "
+                "(corrupt message?)"
+            )
         i64p = ctypes.POINTER(ctypes.c_int64)
         refs_a = np.ascontiguousarray(refs, np.int64)
         widths_a = np.ascontiguousarray(widths, np.int64)

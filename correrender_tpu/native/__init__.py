@@ -26,11 +26,16 @@ def build_and_load(name: str, extra_flags=()) -> ctypes.CDLL:
     src = os.path.join(_DIR, f"{name}.cpp")
     lib = os.path.join(_DIR, f"lib{name}.so")
     if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+        # Compile to a PID-unique temp and rename atomically: a
+        # concurrent process (pytest-xdist worker, second CLI) could
+        # otherwise dlopen a partially written .so (round-3 review).
+        tmp = f"{lib}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            *extra_flags, "-o", lib, src,
+            *extra_flags, "-o", tmp, src,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, lib)
     dll = ctypes.CDLL(lib)
     _CACHE[name] = dll
     return dll

@@ -22,10 +22,16 @@ struct V3 {
 };
 
 // 6-tetrahedra decomposition of a cube (corner indices 0..7 with
-// bit 0 = +x, bit 1 = +y, bit 2 = +z).
+// bit 0 = +x, bit 1 = +y, bit 2 = +z): the fan {0, c_i, c_{i+1}, 7}
+// around the BODY diagonal 0-7, with c walking the edge cycle
+// 1,3,2,6,4,5 (consecutive corners cube-edge-adjacent). Every tet has
+// volume 1/6 and the union tiles the cube exactly — an earlier table
+// fanned around the FACE diagonal 0-6, leaving ~25% of each cell
+// uncovered and ~25% double-covered (holes + z-fighting duplicate
+// sheets; found by Monte-Carlo coverage in the round-3 review).
 const int kTets[6][4] = {
-    {0, 5, 1, 6}, {0, 1, 3, 6}, {0, 3, 2, 6},
-    {0, 2, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6},
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
 };
 
 const int kCornerOffset[8][3] = {

@@ -99,7 +99,7 @@ def mutual_information_kraskov(
 
     # k+1 smallest including self (self-distance 0), as in the reference's
     # findKNearestNeighbors(point, k+1, ...) call.
-    neg_top, idx = jax.lax.top_k(-dcheb, k + 1)  # over last axis
+    neg_top, _ = jax.lax.top_k(-dcheb, k + 1)  # over last axis
 
     if estimator == 1:
         kth = -neg_top[..., k]  # (..., n) k-th NN distance excluding self
@@ -114,10 +114,18 @@ def mutual_information_kraskov(
     else:
         # Per-axis projections of the (k+1)-NN set (estimator 2 uses the
         # max per-axis distance among the joint-space neighbours).
-        nx = jnp.take_along_axis(dx, idx, axis=-1)  # (..., n, k+1)
-        ny = jnp.take_along_axis(dy, idx, axis=-1)
-        eps_x = jnp.max(nx, axis=-1)
-        eps_y = jnp.max(ny, axis=-1)
+        # TIE-INCLUSIVE: all points at the k-th distance participate —
+        # the deterministic convention shared by the Pallas kernels
+        # (ksg_kernel/ksg_banded use dch <= kth); top_k's index-order
+        # tie-break silently diverged from them on exactly-tied data
+        # (quantized ensembles where the 1e-5 noise rounds away at
+        # values ≳512). The reference's own tie-break is arbitrary
+        # k-d-tree order (MutualInformation.cpp:449-509), so any
+        # deterministic member of the tie class is equally faithful.
+        kth = -neg_top[..., k]
+        nbr = dcheb <= kth[..., None]
+        eps_x = jnp.max(jnp.where(nbr, dx, -jnp.inf), axis=-1)
+        eps_y = jnp.max(jnp.where(nbr, dy, -jnp.inf), axis=-1)
         cx = _range_count(xf, eps_x + COUNT_EPSILON)
         cy = _range_count(yf, eps_y + COUNT_EPSILON)
         # Reference uses ψ(numPoints − 1) (centre excluded) — numPoints ≥

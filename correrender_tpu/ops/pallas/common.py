@@ -38,3 +38,29 @@ def on_tpu() -> bool:
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_SELECT_BIG = 1e30
+
+
+def select_kth(dch, k, axis):
+    """(k+1)-th smallest per slice along ``axis`` including ties —
+    extract-min-above-threshold with duplicate counting (the exact
+    kernel's selection semantics; shared by ksg_kernel and
+    ksg_banded's repair so the "exactly equal to the full-matrix
+    path" invariant has ONE definition)."""
+    import jax.numpy as jnp
+
+    shape = list(dch.shape)
+    shape[axis] = 1
+    thresh = jnp.full(shape, -1.0, jnp.float32)
+    cnt = jnp.zeros(shape, jnp.float32)
+    for _ in range(k + 1):
+        active = cnt < (k + 1)
+        masked = jnp.where(dch > thresh, dch, _SELECT_BIG)
+        m = jnp.min(masked, axis=axis, keepdims=True)
+        dup = jnp.sum((dch == m).astype(jnp.float32), axis=axis,
+                      keepdims=True)
+        thresh = jnp.where(active, m, thresh)
+        cnt = jnp.where(active, cnt + dup, cnt)
+    return thresh

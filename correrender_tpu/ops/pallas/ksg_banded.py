@@ -65,6 +65,7 @@ from correrender_tpu.ops.pallas.common import (
     digamma_vpu as _digamma,
     on_tpu,
     round_up,
+    select_kth,
 )
 
 _BIG = 1e30
@@ -94,22 +95,8 @@ def _build_band_val(base, scratch, w_band, npad):
         h += step
 
 
-def _select_kth(dch, k, axis):
-    """(k+1)-th smallest per row/column incl. ties (same semantics as
-    the exact kernel's extract-min-above-threshold loop)."""
-    shape = list(dch.shape)
-    shape[axis] = 1
-    thresh = jnp.full(shape, -1.0, jnp.float32)
-    cnt = jnp.zeros(shape, jnp.float32)
-    for _ in range(k + 1):
-        active = cnt < (k + 1)
-        masked = jnp.where(dch > thresh, dch, _BIG)
-        m = jnp.min(masked, axis=axis, keepdims=True)
-        dup = jnp.sum((dch == m).astype(jnp.float32), axis=axis,
-                      keepdims=True)
-        thresh = jnp.where(active, m, thresh)
-        cnt = jnp.where(active, cnt + dup, cnt)
-    return thresh
+# Tie-aware selection shared with the exact kernel (common.select_kth).
+_select_kth = select_kth
 
 
 # Batcher odd-even merge sort network for 8 inputs (19 comparators).

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from correrender_tpu.ops.pallas.common import select_kth
 from correrender_tpu.ops.pallas.common import digamma_vpu, on_tpu, round_up
 from correrender_tpu.ops.mi_ksg import (
     COUNT_EPSILON,
@@ -66,19 +67,11 @@ def _make_kernel(k: int, n: int, npad: int, rows: int, estimator: int):
         dys = y.reshape(1, npad) - yi  # (rows, npad) signed y_j - y_i
         dch = jnp.maximum(jnp.abs(dxs), jnp.abs(dys))
 
-        # k-th order statistic per row (incl. self-distance 0) via
-        # extract-min-above-threshold with duplicate counting.
-        thresh = jnp.full((rows, 1), -1.0, jnp.float32)
-        cnt = jnp.zeros((rows, 1), jnp.float32)
-        for _ in range(k + 1):
-            active = cnt < (k + 1)
-            masked = jnp.where(dch > thresh, dch, _BIG)
-            m = jnp.min(masked, axis=1, keepdims=True)
-            dup = jnp.sum(
-                (dch == m).astype(jnp.float32), axis=1, keepdims=True
-            )
-            thresh = jnp.where(active, m, thresh)
-            cnt = jnp.where(active, cnt + dup, cnt)
+        # k-th order statistic per row (incl. self-distance 0):
+        # tie-aware selection shared with ksg_banded's repair
+        # (common.select_kth) so the equality invariant between the
+        # two kernels has one definition.
+        thresh = select_kth(dch, k, axis=1)
 
         if estimator == 1:
             rx = thresh - COUNT_EPSILON  # (rows, 1) joint-space radius

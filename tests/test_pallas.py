@@ -385,3 +385,38 @@ class TestClassifyToCf:
         # classify + bf16 cast; NaN voxels map to transparent black.
         np.testing.assert_allclose(got, want, atol=0.02)
         assert (got[0, :, 0, 0] == 0).all()
+
+
+class TestKsgTiedData:
+    """Exactly-tied member values (quantized ensembles where the 1e-5
+    tie-break noise rounds away): all three KSG paths must agree under
+    BOTH estimators — est-2's neighbour set is tie-inclusive by
+    convention (round-3 review: top_k's index tie-break diverged)."""
+
+    @pytest.mark.parametrize("est", [1, 2])
+    def test_paths_agree_on_ties(self, est):
+        from correrender_tpu.ops.mi_ksg import mutual_information_kraskov
+        from correrender_tpu.ops.pallas.ksg_banded import mi_ksg_banded
+        from correrender_tpu.ops.pallas.ksg_kernel import mi_ksg_pallas
+
+        rng = np.random.default_rng(2)
+        n, v = 150, 12
+        # Large quantized values: noise * 1e-5 is below half an f32
+        # ulp at |x| >= 512, so joint-space ties survive.
+        ref = (1024.0 + np.round(rng.normal(size=n) * 3) * 8).astype(
+            np.float32
+        )
+        series = (1024.0 + np.round(rng.normal(size=(v, n)) * 3) * 8
+                  ).astype(np.float32)
+        refj, sj = jnp.asarray(ref), jnp.asarray(series)
+        want = np.asarray(
+            mutual_information_kraskov(refj, sj, k=3, estimator=est)
+        )
+        exact = np.asarray(
+            mi_ksg_pallas(sj, refj, k=3, estimator=est, interpret=True)
+        )
+        banded = np.asarray(
+            mi_ksg_banded(sj, refj, k=3, estimator=est, interpret=True)
+        )
+        np.testing.assert_allclose(exact, want, atol=2e-4)
+        np.testing.assert_allclose(banded, want, atol=2e-4)

@@ -411,3 +411,29 @@ class TestOutlineDegenerateCorner:
             outline_render(cam, box, image_size=(48, 32))
         )
         assert np.isfinite(img).all()
+
+
+class TestMeshWatertight:
+    def test_closed_surface_every_edge_shared_twice(self):
+        # A sphere fully inside the grid extracts a CLOSED surface:
+        # every edge must belong to exactly two triangles. The broken
+        # 6-tet table (fanned around a face diagonal; ~25% of each
+        # cell uncovered) produced boundary edges everywhere.
+        from collections import Counter
+
+        vol, r = sphere_volume(20)
+        verts, tris = extract_isosurface(vol, r)
+        assert len(tris) > 100
+        # Deduplicate vertices (tets emit per-triangle corners).
+        key = np.round(np.asarray(verts), 4)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        edges = Counter()
+        for t in np.asarray(tris):
+            a, b, c = inv[t[0]], inv[t[1]], inv[t[2]]
+            for e in ((a, b), (b, c), (c, a)):
+                edges[tuple(sorted(e))] += 1
+        counts = np.array(list(edges.values()))
+        assert (counts == 2).all(), (
+            f"{(counts != 2).sum()} non-manifold edges "
+            f"(min {counts.min()}, max {counts.max()})"
+        )
