@@ -337,6 +337,13 @@ def kernel_equality_sweep():
     out["ksg_banded_repair_est1"] = mx(
         mi_ksg_banded(series2, ref2, k=3, estimator=1), want2
     )
+    # Staged bf16-selection variant (extract-min rounds on a bf16 band
+    # copy + exact f32 refinement): equality tracked on hardware even
+    # while it is off by default.
+    out["ksg_banded_bf16sel_est1"] = mx(
+        mi_ksg_banded(series2, ref2, k=3, estimator=1, sel_bf16=True),
+        want2,
+    )
     return out
 
 
