@@ -330,8 +330,18 @@ class Scene:
             # Opaque geometry present → the march clips against the
             # shared depth buffer; both paths support it (the
             # shear-warp compositor via per-pixel stop-slice indices).
+            from correrender_tpu.render.dvr_fast import (
+                shearwarp_viable,
+            )
+
+            # Eye-inside frames take the exact marcher HERE (not via
+            # the in-function fallback) so an active render
+            # restriction rides dvr_render's restriction argument —
+            # the fallback cannot carry the restriction-classified
+            # volume.
             use_fast = (fast_dvr and model_matrix is None
-                        and nan_mode == "ignore")
+                        and nan_mode == "ignore"
+                        and shearwarp_viable(cam, box))
             if use_fast:
                 from correrender_tpu.render.dvr_fast import (
                     prepare_shearwarp,

@@ -155,6 +155,26 @@ def shearwarp_camera_key(camera) -> tuple:
     return (a, bool(forward[a] < 0))
 
 
+def shearwarp_viable(camera, box) -> bool:
+    """Whether the shear-warp factorization applies for this camera.
+
+    False when the eye is inside (or past the near face of) the
+    principal-axis slab — behind-eye slices flip the projection sign.
+    Callers route those frames to the exact marchers; Scene checks this
+    BEFORE building restriction-classified layouts (the in-function
+    fallback cannot carry a classified volume into dvr_render).
+    """
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+    eye = np.asarray(camera.position, np.float32)
+    forward = np.asarray(camera.look_at_point, np.float32) - eye
+    forward = forward / np.linalg.norm(forward)
+    a = _principal_axis(forward)
+    if forward[a] >= 0:
+        return bool(eye[a] < box_min[a])
+    return bool(eye[a] > box_max[a])
+
+
 def prepare_shearwarp(
     volume: jnp.ndarray,
     transfer_function,
@@ -314,7 +334,10 @@ def dvr_shearwarp(
     # projection sign and composite mirrored content (round-3 review
     # finding). Fly-through/zoom-in frames fall back to the exact
     # marcher, which handles eye-inside via t_start = max(t_near, 0).
-    if (eye[a] >= box_min[a]) if not flip else (eye[a] <= box_max[a]):
+    # (Scene additionally gates on shearwarp_viable BEFORE building
+    # restriction-classified layouts — this fallback cannot carry a
+    # classified volume into dvr_render.)
+    if not shearwarp_viable(camera, (box_min, box_max)):
         from correrender_tpu.render.dvr import dvr_render
 
         return dvr_render(

@@ -200,3 +200,34 @@ class TestDepthMergeOrderInvariance:
             if want is None:
                 want = got
             np.testing.assert_allclose(got, want, atol=0)
+
+
+class TestEyeInsideWithRestriction:
+    def test_restriction_honored_when_eye_inside(self):
+        # Eye inside the box + active render restriction: the Scene
+        # must route to the exact marcher WITH the restriction (the
+        # shear-warp in-function fallback cannot carry the
+        # restriction-classified volume — round-3 self-review).
+        from correrender_tpu.calculators.correlation import (
+            CorrelationCalculator,
+        )
+
+        vol = np.asarray(_sphere_volume())
+        stack = np.repeat(vol[..., None], 12, axis=-1)
+        stack = stack + 0.01 * np.random.default_rng(0).normal(
+            size=stack.shape
+        ).astype(np.float32)
+        vd = VolumeData(GridMetadata(xs=24, ys=24, zs=24, es=12))
+        vd.add_field("f", lambda t, e: np.asarray(stack[..., e]))
+        c = CorrelationCalculator(
+            field_name="f", reference_point=(12, 12, 12),
+            use_render_restriction=True, render_restriction_radius=0.1,
+        )
+        vd.add_calculator(c)
+        scene = Scene(vd, views=[Camera(position=(0.0, 0.02, 0.05))])
+        scene.add_renderer("dvr", field=c.output_name, attenuation=60.0)
+        fast = np.asarray(scene.render_view(0, image_size=(48, 36)))
+        exact = np.asarray(
+            scene.render_view(0, image_size=(48, 36), fast_dvr=False)
+        )
+        np.testing.assert_array_equal(fast, exact)
