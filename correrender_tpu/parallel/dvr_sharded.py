@@ -30,6 +30,7 @@ from jax import shard_map
 
 from correrender_tpu.render.classify import classify_volume
 from correrender_tpu.render.dvr_fast import (
+    shearwarp_viable,
     _composite_scan,
     _principal_axis,
     dvr_shearwarp,
@@ -124,7 +125,7 @@ def dvr_shearwarp_sharded(
     n_shards = mesh.shape[axis_name]
     dims_zyx = (zs, ys, xs)
     s = dims_zyx[perm[0]]
-    if s % n_shards != 0:
+    if s % n_shards != 0 or not shearwarp_viable(camera, box):
         # Uneven shards along the compositing axis: exact fallback.
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))

@@ -32,7 +32,10 @@ from correrender_tpu.render.camera import default_render_box
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from correrender_tpu.render.dvr_fast import _principal_axis
+from correrender_tpu.render.dvr_fast import (
+    _principal_axis,
+    shearwarp_viable,
+)
 from correrender_tpu.render.iso_fast import (
     _first_hit_scan,
     _gradient_volume,
@@ -71,7 +74,7 @@ def iso_shearwarp_sharded(
     n_shards = mesh.shape[axis_name]
     dims_zyx = (zs, ys, xs)
     s = dims_zyx[perm[0]]
-    if s % n_shards != 0:
+    if s % n_shards != 0 or not shearwarp_viable(camera, box):
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))
         )

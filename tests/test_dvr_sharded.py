@@ -185,3 +185,31 @@ class TestIsoSharded:
             )
         )
         _assert_images_match(got, want)
+
+
+def test_eye_inside_box_falls_back(stack_mesh=None):
+    # Camera inside the slab: the sharded shear-warp must route to the
+    # (gathered) exact fallback instead of compositing mirrored
+    # content (round-3 review; same guard as the dense fast paths).
+    import numpy as np
+    import jax.numpy as jnp
+
+    from correrender_tpu.parallel.dvr_sharded import dvr_shearwarp_sharded
+    from correrender_tpu.parallel.mesh import make_mesh
+    from correrender_tpu.render.camera import Camera
+    from correrender_tpu.render.dvr import dvr_render
+    from correrender_tpu.render.tf import TransferFunction
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((16, 16, 16), np.float32))
+    tf = TransferFunction.from_colormap(
+        "coolwarm", domain=(0, 1),
+        opacity_points=((0.0, 0.2), (1.0, 0.8)),
+    )
+    cam = Camera(position=(0.02, 0.01, 0.1))
+    mesh = make_mesh(space=8, members=1)
+    got = np.asarray(
+        dvr_shearwarp_sharded(vol, cam, tf, mesh, image_size=(48, 36))
+    )
+    want = np.asarray(dvr_render(vol, cam, tf, image_size=(48, 36)))
+    np.testing.assert_array_equal(got, want)
