@@ -89,7 +89,8 @@ def cmd_render(args):
         scene.add_renderer("domain_outline")
     w, h = (int(v) for v in args.size.split("x"))
     img = scene.render_view(0, image_size=(w, h),
-                            fast_dvr=not args.exact_dvr)
+                            fast_dvr=not args.exact_dvr,
+                            show_legend=args.legend)
     _save_png(img, args.output)
     print(f"wrote {args.output}")
 
@@ -387,6 +388,8 @@ def build_parser():
     sp.add_argument("--camera", default="0.0,0.3,0.8")
     sp.add_argument("--size", default="800x600")
     sp.add_argument("--outline", action="store_true")
+    sp.add_argument("--legend", action="store_true",
+                    help="rasterize the TF color legend into the view")
     sp.add_argument("--exact-dvr", action="store_true",
                     help="use the ray-marcher instead of shear-warp")
     sp.add_argument("--mi-bins", type=int, default=80)

@@ -177,7 +177,8 @@ class Scene:
         return jnp.where(mask > 0, vol, jnp.nan)
 
     def render_view(self, view: int = 0, image_size=(512, 512),
-                    fast_dvr: bool = True, show_reference_points=False):
+                    fast_dvr: bool = True, show_reference_points=False,
+                    show_legend: bool = False):
         """Composite all renderers attached to a view with a SHARED
         per-view depth buffer (reference SceneData.hpp): opaque
         renderers (isosurface, slice, outline) z-merge by per-pixel
@@ -430,6 +431,20 @@ class Scene:
                         cam, point, vd.grid.shape_zyx, box,
                         image_size=image_size, base_image=image,
                     )
+        if show_legend:
+            # One legend for the view's primary scalar field — the
+            # reference shows sgl's color-legend widget per TF.
+            from correrender_tpu.render.legend import color_legend_overlay
+
+            for r in self.renderers:
+                if r["view"] != view or r["type"] not in (
+                        "dvr", "slice", "iso_ray"):
+                    continue
+                field = r.get("field", vd.field_names[0])
+                image = jnp.asarray(color_legend_overlay(
+                    np.asarray(image), self.tf_for(field)
+                ))
+                break
         return image
 
     def render_dock(self, image_size=(1024, 768), fast_dvr: bool = True):

@@ -437,3 +437,36 @@ class TestMeshWatertight:
             f"{(counts != 2).sum()} non-manifold edges "
             f"(min {counts.min()}, max {counts.max()})"
         )
+
+
+class TestColorLegend:
+    def test_overlay_draws_bar_and_labels(self):
+        from correrender_tpu.render.legend import color_legend_overlay
+
+        img = np.zeros((240, 320, 4), np.float32)
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(-1.234, 5.678)
+        )
+        out = np.asarray(color_legend_overlay(img, tf))
+        assert out.shape == img.shape
+        # Gradient bar on the right, opaque, colored.
+        right = out[:, 260:]
+        assert right[..., 3].max() == 1.0
+        assert right[..., :3].std() > 0.05
+        # Left half untouched.
+        np.testing.assert_array_equal(out[:, :160], img[:, :160])
+
+    def test_scene_show_legend(self):
+        from correrender_tpu.app.state import Scene
+        from correrender_tpu.core import GridMetadata, VolumeData
+
+        vol, _ = sphere_volume(16)
+        vd = VolumeData(GridMetadata(xs=16, ys=16, zs=16, es=1))
+        vd.add_field("f", lambda t, e: np.asarray(vol))
+        sc = Scene(vd, views=[Camera(position=(0.1, 0.2, 0.8))])
+        sc.add_renderer("dvr", field="f")
+        plain = np.asarray(sc.render_view(0, image_size=(96, 72)))
+        with_legend = np.asarray(
+            sc.render_view(0, image_size=(96, 72), show_legend=True)
+        )
+        assert not np.array_equal(plain, with_legend)
