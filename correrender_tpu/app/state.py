@@ -89,6 +89,9 @@ class Scene:
         self.dock_layout: list[list[int]] = [
             list(range(len(self.views)))
         ]
+        # Named camera bookmarks (the reference's camera checkpoints,
+        # sgl checkpointWindow — MainApp.cpp:2045): name → Camera.
+        self.camera_checkpoints: dict[str, Camera] = {}
         # Resident shear-warp slice layouts: (field, t, e, tf, camera
         # axis key, restriction) → prepare_shearwarp result. Keeps the
         # classify + layout cost per change, not per frame — a bounded
@@ -109,6 +112,19 @@ class Scene:
                 f"{RENDERING_MODE_IDS}"
             )
         self.renderers.append({"type": type_id, "view": view, **settings})
+
+    def save_camera_checkpoint(self, name: str, view: int = 0):
+        """Bookmark the view's current camera under ``name``."""
+        self.camera_checkpoints[name] = self.views[view]
+
+    def restore_camera_checkpoint(self, name: str, view: int = 0):
+        """Restore a bookmarked camera into ``view``."""
+        if name not in self.camera_checkpoints:
+            raise KeyError(
+                f"no camera checkpoint {name!r}; saved: "
+                f"{sorted(self.camera_checkpoints)}"
+            )
+        self.views[view] = self.camera_checkpoints[name]
 
     def tf_for(self, field_name: str) -> TransferFunction:
         if field_name not in self.transfer_functions:
@@ -496,6 +512,11 @@ class Scene:
             # layout, MainAppState.cpp:131; headless scenes keep an
             # abstract grid: rows of view indices).
             "dock_layout": self.dock_layout,
+            # Named camera bookmarks (reference checkpointWindow).
+            "camera_checkpoints": {
+                name: _camera_to_json(cam)
+                for name, cam in self.camera_checkpoints.items()
+            },
         }
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
@@ -546,6 +567,8 @@ class Scene:
             scene.dock_layout = [
                 [int(i) for i in row] for row in doc["dock_layout"]
             ]
+        for name, node in doc.get("camera_checkpoints", {}).items():
+            scene.camera_checkpoints[name] = _camera_from_json(node)
         return scene
 
 

@@ -426,3 +426,30 @@ def test_cli_sampling_method_choices_match_registry():
         a for a in heb._actions if a.dest == "sampling_method"
     )
     assert set(choice_action.choices) == set(SAMPLING_METHODS)
+
+
+def test_camera_checkpoints_roundtrip(tmp_path):
+    # Named camera bookmarks (reference checkpointWindow,
+    # MainApp.cpp:2045): save/restore within a session + state-file
+    # persistence.
+    import numpy as np
+
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.core import GridMetadata, VolumeData
+    from correrender_tpu.render.camera import Camera
+
+    vd = VolumeData(GridMetadata(xs=8, ys=8, zs=4, es=1))
+    vd.add_field("f", lambda t, e: np.zeros((4, 8, 8), np.float32))
+    sc = Scene(vd, views=[Camera(position=(0.0, 0.2, 0.8))])
+    sc.save_camera_checkpoint("overview")
+    sc.views[0] = Camera(position=(0.5, 0.1, 0.3))
+    sc.restore_camera_checkpoint("overview")
+    assert tuple(sc.views[0].position) == (0.0, 0.2, 0.8)
+
+    path = str(tmp_path / "state.json")
+    sc.save_state(path, dataset={"filename": "unused.nc"})
+    sc2 = Scene.load_state(path, volume_data=vd)
+    assert "overview" in sc2.camera_checkpoints
+    assert tuple(sc2.camera_checkpoints["overview"].position) == (
+        0.0, 0.2, 0.8
+    )
