@@ -664,7 +664,9 @@ def _warp(inter_rgb, inter_a, grid_u, grid_v, origin, directions,
 
     mask = (valid & inside).astype(jnp.float32)
     rgb = bilerp(inter_rgb) * mask[..., None]
-    a = bilerp(inter_a) * mask
+    # Resampling can overshoot alpha past 1 by ~2e-3 (bf16 tent
+    # weights); a > 1 makes the (1-a) background term negative.
+    a = jnp.clip(bilerp(inter_a) * mask, 0.0, 1.0)
     h, w = a.shape
     bg = jnp.broadcast_to(background, (h, w, 4))
     rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
@@ -825,7 +827,7 @@ def _warp_finish(s_img, den_full, sign_ok, background, w_out, h_out):
     # out-of-range, but behind-the-camera rays need the sign mask).
     valid = (den_full * sign_ok > 0).astype(jnp.float32)
     rgb = s_img[..., :3] * valid[..., None]
-    a = s_img[..., 3] * valid
+    a = jnp.clip(s_img[..., 3] * valid, 0.0, 1.0)  # see gather finish
 
     bg = jnp.broadcast_to(background, (h_out, w_out, 4))
     rgb = rgb + (1.0 - a)[..., None] * bg[..., 3:4] * bg[..., :3]
