@@ -780,3 +780,37 @@ class TestMultiFileSeries:
         arr = ld.load_field(ld.field_names[0])
         assert arr.min() >= 0.0 and arr.max() <= 1.0
         assert arr.max() > 0.8  # u16 normalization, not wrapped int16
+
+    def test_randomized_roundtrip_sweep(self, tmp_path):
+        # Property sweep: random shapes x packings x NaN patterns x
+        # group lengths must round-trip within quantization tolerance.
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(42)
+        for trial in range(12):
+            nz = int(rng.integers(1, 3))
+            nj = int(rng.integers(1, 24))
+            ni = int(rng.integers(1, 40))
+            packing = ("simple", "complex", "complex_diff1",
+                       "complex_diff2")[trial % 4]
+            group_len = int(rng.integers(3, 48))
+            nbits = int(rng.integers(8, 20))
+            f = np.cumsum(
+                rng.normal(size=(nz, nj, ni)), axis=-1
+            ).astype(np.float32) * rng.uniform(0.01, 100)
+            if trial % 3 == 0 and f.size > 4:
+                flat = f.reshape(-1)
+                flat[rng.integers(0, flat.size,
+                                  size=max(flat.size // 7, 1))] = np.nan
+            path = str(tmp_path / f"sweep{trial}.grb2")
+            write_grib2(path, {"t": f}, nbits=nbits, packing=packing,
+                        group_len=group_len)
+            got = GribLoader().open(path).load_field("t")
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(f))
+            m = np.isfinite(f)
+            if m.any():
+                span = float(np.nanmax(f) - np.nanmin(f)) or 1.0
+                tol = max(span / (2**nbits - 1) * 1.01, 1e-6)
+                assert np.abs(got[m] - f[m]).max() <= tol, (
+                    trial, packing, group_len, nbits
+                )
