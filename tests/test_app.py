@@ -453,3 +453,64 @@ def test_camera_checkpoints_roundtrip(tmp_path):
     assert tuple(sc2.camera_checkpoints["overview"].position) == (
         0.0, 0.2, 0.8
     )
+
+
+def test_randomized_scene_state_roundtrip(tmp_path):
+    # Property: ANY scene built from random renderer/calculator/TF
+    # combinations must render identically after a save/load cycle.
+    import numpy as np
+
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.calculators.correlation import (
+        CorrelationCalculator,
+    )
+    from correrender_tpu.core import GridMetadata, VolumeData
+    from correrender_tpu.render.camera import Camera
+    from correrender_tpu.render.tf import TransferFunction
+
+    rng = np.random.default_rng(3)
+    n = 12
+    stack = rng.normal(size=(n, n, n, 16)).astype(np.float32)
+
+    def make_vd():
+        vd = VolumeData(GridMetadata(xs=n, ys=n, zs=n, es=16))
+        vd.add_field("f", lambda t, e: stack[..., e])
+        return vd
+
+    for trial in range(3):
+        r = np.random.default_rng(100 + trial)
+        vd = make_vd()
+        scene = Scene(vd, views=[
+            Camera(position=tuple(r.uniform(0.3, 0.9, 3)))
+        ])
+        field = "f"
+        if trial % 2:
+            c = CorrelationCalculator(
+                field_name="f",
+                measure=("pearson", "spearman")[trial % 2],
+                reference_point=tuple(int(v) for v in
+                                      r.integers(0, n, 3)),
+            )
+            field = scene.add_calculator(c)
+        kinds = r.choice(
+            ["dvr", "iso_ray", "slice", "domain_outline"],
+            size=r.integers(1, 4), replace=False,
+        )
+        for kind in kinds:
+            kw = dict(field=field)
+            if kind == "iso_ray":
+                kw["iso_value"] = float(r.uniform(0.2, 0.8))
+            if kind == "slice":
+                kw.update(axis="z", position=float(r.uniform(0, 1)))
+            scene.add_renderer(str(kind), **kw)
+        scene.transfer_functions[field] = TransferFunction.from_colormap(
+            "viridis", domain=(-2, 2),
+            opacity_points=((0.0, float(r.uniform(0, 1))), (1.0, 0.9)),
+        )
+        before = np.asarray(scene.render_view(0, image_size=(48, 36)))
+
+        path = str(tmp_path / f"scene{trial}.json")
+        scene.save_state(path, dataset={"filename": "unused"})
+        scene2 = Scene.load_state(path, volume_data=make_vd())
+        after = np.asarray(scene2.render_view(0, image_size=(48, 36)))
+        np.testing.assert_array_equal(before, after)
