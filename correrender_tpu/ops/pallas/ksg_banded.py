@@ -586,8 +586,14 @@ def mi_ksg_banded(
     # kernel through a traceable lax.cond — only the taken branch
     # executes at runtime, so clean fields never pay for it.
     bpad = int(min(256, npad))
+    # Small repair tier: bf16 selection flags ~2-4% of points per voxel
+    # on top of the gap failures (numpy sim at n=1000/W=192: invalid
+    # p50 rises 23→38 on independent data, 92% of voxels past 32), so
+    # the bf16 path right-sizes to 64 — t1 only trades repair cost,
+    # never values.
+    t1 = 64 if sel_bf16 else 32
     mi, n_bad = _banded_full(series, x, k, estimator, w_band, bpad,
-                             interpret, sel_bf16=sel_bf16)
+                             interpret, t1=t1, sel_bf16=sel_bf16)
     mi = jax.lax.cond(
         jnp.max(n_bad) <= bpad,
         lambda s, xx, banded: banded,
