@@ -294,13 +294,29 @@ def cmd_flythrough(args):
         list(range(vd.grid.ts)) if args.animate_time and vd.grid.ts > 1
         else None
     )
+    out_dir = args.output_dir
+    tmp_ctx = None
+    if out_dir is None:
+        if args.video:
+            # Video-only invocation: stage frames in a temp dir instead
+            # of littering the CWD with a default frames directory.
+            import tempfile
+
+            tmp_ctx = tempfile.TemporaryDirectory()
+            out_dir = tmp_ctx.name
+        else:
+            out_dir = "flythrough_out"
     files = render_flythrough(
-        scene, orbit_path(args.frames), args.output_dir,
+        scene, orbit_path(args.frames), out_dir,
         image_size=(w, h), time_indices=time_indices,
         video_path=args.video, fps=args.fps,
     )
-    print(f"wrote {len(files)} frames to {args.output_dir}"
-          + (f" + video {args.video}" if args.video else ""))
+    if tmp_ctx is None:
+        print(f"wrote {len(files)} frames to {out_dir}"
+              + (f" + video {args.video}" if args.video else ""))
+    else:
+        print(f"wrote video {args.video} ({len(files)} frames)")
+        tmp_ctx.cleanup()
 
 
 def cmd_replicability(args):
@@ -508,7 +524,8 @@ def build_parser():
     sp.add_argument("--frames", type=int, default=24)
     sp.add_argument("--size", default="640x480")
     sp.add_argument("--animate-time", action="store_true")
-    sp.add_argument("--output-dir", default="flythrough_out")
+    sp.add_argument("--output-dir", default=None,
+                    help="frame PNG directory (default: flythrough_out, or a temp dir when only --video is given)")
     sp.add_argument("--video", help="also encode an MJPEG .avi")
     sp.add_argument("--fps", type=int, default=30)
     sp.set_defaults(fn=cmd_flythrough)
