@@ -337,13 +337,12 @@ def kernel_equality_sweep():
     out["ksg_banded_repair_est1"] = mx(
         mi_ksg_banded(series2, ref2, k=3, estimator=1), want2
     )
-    # Staged bf16-selection variant (extract-min rounds on a bf16 band
-    # copy + exact f32 refinement): equality tracked on hardware even
-    # while it is off by default.
-    out["ksg_banded_bf16sel_est1"] = mx(
-        mi_ksg_banded(series2, ref2, k=3, estimator=1, sel_bf16=True),
-        want2,
-    )
+    # NOTE: the staged bf16-selection variant was retired from the
+    # device path on 2026-08-18 — Mosaic on v5e cannot lower packed
+    # bf16 vector comparisons at all ("Target does not support this
+    # comparison" on arith.cmpf 8x128x2xbf16), so it cannot compile
+    # for real hardware. It remains interpret-only as a recorded
+    # negative result (ops/pallas/ksg_banded.py::_select_kth_bf16).
     return out
 
 

@@ -197,7 +197,18 @@ def _select_kth_plain(dch, k):
 
 
 def _select_kth_bf16(dch, k):
-    """Exact k-th selection run mostly at bf16 width.
+    """Exact k-th selection run mostly at bf16 width. INTERPRET-ONLY —
+    retired from the device path (measured negative result).
+
+    On-device outcome (2026-08-18): Mosaic on v5e REFUSES packed bf16
+    vector comparisons — compiling this kernel fails with "Target does
+    not support this comparison" on ``arith.cmpf`` over
+    ``vector<8x128x2xbf16>`` — so the two-lanes-per-register premise
+    that motivated the variant does not exist on this target, and no
+    compare-free reformulation of masked extract-min survives (every
+    variant needs an exclude-below-threshold mask). Kept as the
+    measured record so the idea is not re-tried; `mi_ksg_banded`
+    raises a clear error if sel_bf16 is requested on real hardware.
 
     The structural idea (ROUND3 notes: "bf16 distance prefilter with
     exact refinement"): the extract-min rounds — the serial half of the
@@ -550,11 +561,16 @@ def mi_ksg_banded(
         tier on independent data). Band width only affects speed,
         never results.
       interpret: force interpreter mode (auto: off-TPU only).
-      sel_bf16: run the extract-min selection rounds on a bf16 copy of
-        the band with an exact f32 refinement (see
-        :func:`_select_kth_bf16`) — exactness is unchanged (bf16
-        threshold collisions are flagged to the per-point repair);
-        only speed and the repair rate move.
+      sel_bf16: INTERPRET-ONLY (negative result, kept as the measured
+        record): run the extract-min selection rounds on a bf16 copy
+        of the band with an exact f32 refinement (see
+        :func:`_select_kth_bf16`). Exactness is unchanged, but the
+        on-device A/B (2026-08-18) found Mosaic on v5e cannot lower
+        packed bf16 vector comparisons at all (``arith.cmpf`` on
+        ``8x128x2xbf16``: "Target does not support this comparison"),
+        so the two-lanes-per-register premise is dead on this target
+        and the flag raises on a real TPU instead of crashing inside
+        Mosaic.
 
     Returns:
       ``(...)`` float32 MI field.
@@ -563,6 +579,14 @@ def mi_ksg_banded(
         raise ValueError(f"estimator must be 1 or 2, got {estimator}")
     if interpret is None:
         interpret = not on_tpu()
+    if sel_bf16 and not interpret:
+        raise ValueError(
+            "sel_bf16 is interpret-only: Mosaic on TPU v5e cannot "
+            "lower packed bf16 vector comparisons (arith.cmpf on "
+            "8x128x2xbf16 — measured on-device 2026-08-18, see "
+            "docs/ROUND3.md), so the bf16-selection variant cannot "
+            "compile for real hardware."
+        )
     n = stack.shape[-1]
     lead = stack.shape[:-1]
     npad = round_up(n, 128)

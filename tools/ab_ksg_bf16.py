@@ -1,5 +1,15 @@
 """On-device A/B: renderer-jit frame times + KSG bf16-selection marginal rates.
 
+OUTCOME (run 2026-08-18, TPU v5 lite0): the renderer-jit half PASSED
+(outline 32.1 ms / slice 62.6 ms at 640x480 — the jit-core commits
+hold on hardware). The KSG bf16-selection half is a NEGATIVE RESULT:
+the kernel does not compile for v5e — Mosaic rejects packed bf16
+vector comparisons outright ("Target does not support this
+comparison", arith.cmpf on vector<8x128x2xbf16>), which interpret
+mode and the numpy simulation could not surface. sel_bf16 is now
+gated to interpret-only (ops/pallas/ksg_banded.py) and the decision
+rule below is moot on this hardware generation.
+
 Staged during the round-3 continuation session while the TPU tunnel
 was down (8+ hours) — run from the repo root with the chip free (one
 process at a time). Decides whether `mi_ksg_banded(sel_bf16=True)`
