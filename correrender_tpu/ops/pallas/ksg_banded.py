@@ -70,6 +70,11 @@ from correrender_tpu.ops.pallas.common import (
 
 _BIG = 1e30
 _COUNT_ROWS = 256  # j-chunk height of the full-row count pass
+#: Test-only ablation (tools/ab_cy_ablation.py): trace the kernel with
+#: the cy full-row count stage nulled to measure that stage's share of
+#: kernel time. Results are garbage when set — never enable outside
+#: the ablation probe.
+_NULL_CY = False
 
 
 def _build_band_val(base, scratch, w_band, npad):
@@ -318,13 +323,16 @@ def _make_kernel_fused(k: int, w_band: int, npad: int, estimator: int,
         # invalid selections are fixed by the repair stage).
         lo_y = ys - rcy
         hi_y = ys + rcy
-        cy = jnp.zeros((1, npad), jnp.float32)
-        for j0 in range(0, npad, rows):
-            yj = ys_ref[b, pl.ds(j0, rows)].reshape(rows, 1)
-            cy = cy + jnp.sum(
-                ((yj >= lo_y) & (yj < hi_y)).astype(jnp.float32),
-                axis=0, keepdims=True,
-            )
+        if _NULL_CY:  # rate-only ablation — see flag docstring
+            cy = cx
+        else:
+            cy = jnp.zeros((1, npad), jnp.float32)
+            for j0 in range(0, npad, rows):
+                yj = ys_ref[b, pl.ds(j0, rows)].reshape(rows, 1)
+                cy = cy + jnp.sum(
+                    ((yj >= lo_y) & (yj < hi_y)).astype(jnp.float32),
+                    axis=0, keepdims=True,
+                )
 
         # Strict margin covers the selection (no out-of-band point can
         # reach or tie the kth distance) and the count radius
