@@ -63,7 +63,9 @@ def cmd_info(args):
             print(f"  {name}: <error: {e}>")
 
 
-def cmd_render(args):
+def _build_render_scene(args):
+    """Scene for ``render``/``view``: camera + optional correlation
+    calculator + one volume renderer (+ outline)."""
     from correrender_tpu.app.state import Scene
     from correrender_tpu.calculators.correlation import CorrelationCalculator
     from correrender_tpu.render.camera import Camera
@@ -87,12 +89,26 @@ def cmd_render(args):
                           else {}))
     if args.outline:
         scene.add_renderer("domain_outline")
+    return scene
+
+
+def cmd_render(args):
+    scene = _build_render_scene(args)
     w, h = (int(v) for v in args.size.split("x"))
     img = scene.render_view(0, image_size=(w, h),
                             fast_dvr=not args.exact_dvr,
                             show_legend=args.legend)
     _save_png(img, args.output)
     print(f"wrote {args.output}")
+
+
+def cmd_view(args):
+    from correrender_tpu.app.viewer import serve
+
+    scene = _build_render_scene(args)
+    w, h = (int(v) for v in args.size.split("x"))
+    serve(scene, host=args.host, port=args.port, image_size=(w, h),
+          fast_dvr=not args.exact_dvr)
 
 
 def cmd_export(args):
@@ -390,30 +406,45 @@ def build_parser():
     add_dataset_args(sp)
     sp.set_defaults(fn=cmd_info)
 
+    def add_scene_args(sp):
+        add_dataset_args(sp)
+        sp.add_argument("--measure", default=None,
+                        help="correlation measure id "
+                             "(omit: render raw field)")
+        sp.add_argument("--field-ref", default=None,
+                        help="reference-point field for SEPARATE-fields "
+                             "correlation (default: same field)")
+        sp.add_argument("--ref", default="0,0,0",
+                        help="reference voxel x,y,z")
+        sp.add_argument("--renderer", default="dvr",
+                        choices=["dvr", "iso_ray", "iso_raster", "slice"])
+        sp.add_argument("--iso-value", type=float, default=0.5)
+        sp.add_argument("--camera", default="0.0,0.3,0.8")
+        sp.add_argument("--size", default="800x600")
+        sp.add_argument("--outline", action="store_true")
+        sp.add_argument("--exact-dvr", action="store_true",
+                        help="use the ray-marcher instead of shear-warp")
+        sp.add_argument("--mi-bins", type=int, default=80)
+        sp.add_argument("--kmi-neighbors", type=int, default=3)
+        sp.add_argument("--kraskov-estimator", type=int, default=1,
+                        choices=[1, 2])
+
     sp = sub.add_parser("render", help="render a (correlation) field")
-    add_dataset_args(sp)
-    sp.add_argument("--measure", default=None,
-                    help="correlation measure id (omit: render raw field)")
-    sp.add_argument("--field-ref", default=None,
-                    help="reference-point field for SEPARATE-fields "
-                         "correlation (default: same field)")
-    sp.add_argument("--ref", default="0,0,0", help="reference voxel x,y,z")
-    sp.add_argument("--renderer", default="dvr",
-                    choices=["dvr", "iso_ray", "iso_raster", "slice"])
-    sp.add_argument("--iso-value", type=float, default=0.5)
-    sp.add_argument("--camera", default="0.0,0.3,0.8")
-    sp.add_argument("--size", default="800x600")
-    sp.add_argument("--outline", action="store_true")
+    add_scene_args(sp)
     sp.add_argument("--legend", action="store_true",
                     help="rasterize the TF color legend into the view")
-    sp.add_argument("--exact-dvr", action="store_true",
-                    help="use the ray-marcher instead of shear-warp")
-    sp.add_argument("--mi-bins", type=int, default=80)
-    sp.add_argument("--kmi-neighbors", type=int, default=3)
-    sp.add_argument("--kraskov-estimator", type=int, default=1,
-                    choices=[1, 2])
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser(
+        "view",
+        help="interactive browser viewer (the reference GUI analogue: "
+             "drag = orbit, wheel = zoom, shift+click = pick reference "
+             "point, property panel for measure/field/TF/time/member)")
+    add_scene_args(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8777)
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("export", help="export a (derived) field")
     add_dataset_args(sp)

@@ -142,6 +142,37 @@ class VolumeData:
             calculator.output_type,
         )
 
+    def rename_field(self, old: str, new: str):
+        """Move a registered (calculator) field to a new name.
+
+        The reference renames a calculator's output field when a
+        setting changes its display name — e.g. the correlation
+        measure (ICorrelationCalculator::setCorrelationMeasureType →
+        VolumeData field-name update). Cached slabs and epoch-keyed
+        derived state of BOTH names are invalidated; registry order is
+        preserved (``mark_dirty``'s "first field" resolution depends
+        on it).
+        """
+        if old == new:
+            return
+        if old not in self._providers:
+            raise KeyError(
+                f"field {old!r} not found; available: {self.field_names}"
+            )
+        if new in self._providers:
+            raise ValueError(f"field {new!r} already registered")
+        self._providers = {
+            (new if k == old else k): v
+            for k, v in self._providers.items()
+        }
+        if old in self._calculators:
+            self._calculators = {
+                (new if k == old else k): v
+                for k, v in self._calculators.items()
+            }
+        self.mark_dirty(old)
+        self.mark_dirty(new)
+
     def remove_calculator(self, name: str):
         self._calculators.pop(name, None)
         self._providers.pop(name, None)

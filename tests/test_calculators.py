@@ -328,6 +328,33 @@ class TestReviewRegressions:
         f2 = np.asarray(vd.get_field(c.output_name))
         assert not np.allclose(f1, f2)
 
+    def test_rename_field_moves_registry_and_invalidates(self):
+        # VolumeData.rename_field: measure changes rename a default-
+        # named calculator's output (reference renames the field);
+        # both names' caches/epochs must invalidate and order persist.
+        vd, _ = make_volume(members=30)
+        c = calc.CorrelationCalculator(reference_point=(1, 1, 1))
+        vd.add_calculator(c)
+        old = c.output_name
+        f1 = np.asarray(vd.get_field(old))
+        from correrender_tpu.ops.registry import measure_from_id
+
+        c.measure = measure_from_id("kendall")
+        new = c.output_name
+        assert new != old
+        vd.rename_field(old, new)
+        assert old not in vd.field_names
+        assert vd.calculators[new] is c
+        # Registry order preserved: the data field stays first.
+        assert vd.field_names[0] == "data"
+        f2 = np.asarray(vd.get_field(new))
+        assert not np.allclose(f1, f2)  # kendall, not stale pearson
+        with pytest.raises(KeyError):
+            vd.rename_field("nope", "x")
+        vd.add_field("other", lambda t, e: None)
+        with pytest.raises(ValueError):
+            vd.rename_field(new, "other")
+
     def test_settings_roundtrip_field_mode(self):
         # symmetric_fields / field_name_ref / time_lag must survive a
         # get_settings -> settings_to_kwargs round-trip.

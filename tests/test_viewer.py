@@ -1,0 +1,189 @@
+"""Interactive viewer (app/viewer.py): HTTP surface + command dispatch.
+
+The viewer is the reference GUI analogue (MainApp frame loop +
+PointPicker + property editor); these tests drive the real HTTP server
+on an ephemeral port the way the browser client does.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from correrender_tpu.app.state import Scene
+from correrender_tpu.app.viewer import ViewerApp, make_server
+from correrender_tpu.calculators.correlation import CorrelationCalculator
+from correrender_tpu.core import GridMetadata, VolumeData
+from correrender_tpu.render.camera import Camera
+from correrender_tpu.utils import fixtures
+
+
+def make_scene(members=16):
+    data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8,
+                                       members=members)
+    vd = VolumeData(GridMetadata(xs=16, ys=16, zs=8, es=members))
+    vd.add_field("data", lambda t, e: data[e])
+    scene = Scene(vd, views=[Camera(position=(0.0, 0.2, 0.8))])
+    name = scene.add_calculator(
+        CorrelationCalculator("data", reference_point=(4, 4, 4)))
+    scene.add_renderer("dvr", field=name)
+    return scene
+
+
+@pytest.fixture()
+def server_url():
+    scene = make_scene()
+    server, app = make_server(scene, port=0, image_size=(96, 72))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    try:
+        yield f"http://{host}:{port}", app
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _api(base, cmd):
+    req = urllib.request.Request(
+        base + "/api", data=json.dumps(cmd).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+class TestHttpSurface:
+    def test_index_and_info(self, server_url):
+        base, _ = server_url
+        status, ctype, body = _get(base + "/")
+        assert status == 200 and ctype.startswith("text/html")
+        assert b"correrender_tpu" in body
+
+        info = _api(base, {"op": "info"})
+        assert info["ok"]
+        assert info["grid"] == {"xs": 16, "ys": 16, "zs": 8,
+                                "ts": 1, "es": 16}
+        assert "pearson" in info["measures"]
+        assert info["reference_point"] == [4, 4, 4]
+        assert info["measure"] == "pearson"
+
+    def test_frame_is_png(self, server_url):
+        base, _ = server_url
+        status, ctype, body = _get(base + "/frame")
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_orbit_changes_frame(self, server_url):
+        base, _ = server_url
+        _, _, before = _get(base + "/frame")
+        reply = _api(base, {"op": "orbit", "dtheta": 1.2, "dphi": 0.3})
+        assert reply["ok"]
+        _, _, after = _get(base + "/frame")
+        assert before != after
+
+    def test_pick_moves_reference_point(self, server_url):
+        base, app = server_url
+        # Pixel at image center: the ray hits the box head-on.
+        reply = _api(base, {"op": "pick", "px": 48, "py": 36})
+        assert reply["ok"], reply
+        ref = reply["reference_point"]
+        calc = next(iter(
+            app.scene.volume_data.calculators.values()))
+        assert tuple(ref) == calc.reference_point
+        assert tuple(ref) != (4, 4, 4)
+
+    def test_pick_miss_reports_error(self, server_url):
+        base, _ = server_url
+        reply = _api(base, {"op": "pick", "px": 0, "py": 0})
+        if not reply["ok"]:
+            assert "miss" in reply["error"]
+
+    def test_set_measure_and_field(self, server_url):
+        base, app = server_url
+        _, _, before = _get(base + "/frame")
+        reply = _api(base, {"op": "set_measure", "measure": "kendall"})
+        assert reply["ok"]
+        calc = next(iter(app.scene.volume_data.calculators.values()))
+        assert calc.measure.value == "kendall"
+        # A default-named calculator's output field renames with the
+        # measure (reference behavior) — the renderer reference and
+        # the registry must follow, and the frame must actually show
+        # the NEW measure (the original bug: mark_dirty hit the new
+        # name while the renderer kept serving the stale old slab).
+        assert app.scene.renderers[0]["field"] == calc.output_name
+        assert calc.output_name in app.scene.volume_data.field_names
+        status, _, after = _get(base + "/frame")
+        assert status == 200
+        assert before != after
+
+        reply = _api(base, {"op": "set_field", "field": "nope"})
+        assert not reply["ok"]
+
+    def test_unknown_op(self, server_url):
+        base, _ = server_url
+        reply = _api(base, {"op": "warp_core_breach"})
+        assert not reply["ok"] and "unknown op" in reply["error"]
+
+    def test_404(self, server_url):
+        base, _ = server_url
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base + "/nothing")
+        assert exc.value.code == 404
+
+
+class TestViewerApp:
+    def test_zoom_and_clamps(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        r0 = app._radius
+        assert app.api({"op": "zoom", "factor": 0.5})["ok"]
+        assert app._radius == pytest.approx(r0 * 0.5)
+        app.api({"op": "zoom", "factor": 1e-9})
+        assert app._radius == 0.05
+
+        app.api({"op": "set_time", "time": 99})
+        assert app.scene.current_time == 0  # ts=1, clamped
+        app.api({"op": "set_member", "member": 99})
+        assert app.scene.current_member == 15
+
+    def test_camera_checkpoint_roundtrip(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        app.api({"op": "checkpoint_save", "name": "home"})
+        app.api({"op": "orbit", "dtheta": 1.0, "dphi": 0.2})
+        moved = np.asarray(app.scene.views[0].position)
+        reply = app.api({"op": "checkpoint_restore", "name": "home"})
+        assert reply["ok"]
+        home = np.asarray(app.scene.views[0].position)
+        assert not np.allclose(moved, home)
+        assert reply["frame_epoch"] > 0
+
+        bad = app.api({"op": "checkpoint_restore", "name": "nope"})
+        assert not bad["ok"]
+
+    def test_set_colormap_and_options(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        assert app.api({"op": "set_colormap",
+                        "colormap": "viridis"})["ok"]
+        assert app.api({"op": "set_option", "key": "legend",
+                        "value": False})["ok"]
+        assert not app.show_legend
+        assert not app.api({"op": "set_option", "key": "nope",
+                            "value": 1})["ok"]
+        assert app.api({"op": "set_option", "key": "image_size",
+                        "value": [32, 24]})["ok"]
+        assert app.image_size == (64, 48)  # clamped up to minimum
+
+    def test_save_state(self, tmp_path):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        path = tmp_path / "scene.json"
+        reply = app.api({"op": "save_state", "path": str(path)})
+        assert reply["ok"] and path.exists()
+        saved = json.loads(path.read_text())
+        assert "calculators" in saved
