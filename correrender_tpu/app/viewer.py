@@ -76,6 +76,10 @@ class ViewerApp:
         self.show_legend = True
         self.show_reference_points = True
         self.pick_mode = False
+        self.colormap = "coolwarm"
+        # Client-shaped opacity control points [(pos, alpha)]; None →
+        # tf_for's measure-derived default (diverging vs ramp).
+        self.opacity_points = None
         theta, phi, radius, center = _spherical_from_camera(
             scene.views[self.view])
         self._theta, self._phi = theta, phi
@@ -99,6 +103,59 @@ class ViewerApp:
             c for c in self.scene.volume_data.calculators.values()
             if hasattr(c, "set_reference_point")
         ]
+
+    def _tf_targets(self):
+        """Field names whose TFs the panel edits: calculator outputs,
+        else the fields referenced by renderers."""
+        calcs = self._correlation_calcs()
+        return ([c.output_name for c in calcs]
+                or [r.get("field") for r in self.scene.renderers
+                    if r.get("field")])
+
+    def _rebuild_tfs(self):
+        """Re-derive every target TF from the panel's colormap +
+        opacity control points (the TF-editor state)."""
+        from correrender_tpu.render.tf import TransferFunction
+
+        scene, vd = self.scene, self.scene.volume_data
+        for field in self._tf_targets():
+            lo, hi = vd.get_min_max(
+                field, scene.current_time, scene.current_member)
+            pts = self.opacity_points
+            if pts is None:
+                pts = (((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
+                       if lo < 0 < hi else ((0.0, 0.0), (1.0, 0.8)))
+            scene.transfer_functions[field] = (
+                TransferFunction.from_colormap(
+                    self.colormap, domain=(lo, hi), opacity_points=pts,
+                ))
+
+    def _effective_opacity_points(self):
+        """The opacity curve the next rebuild would use (for the
+        client's TF editor): custom points, else the measure-derived
+        default of the first target field."""
+        if self.opacity_points is not None:
+            return [list(p) for p in self.opacity_points]
+        targets = self._tf_targets()
+        if not targets:
+            return [[0.0, 0.0], [1.0, 0.8]]
+        try:
+            lo, hi = self.scene.volume_data.get_min_max(
+                targets[0], self.scene.current_time,
+                self.scene.current_member)
+        except Exception:
+            return [[0.0, 0.0], [1.0, 0.8]]
+        return ([[0.0, 0.7], [0.5, 0.0], [1.0, 0.7]]
+                if lo < 0 < hi else [[0.0, 0.0], [1.0, 0.8]])
+
+    #: Volume renderer types the panel can switch between (the opaque
+    #: overlay types — outline/world_map — keep their own entries).
+    _VOLUME_RENDERERS = ("dvr", "iso_ray", "iso_raster", "slice")
+
+    def _volume_renderers(self):
+        return [r for r in self.scene.renderers
+                if r["type"] in self._VOLUME_RENDERERS
+                and r["view"] == self.view]
 
     # -- rendering -----------------------------------------------------------
 
@@ -141,8 +198,12 @@ class ViewerApp:
             "legend": self.show_legend,
             "pick_mode": self.pick_mode,
             "measure": (calcs[0].measure.value if calcs else None),
+            "absolute": (bool(calcs[0].absolute) if calcs else None),
             "reference_point": (list(calcs[0].reference_point)
                                 if calcs else None),
+            "colormap": self.colormap,
+            "opacity_points": self._effective_opacity_points(),
+            "opacity_default": self.opacity_points is None,
             "camera": {"theta": self._theta, "phi": self._phi,
                        "radius": self._radius},
             "checkpoints": sorted(self.scene.camera_checkpoints),
@@ -228,9 +289,10 @@ class ViewerApp:
                                 r["field"] = new
                         scene.transfer_functions.pop(old, None)
                 vd.mark_dirty(new)
-                # The TF domain depends on the measure's value range
-                # ([-1,1] vs [0,max-MI]) — drop it so tf_for re-derives.
-                scene.transfer_functions.pop(new, None)
+            # The TF domain depends on the measure's value range
+            # ([-1,1] vs [0,max-MI]) — re-derive with the panel's
+            # colormap/opacity selection.
+            self._rebuild_tfs()
 
         elif op == "set_field":
             calcs = self._correlation_calcs()
@@ -245,24 +307,82 @@ class ViewerApp:
                 if not calc.symmetric_fields:
                     calc.field_name_ref = name
                 vd.mark_dirty(calc.output_name)
-                scene.transfer_functions.pop(calc.output_name, None)
+            self._rebuild_tfs()
 
         elif op == "set_colormap":
-            from correrender_tpu.render.tf import TransferFunction
+            from correrender_tpu.render.tf import _COLORMAPS
 
+            if cmd["colormap"] not in _COLORMAPS:
+                return {"ok": False,
+                        "error": f"unknown colormap {cmd['colormap']!r}"}
+            self.colormap = cmd["colormap"]
+            self._rebuild_tfs()
+
+        elif op == "set_tf":
+            # The TF-editor surface: piecewise-linear opacity control
+            # points over the current colormap (reference TF widget).
+            pts = cmd.get("opacity_points")
+            if pts is None:
+                self.opacity_points = None      # back to defaults
+            else:
+                pts = [(float(x), float(a)) for x, a in pts]
+                if (len(pts) < 2
+                        or any(not (0 <= x <= 1 and 0 <= a <= 1)
+                               for x, a in pts)
+                        or any(b[0] < a[0]
+                               for a, b in zip(pts, pts[1:]))):
+                    return {"ok": False,
+                            "error": "opacity_points must be ≥2 "
+                                     "(pos, alpha) pairs in [0,1], "
+                                     "sorted by pos"}
+                self.opacity_points = pts
+            self._rebuild_tfs()
+
+        elif op == "set_absolute":
             calcs = self._correlation_calcs()
-            targets = ([c.output_name for c in calcs]
-                       or [r.get("field") for r in scene.renderers
-                           if r.get("field")])
-            for field in targets:
-                lo, hi = vd.get_min_max(
-                    field, scene.current_time, scene.current_member)
-                scene.transfer_functions[field] = (
-                    TransferFunction.from_colormap(
-                        cmd["colormap"], domain=(lo, hi),
-                        opacity_points=((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
-                        if lo < 0 < hi else ((0.0, 0.0), (1.0, 0.8)),
-                    ))
+            if not calcs:
+                return {"ok": False,
+                        "error": "no correlation calculator in scene"}
+            for calc in calcs:
+                calc.absolute = bool(cmd["value"])
+                vd.mark_dirty(calc.output_name)
+            # Domain flips [-1,1] ↔ [0,1]: re-derive the TFs.
+            self._rebuild_tfs()
+
+        elif op == "set_renderer":
+            kind = cmd["renderer"]
+            if kind not in self._VOLUME_RENDERERS:
+                return {"ok": False,
+                        "error": f"unknown renderer {kind!r}; one of "
+                                 f"{list(self._VOLUME_RENDERERS)}"}
+            targets = self._volume_renderers()
+            if not targets:
+                return {"ok": False,
+                        "error": "no volume renderer in this view"}
+            for r in targets:
+                r["type"] = kind
+
+        elif op == "set_renderer_option":
+            key, value = cmd["key"], cmd["value"]
+            targets = self._volume_renderers()
+            if not targets:
+                return {"ok": False,
+                        "error": "no volume renderer in this view"}
+            if key == "iso_value":
+                value = float(value)
+            elif key == "attenuation":
+                value = max(1.0, float(value))
+            elif key == "axis":
+                if value not in ("x", "y", "z"):
+                    return {"ok": False,
+                            "error": "axis must be x, y or z"}
+            elif key == "position":
+                value = min(1.0, max(0.0, float(value)))
+            else:
+                return {"ok": False,
+                        "error": f"unknown renderer option {key!r}"}
+            for r in targets:
+                r[key] = value
 
         elif op == "set_time":
             scene.current_time = max(0, min(vd.grid.ts - 1,
@@ -417,7 +537,28 @@ _INDEX_HTML = """<!doctype html>
   <h1>correrender_tpu</h1>
   <div class="row"><label>Measure</label><select id="measure"></select></div>
   <div class="row"><label>Field</label><select id="field"></select></div>
+  <div class="row"><label>Renderer</label><select id="renderer">
+    <option>dvr</option><option>iso_ray</option><option>slice</option>
+  </select></div>
+  <div class="row" id="dvrrow"><label>Attenuation
+      <span id="attval"></span></label>
+    <input type="range" id="atten" min="1" max="400" value="100"></div>
+  <div class="row" id="isorow" style="display:none">
+    <label>Iso value</label>
+    <input type="text" id="isoval" value="0.5"></div>
+  <div class="row" id="slicerow" style="display:none">
+    <label>Slice axis / position <span id="sposval"></span></label>
+    <select id="saxis" style="width:60px;display:inline-block">
+      <option>x</option><option>y</option><option selected>z</option>
+    </select>
+    <input type="range" id="spos" min="0" max="100" value="50"></div>
   <div class="row"><label>Colormap</label><select id="colormap"></select></div>
+  <div class="row"><label>Opacity (drag points, dblclick adds,
+      right-click removes)</label>
+    <canvas id="tfcanvas" width="214" height="70"
+      style="background:#14161a;border:1px solid #3a3e47;
+             border-radius:4px;touch-action:none"></canvas>
+    <button id="tfreset" style="margin-top:4px">Reset curve</button></div>
   <div class="row"><label>Time step <span id="tval"></span></label>
     <input type="range" id="time" min="0" value="0"></div>
   <div class="row"><label>Member <span id="eval"></span></label>
@@ -425,6 +566,7 @@ _INDEX_HTML = """<!doctype html>
   <div class="row">
     <button id="pick" class="off">Pick ref</button>
     <button id="legend">Legend</button>
+    <button id="absbtn" class="off">Abs</button>
   </div>
   <div class="row"><label>Camera checkpoint</label>
     <input type="text" id="ckname" placeholder="name">
@@ -523,6 +665,93 @@ async function doPick(ev) {
   } else setStatus(reply.error);
 }
 
+// -- TF opacity-curve editor (the reference TF widget analogue) ------
+// Model: sorted [pos, alpha] pairs in [0,1]². Drag moves a point
+// (endpoints move vertically only), dblclick adds, contextmenu
+// removes (endpoints stay). Edits debounce into one set_tf call.
+function initTfEditor(points) {
+  const cv = document.getElementById("tfcanvas");
+  const ctx = cv.getContext("2d");
+  let pts = (points || [[0, 0], [1, 0.8]]).map(p => [p[0], p[1]]);
+  let dragIdx = -1, sendTimer = null;
+  const PAD = 6;
+  const toX = p => PAD + p * (cv.width - 2 * PAD);
+  const toY = a => cv.height - PAD - a * (cv.height - 2 * PAD);
+  const fromX = x => Math.min(1, Math.max(0,
+    (x - PAD) / (cv.width - 2 * PAD)));
+  const fromY = y => Math.min(1, Math.max(0,
+    (cv.height - PAD - y) / (cv.height - 2 * PAD)));
+  function draw() {
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    ctx.strokeStyle = "#6ea8ff"; ctx.lineWidth = 1.5;
+    ctx.beginPath();
+    pts.forEach((p, i) => i ? ctx.lineTo(toX(p[0]), toY(p[1]))
+                            : ctx.moveTo(toX(p[0]), toY(p[1])));
+    ctx.stroke();
+    ctx.fillStyle = "#fff";
+    for (const p of pts) {
+      ctx.beginPath();
+      ctx.arc(toX(p[0]), toY(p[1]), 3.5, 0, 7);
+      ctx.fill();
+    }
+  }
+  function send() {
+    clearTimeout(sendTimer);
+    sendTimer = setTimeout(async () => {
+      await api({op:"set_tf", opacity_points:pts});
+      refreshFrame();
+    }, 150);
+  }
+  function hit(ev) {
+    const r = cv.getBoundingClientRect();
+    const x = ev.clientX - r.left, y = ev.clientY - r.top;
+    let best = -1, bd = 10;
+    pts.forEach((p, i) => {
+      const d = Math.hypot(toX(p[0]) - x, toY(p[1]) - y);
+      if (d < bd) { bd = d; best = i; }
+    });
+    return best;
+  }
+  cv.addEventListener("pointerdown", ev => {
+    dragIdx = hit(ev);
+    if (dragIdx >= 0) cv.setPointerCapture(ev.pointerId);
+  });
+  cv.addEventListener("pointermove", ev => {
+    if (dragIdx < 0) return;
+    const r = cv.getBoundingClientRect();
+    const a = fromY(ev.clientY - r.top);
+    let x = fromX(ev.clientX - r.left);
+    if (dragIdx === 0) x = 0;
+    else if (dragIdx === pts.length - 1) x = 1;
+    else x = Math.min(pts[dragIdx + 1][0],
+                      Math.max(pts[dragIdx - 1][0], x));
+    pts[dragIdx] = [x, a];
+    draw(); send();
+  });
+  cv.addEventListener("pointerup", () => { dragIdx = -1; });
+  cv.addEventListener("dblclick", ev => {
+    const r = cv.getBoundingClientRect();
+    const x = fromX(ev.clientX - r.left), a = fromY(ev.clientY - r.top);
+    let i = pts.findIndex(p => p[0] > x);
+    if (i < 0) i = pts.length - 1;
+    pts.splice(i, 0, [x, a]);
+    draw(); send();
+  });
+  cv.addEventListener("contextmenu", ev => {
+    ev.preventDefault();
+    const i = hit(ev);
+    if (i > 0 && i < pts.length - 1) { pts.splice(i, 1); draw(); send(); }
+  });
+  document.getElementById("tfreset").onclick = async () => {
+    await api({op:"set_tf", opacity_points:null});
+    const i2 = await api({op:"info"});
+    pts = (i2.opacity_points || [[0, 0], [1, 0.8]])
+      .map(p => [p[0], p[1]]);
+    draw(); refreshFrame();
+  };
+  draw();
+}
+
 function fillSelect(id, values, current) {
   const s = document.getElementById(id);
   s.innerHTML = "";
@@ -538,7 +767,7 @@ async function init() {
   info = await api({op:"info"});
   fillSelect("measure", info.measures, info.measure);
   fillSelect("field", info.fields, null);
-  fillSelect("colormap", info.colormaps, "coolwarm");
+  fillSelect("colormap", info.colormaps, info.colormap);
   fillSelect("ckload", [""].concat(info.checkpoints), "");
   const t = document.getElementById("time"),
         e = document.getElementById("member");
@@ -566,6 +795,65 @@ async function init() {
     document.getElementById("eval").textContent = ev.target.value;
     await api({op:"set_member", member:+ev.target.value}); refreshFrame();
   };
+  const vr = (info.renderers || []).find(
+    r => ["dvr", "iso_ray", "iso_raster", "slice"].includes(r.type));
+  const rsel = document.getElementById("renderer");
+  if (vr) {
+    rsel.value = vr.type === "iso_raster" ? "iso_ray" : vr.type;
+    if (vr.attenuation !== undefined)
+      document.getElementById("atten").value = vr.attenuation;
+    if (vr.iso_value !== undefined)
+      document.getElementById("isoval").value = vr.iso_value;
+    if (vr.axis) document.getElementById("saxis").value = vr.axis;
+    if (vr.position !== undefined)
+      document.getElementById("spos").value = vr.position * 100;
+  }
+  function showRendererRows() {
+    const k = rsel.value;
+    document.getElementById("dvrrow").style.display =
+      k === "dvr" ? "" : "none";
+    document.getElementById("isorow").style.display =
+      k === "iso_ray" ? "" : "none";
+    document.getElementById("slicerow").style.display =
+      k === "slice" ? "" : "none";
+  }
+  showRendererRows();
+  rsel.onchange = async ev => {
+    await api({op:"set_renderer", renderer:ev.target.value});
+    showRendererRows(); refreshFrame();
+  };
+  document.getElementById("atten").oninput = async ev => {
+    document.getElementById("attval").textContent = ev.target.value;
+    await api({op:"set_renderer_option", key:"attenuation",
+               value:+ev.target.value});
+    refreshFrame();
+  };
+  document.getElementById("isoval").onchange = async ev => {
+    const v = parseFloat(ev.target.value);
+    if (!isFinite(v)) { setStatus("iso value must be a number"); return; }
+    await api({op:"set_renderer_option", key:"iso_value", value:v});
+    refreshFrame();
+  };
+  document.getElementById("saxis").onchange = async ev => {
+    await api({op:"set_renderer_option", key:"axis",
+               value:ev.target.value});
+    refreshFrame();
+  };
+  document.getElementById("spos").oninput = async ev => {
+    document.getElementById("sposval").textContent =
+      (ev.target.value / 100).toFixed(2);
+    await api({op:"set_renderer_option", key:"position",
+               value:ev.target.value / 100});
+    refreshFrame();
+  };
+  const absbtn = document.getElementById("absbtn");
+  absbtn.classList.toggle("off", !info.absolute);
+  absbtn.onclick = async ev => {
+    const on = ev.target.classList.toggle("off");
+    await api({op:"set_absolute", value:!on});
+    refreshFrame();
+  };
+  initTfEditor(info.opacity_points);
   document.getElementById("pick").onclick = ev => {
     pickMode = !pickMode;
     ev.target.classList.toggle("off", !pickMode);

@@ -180,6 +180,68 @@ class TestViewerApp:
                         "value": [32, 24]})["ok"]
         assert app.image_size == (64, 48)  # clamped up to minimum
 
+    def test_set_renderer_and_options(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        assert app.api({"op": "set_renderer",
+                        "renderer": "iso_ray"})["ok"]
+        assert app.scene.renderers[0]["type"] == "iso_ray"
+        assert app.api({"op": "set_renderer_option", "key": "iso_value",
+                        "value": 0.3})["ok"]
+        assert app.scene.renderers[0]["iso_value"] == 0.3
+
+        assert app.api({"op": "set_renderer",
+                        "renderer": "slice"})["ok"]
+        assert app.api({"op": "set_renderer_option", "key": "axis",
+                        "value": "y"})["ok"]
+        assert app.api({"op": "set_renderer_option", "key": "position",
+                        "value": 1.7})["ok"]
+        assert app.scene.renderers[0]["position"] == 1.0  # clamped
+
+        assert not app.api({"op": "set_renderer",
+                            "renderer": "nope"})["ok"]
+        assert not app.api({"op": "set_renderer_option", "key": "nope",
+                            "value": 1})["ok"]
+        assert not app.api({"op": "set_renderer_option", "key": "axis",
+                            "value": "w"})["ok"]
+
+    def test_set_tf_and_absolute(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        calc = next(iter(app.scene.volume_data.calculators.values()))
+        name = calc.output_name
+        # Custom opacity curve rebuilds the TF for the calc output.
+        assert app.api({"op": "set_tf",
+                        "opacity_points": [[0, 0.1], [0.5, 0.9],
+                                           [1, 0.1]]})["ok"]
+        tf1 = app.scene.transfer_functions[name]
+        info = app.info()
+        assert info["opacity_points"] == [[0, 0.1], [0.5, 0.9], [1, 0.1]]
+        assert info["opacity_default"] is False
+        # Bad curves are rejected.
+        assert not app.api({"op": "set_tf",
+                            "opacity_points": [[0, 2.0]]})["ok"]
+        assert not app.api({"op": "set_tf",
+                            "opacity_points": [[0.9, 0.1],
+                                               [0.1, 0.2]]})["ok"]
+        # Reset back to the measure-derived default.
+        assert app.api({"op": "set_tf", "opacity_points": None})["ok"]
+        assert app.info()["opacity_default"] is True
+        assert app.scene.transfer_functions[name] is not tf1
+
+        # Absolute mode flips the calculator and re-derives the TF.
+        assert app.api({"op": "set_absolute", "value": True})["ok"]
+        assert calc.absolute is True
+        assert app.info()["absolute"] is True
+        lo, _hi = app.scene.volume_data.get_min_max(name)
+        assert lo >= 0.0
+
+    def test_set_colormap_unknown_rejected(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        assert not app.api({"op": "set_colormap",
+                            "colormap": "nope"})["ok"]
+        assert app.api({"op": "set_colormap",
+                        "colormap": "viridis"})["ok"]
+        assert app.info()["colormap"] == "viridis"
+
     def test_save_state(self, tmp_path):
         app = ViewerApp(make_scene(), image_size=(64, 48))
         path = tmp_path / "scene.json"
