@@ -128,15 +128,15 @@ class Scene:
 
     def tf_for(self, field_name: str) -> TransferFunction:
         if field_name not in self.transfer_functions:
+            from correrender_tpu.render.tf import default_opacity_points
+
             lo, hi = self.volume_data.get_min_max(
                 field_name, self.current_time, self.current_member
             )
             self.transfer_functions[field_name] = (
                 TransferFunction.from_colormap(
                     "coolwarm", domain=(lo, hi),
-                    opacity_points=((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
-                    if lo < 0 < hi
-                    else ((0.0, 0.0), (1.0, 0.8)),
+                    opacity_points=default_opacity_points(lo, hi),
                 )
             )
         return self.transfer_functions[field_name]

@@ -115,7 +115,10 @@ class ViewerApp:
     def _rebuild_tfs(self):
         """Re-derive every target TF from the panel's colormap +
         opacity control points (the TF-editor state)."""
-        from correrender_tpu.render.tf import TransferFunction
+        from correrender_tpu.render.tf import (
+            TransferFunction,
+            default_opacity_points,
+        )
 
         scene, vd = self.scene, self.scene.volume_data
         for field in self._tf_targets():
@@ -123,8 +126,7 @@ class ViewerApp:
                 field, scene.current_time, scene.current_member)
             pts = self.opacity_points
             if pts is None:
-                pts = (((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
-                       if lo < 0 < hi else ((0.0, 0.0), (1.0, 0.8)))
+                pts = default_opacity_points(lo, hi)
             scene.transfer_functions[field] = (
                 TransferFunction.from_colormap(
                     self.colormap, domain=(lo, hi), opacity_points=pts,
@@ -134,6 +136,8 @@ class ViewerApp:
         """The opacity curve the next rebuild would use (for the
         client's TF editor): custom points, else the measure-derived
         default of the first target field."""
+        from correrender_tpu.render.tf import default_opacity_points
+
         if self.opacity_points is not None:
             return [list(p) for p in self.opacity_points]
         targets = self._tf_targets()
@@ -145,8 +149,7 @@ class ViewerApp:
                 self.scene.current_member)
         except Exception:
             return [[0.0, 0.0], [1.0, 0.8]]
-        return ([[0.0, 0.7], [0.5, 0.0], [1.0, 0.7]]
-                if lo < 0 < hi else [[0.0, 0.0], [1.0, 0.8]])
+        return [list(p) for p in default_opacity_points(lo, hi)]
 
     #: Volume renderer types the panel can switch between (the opaque
     #: overlay types — outline/world_map — keep their own entries).
@@ -188,6 +191,7 @@ class ViewerApp:
             "grid": {"xs": g.xs, "ys": g.ys, "zs": g.zs,
                      "ts": g.ts, "es": g.es},
             "fields": vd.field_names,
+            "derived_fields": list(vd.calculators),
             "measures": [m.value for m in MEASURE_IDS],
             "colormaps": list(_COLORMAPS),
             "renderers": [dict(r) for r in self.scene.renderers],
@@ -243,9 +247,13 @@ class ViewerApp:
                 return {"ok": False,
                         "error": "no correlation calculator in scene"}
             g = vd.grid
+            # Clamp to the image: the client rounds, so a click in the
+            # rightmost/bottom half-pixel yields px == width.
+            px = max(0, min(self.image_size[0] - 1, int(cmd["px"])))
+            py = max(0, min(self.image_size[1] - 1, int(cmd["py"])))
             voxel = pick_voxel(
                 scene.views[self.view],
-                (int(cmd["px"]), int(cmd["py"])),
+                (px, py),
                 self.image_size, (g.zs, g.ys, g.xs),
                 g.render_box(),
                 fixed_z_fraction=cmd.get("fixed_z_fraction"),
@@ -302,10 +310,20 @@ class ViewerApp:
             if not calcs:
                 return {"ok": False,
                         "error": "no correlation calculator in scene"}
+            if name in vd.calculators:
+                # A calculator output as its own (or a sibling's)
+                # input recurses at compute time.
+                return {"ok": False,
+                        "error": f"{name!r} is a derived field; pick "
+                                 "a dataset field"}
             for calc in calcs:
-                calc.field_name = name
-                if not calc.symmetric_fields:
+                # Keep the reference field in sync only in SINGLE mode
+                # (ref followed the query field); a SEPARATE-fields
+                # setup (--field-ref) keeps its distinct reference.
+                if (not calc.symmetric_fields
+                        and calc.field_name_ref == calc.field_name):
                     calc.field_name_ref = name
+                calc.field_name = name
                 vd.mark_dirty(calc.output_name)
             self._rebuild_tfs()
 
@@ -460,16 +478,38 @@ def _make_handler(app: ViewerApp):
                     return
                 self._send(200, "image/png", png)
             elif url.path == "/api":
+                # GET is read-only: mutating ops would be reachable
+                # cross-origin by any web page via <img src=...> (no
+                # CORS preflight on GETs), and query strings coerce
+                # every value to str anyway. Mutations go via POST.
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
-                q.setdefault("op", "info")
+                op = q.get("op", "info")
+                if op != "info":
+                    self._send(403, "application/json", json.dumps({
+                        "ok": False,
+                        "error": "GET /api only serves op=info; "
+                                 "use POST for mutations",
+                    }).encode())
+                    return
                 self._send(200, "application/json",
-                           json.dumps(app.api(q)).encode())
+                           json.dumps(app.api({"op": "info"})).encode())
             else:
                 self._send(404, "text/plain", b"not found")
 
         def do_POST(self):  # noqa: N802
             if urlparse(self.path).path != "/api":
                 self._send(404, "text/plain", b"not found")
+                return
+            # Cross-origin POSTs can skip the CORS preflight only with
+            # "simple" content types (text/plain, form-encoded) —
+            # requiring application/json forces a preflight we never
+            # answer, so hostile pages can't mutate viewer state.
+            ctype = self.headers.get("Content-Type", "")
+            if not ctype.startswith("application/json"):
+                self._send(415, "application/json", json.dumps({
+                    "ok": False,
+                    "error": "Content-Type must be application/json",
+                }).encode())
                 return
             n = int(self.headers.get("Content-Length", 0))
             try:
@@ -538,7 +578,8 @@ _INDEX_HTML = """<!doctype html>
   <div class="row"><label>Measure</label><select id="measure"></select></div>
   <div class="row"><label>Field</label><select id="field"></select></div>
   <div class="row"><label>Renderer</label><select id="renderer">
-    <option>dvr</option><option>iso_ray</option><option>slice</option>
+    <option>dvr</option><option>iso_ray</option>
+    <option>iso_raster</option><option>slice</option>
   </select></div>
   <div class="row" id="dvrrow"><label>Attenuation
       <span id="attval"></span></label>
@@ -766,7 +807,11 @@ function fillSelect(id, values, current) {
 async function init() {
   info = await api({op:"info"});
   fillSelect("measure", info.measures, info.measure);
-  fillSelect("field", info.fields, null);
+  // Derived (calculator) outputs are not valid calculator INPUTS —
+  // the server rejects them; keep them out of the dropdown.
+  fillSelect("field",
+    info.fields.filter(f => !(info.derived_fields || []).includes(f)),
+    null);
   fillSelect("colormap", info.colormaps, info.colormap);
   fillSelect("ckload", [""].concat(info.checkpoints), "");
   const t = document.getElementById("time"),
@@ -799,7 +844,7 @@ async function init() {
     r => ["dvr", "iso_ray", "iso_raster", "slice"].includes(r.type));
   const rsel = document.getElementById("renderer");
   if (vr) {
-    rsel.value = vr.type === "iso_raster" ? "iso_ray" : vr.type;
+    rsel.value = vr.type;
     if (vr.attenuation !== undefined)
       document.getElementById("atten").value = vr.attenuation;
     if (vr.iso_value !== undefined)
@@ -813,7 +858,7 @@ async function init() {
     document.getElementById("dvrrow").style.display =
       k === "dvr" ? "" : "none";
     document.getElementById("isorow").style.display =
-      k === "iso_ray" ? "" : "none";
+      (k === "iso_ray" || k === "iso_raster") ? "" : "none";
     document.getElementById("slicerow").style.display =
       k === "slice" ? "" : "none";
   }

@@ -52,6 +52,15 @@ def _sample_control_points(points, resolution):
     return out
 
 
+def default_opacity_points(lo: float, hi: float):
+    """Measure-derived default opacity curve: sign-spanning domains
+    (correlation coefficients) get a zero-opacity notch at the domain
+    center so ±extremes pop; one-signed domains get a plain ramp.
+    Single source of truth for Scene.tf_for and the viewer panel."""
+    return (((0.0, 0.7), (0.5, 0.0), (1.0, 0.7))
+            if lo < 0 < hi else ((0.0, 0.0), (1.0, 0.8)))
+
+
 @dataclasses.dataclass
 class TransferFunction:
     """LUT-based transfer function over a scalar domain.

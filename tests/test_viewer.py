@@ -101,10 +101,38 @@ class TestHttpSurface:
         assert tuple(ref) != (4, 4, 4)
 
     def test_pick_miss_reports_error(self, server_url):
-        base, _ = server_url
+        base, app = server_url
+        # Zoom far out so the corner pixel's ray is guaranteed to miss
+        # the unit-scale volume box.
+        _api(base, {"op": "zoom", "factor": 10.0})
         reply = _api(base, {"op": "pick", "px": 0, "py": 0})
-        if not reply["ok"]:
-            assert "miss" in reply["error"]
+        assert not reply["ok"]
+        assert "miss" in reply["error"]
+
+    def test_pick_clamps_edge_pixels(self, server_url):
+        base, app = server_url
+        # The client rounds, so a rightmost/bottom half-pixel click
+        # sends px == width; the server clamps instead of IndexError.
+        reply = _api(base, {"op": "pick", "px": 96, "py": 72})
+        assert "error" not in reply or "miss" in reply.get("error", "")
+
+    def test_get_api_is_read_only(self, server_url):
+        base, _ = server_url
+        status, _, body = _get(base + "/api?op=info")
+        assert status == 200 and b'"grid"' in body
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base + "/api?op=set_option&key=legend&value=false")
+        assert exc.value.code == 403
+
+    def test_post_requires_json_content_type(self, server_url):
+        base, _ = server_url
+        req = urllib.request.Request(
+            base + "/api", data=b'{"op": "set_option", '
+            b'"key": "legend", "value": false}',
+            headers={"Content-Type": "text/plain"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 415
 
     def test_set_measure_and_field(self, server_url):
         base, app = server_url
@@ -126,6 +154,33 @@ class TestHttpSurface:
 
         reply = _api(base, {"op": "set_field", "field": "nope"})
         assert not reply["ok"]
+        # A calculator output is not a valid calculator input (it
+        # would recurse at compute time).
+        reply = _api(base, {"op": "set_field",
+                            "field": calc.output_name})
+        assert not reply["ok"] and "derived" in reply["error"]
+
+    def test_set_field_preserves_separate_reference(self):
+        from correrender_tpu.utils import fixtures as fx
+
+        scene = make_scene()
+        vd = scene.volume_data
+        other = fx.synth_box_ensemble(xs=16, ys=16, zs=8, members=16,
+                                      seed=7)
+        vd.add_field("other", lambda t, e: other[e])
+        third = fx.synth_box_ensemble(xs=16, ys=16, zs=8, members=16,
+                                      seed=8)
+        vd.add_field("third", lambda t, e: third[e])
+        calc = next(iter(vd.calculators.values()))
+        calc.field_name_ref = "other"   # SEPARATE-fields setup
+        app = ViewerApp(scene, image_size=(64, 48))
+        assert app.api({"op": "set_field", "field": "third"})["ok"]
+        assert calc.field_name == "third"
+        assert calc.field_name_ref == "other"  # NOT collapsed
+        # SINGLE mode (ref == field) keeps following the query field.
+        calc.field_name_ref = "third"
+        assert app.api({"op": "set_field", "field": "data"})["ok"]
+        assert calc.field_name_ref == "data"
 
     def test_unknown_op(self, server_url):
         base, _ = server_url
