@@ -32,6 +32,7 @@ or programmatically::
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import math
@@ -162,21 +163,148 @@ class ViewerApp:
 
     # -- rendering -----------------------------------------------------------
 
+    def _fused_dvr_job(self):
+        """(calc, renderer) when the view is the single-DVR-over-a-
+        correlation-field shape the fused correlate+render program
+        covers (render/pipeline.py), else None.
+
+        The fused path skips the Scene's per-pick classify/prepare
+        rebuild and the per-stage dispatch round-trips — on the
+        tunneled chip that is the difference between ~0.7 s and
+        ~0.1 s per reference-point move (the BASELINE north-star
+        interaction)."""
+        scene, vd = self.scene, self.scene.volume_data
+        if not self.fast_dvr:
+            return None
+        rs = [r for r in scene.renderers if r["view"] == self.view]
+        if len(rs) != 1 or rs[0]["type"] != "dvr":
+            return None
+        from correrender_tpu.calculators.correlation import (
+            CorrelationCalculator,
+        )
+
+        r = rs[0]
+        calc = vd.calculators.get(r.get("field", ""))
+        if (not isinstance(calc, CorrelationCalculator)
+                or not calc.ensemble_mode
+                or calc.symmetric_fields
+                or calc.use_time_lag_correlations
+                or calc.use_render_restriction):
+            return None
+        fname = calc.field_name or vd.field_names[0]
+        if (calc.field_name_ref or fname) != fname:
+            return None   # SEPARATE-fields: ref series ≠ stack[zyx]
+        if getattr(vd, "model_matrix", None) is not None:
+            return None
+        if r.get("nan_mode", "ignore") != "ignore":
+            return None
+        from correrender_tpu.render.dvr_fast import shearwarp_viable
+
+        if not shearwarp_viable(scene.views[self.view],
+                                vd.grid.render_box()):
+            return None
+        return calc, r
+
+    def _render_fused(self, calc, renderer):
+        """Device part of a fused frame: one correlate+render program,
+        no overlays (those are host-side numpy — see frame_png)."""
+        from correrender_tpu.render.pipeline import (
+            render_correlation_fast,
+        )
+
+        scene, vd = self.scene, self.scene.volume_data
+        field = calc.output_name
+        tf = scene.tf_for(field)   # derives the domain once, then cached
+        fname = calc.field_name or vd.field_names[0]
+        stack = vd.get_member_stack(fname, scene.current_time)
+        cam = scene.views[self.view]
+        return render_correlation_fast(
+            stack, calc.reference_point, cam, tf, calc.measure,
+            image_size=self.image_size,
+            attenuation=renderer.get("attenuation", 100.0),
+            background=(0.0, 0.0, 0.0, 0.0),
+            intermediate_scale=1.0,   # match Scene.render_view quality
+            num_bins=calc.num_bins, k=calc.k,
+            kraskov_estimator=calc.kraskov_estimator,
+            absolute=calc.absolute,
+        )
+
+    # One tiny shape-cached program: quantize on device so the tunnel
+    # moves 1 byte/channel instead of 4 (the f32 fetch dominated the
+    # warm frame before this).
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
+    def _to_u8_fn():
+        import jax
+        import jax.numpy as jnp
+
+        return jax.jit(
+            lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(
+                jnp.uint8))
+
+    def _frame_state_key(self):
+        """Everything a frame depends on — unchanged key ⇒ the cached
+        PNG is current (the client polls /frame after every op)."""
+        # Every mutating api() op bumps _frame_epoch, so the epoch
+        # covers camera, calculator, TF and renderer state.
+        return (self._frame_epoch, self.image_size, self.fast_dvr,
+                self.show_reference_points, self.show_legend)
+
     def frame_png(self) -> bytes:
         from PIL import Image
 
         with self._lock:
-            img = self.scene.render_view(
-                self.view, image_size=self.image_size,
-                fast_dvr=self.fast_dvr,
-                show_reference_points=self.show_reference_points,
-                show_legend=self.show_legend,
-            )
-            arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(
-                np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="PNG")
-        return buf.getvalue()
+            key = self._frame_state_key()
+            cached = getattr(self, "_frame_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            scene, vd = self.scene, self.scene.volume_data
+            job = self._fused_dvr_job()
+            if job is not None:
+                img = self._render_fused(*job)
+            else:
+                # Overlays are applied host-side below for BOTH paths
+                # (a device marker costs a dispatch chain per frame).
+                img = scene.render_view(
+                    self.view, image_size=self.image_size,
+                    fast_dvr=self.fast_dvr,
+                    show_reference_points=False, show_legend=False,
+                )
+            arr = np.asarray(self._to_u8_fn()(img)).astype(
+                np.float32) / 255.0
+            if self.show_reference_points:
+                from correrender_tpu.render.picking import (
+                    overlay_reference_point_marker_np,
+                )
+
+                cam = scene.views[self.view]
+                box = vd.grid.render_box()
+                for calc in vd.calculators.values():
+                    point = getattr(calc, "reference_point", None)
+                    if point is not None:
+                        overlay_reference_point_marker_np(
+                            arr, cam, point, vd.grid.shape_zyx, box)
+            if self.show_legend:
+                from correrender_tpu.render.legend import (
+                    color_legend_overlay,
+                )
+
+                for r in scene.renderers:
+                    if r["view"] != self.view or r["type"] not in (
+                            "dvr", "slice", "iso_ray", "iso_raster"):
+                        continue
+                    field = r.get("field", vd.field_names[0])
+                    arr = color_legend_overlay(arr, scene.tf_for(field))
+                    break
+            out = (arr * 255.0 + 0.5).astype(np.uint8)
+            buf = io.BytesIO()
+            # compress_level 1: ~3x faster than the zlib default at
+            # ~10% larger files — right trade for interactive frames.
+            Image.fromarray(out).save(buf, format="PNG",
+                                      compress_level=1)
+            png = buf.getvalue()
+            self._frame_cache = (key, png)
+        return png
 
     # -- the JSON command surface ---------------------------------------------
 
@@ -668,7 +796,7 @@ async function refreshFrame() {
 }
 
 img.addEventListener("pointerdown", ev => {
-  if (ev.shiftKey || pickMode) { doPick(ev); return; }
+  if (ev.shiftKey || pickMode) { startPickDrag(ev); return; }
   img.setPointerCapture(ev.pointerId);
   img.style.cursor = "grabbing";
   let lx = ev.clientX, ly = ev.clientY;
@@ -704,6 +832,29 @@ async function doPick(ev) {
       reply.reference_point.join(", ");
     refreshFrame();
   } else setStatus(reply.error);
+}
+
+// Dragging the reference point re-runs the fused correlate+render
+// program per frame (the reference's PointPicker drag interaction).
+// One pick in flight; moves coalesce to the latest position.
+function startPickDrag(ev) {
+  img.setPointerCapture(ev.pointerId);
+  let queued = null, picking = false;
+  const pickAt = async e => {
+    if (picking) { queued = e; return; }
+    picking = true;
+    await doPick(e);
+    picking = false;
+    if (queued) { const q = queued; queued = null; pickAt(q); }
+  };
+  pickAt(ev);
+  const move = e => pickAt(e);
+  const up = () => {
+    img.removeEventListener("pointermove", move);
+    img.removeEventListener("pointerup", up);
+  };
+  img.addEventListener("pointermove", move);
+  img.addEventListener("pointerup", up);
 }
 
 // -- TF opacity-curve editor (the reference TF widget analogue) ------

@@ -75,6 +75,68 @@ def pick_voxel(
     return int(vox[0]), int(vox[1]), int(vox[2])
 
 
+def marker_screen_center(camera, reference_point_xyz, grid_shape_zyx,
+                         box, image_size):
+    """Project a reference voxel to screen pixel ``(cx, cy)``; None if
+    it is behind the camera."""
+    width, height = image_size
+    zs, ys, xs = grid_shape_zyx
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+    x, y, z = reference_point_xyz
+    world = box_min + (np.array([x + 0.5, y + 0.5, z + 0.5])
+                       / np.array([xs, ys, zs])) * (box_max - box_min)
+
+    view = camera.view_matrix()
+    proj = camera.projection_matrix(width / height)
+    clip = proj @ (view @ np.append(world, 1.0))
+    if clip[3] <= 0:
+        return None
+    ndc = clip[:3] / clip[3]
+    cx = (ndc[0] * 0.5 + 0.5) * width
+    cy = (0.5 - ndc[1] * 0.5) * height
+    return float(cx), float(cy)
+
+
+def overlay_reference_point_marker_np(
+    arr: np.ndarray,
+    camera,
+    reference_point_xyz,
+    grid_shape_zyx,
+    box,
+    color=(1.0, 0.1, 0.1, 1.0),
+    radius_px: float = 6.0,
+):
+    """In-place numpy marker overlay on a host float RGBA image — the
+    interactive viewer's fast path (the device variant below costs a
+    dispatch chain per frame over a tunneled chip; the marker is a
+    ~15px disc, pure host math)."""
+    h, w = arr.shape[:2]
+    center = marker_screen_center(
+        camera, reference_point_xyz, grid_shape_zyx, box, (w, h))
+    if center is None:
+        return arr
+    cx, cy = center
+    r = radius_px + 3.0
+    x0 = int(max(0, np.floor(cx - r)))
+    x1 = int(min(w, np.ceil(cx + r)))
+    y0 = int(max(0, np.floor(cy - r)))
+    y1 = int(min(h, np.ceil(cy + r)))
+    if x0 >= x1 or y0 >= y1:
+        return arr
+    gx, gy = np.meshgrid(np.arange(x0, x1, dtype=np.float32) + 0.5,
+                         np.arange(y0, y1, dtype=np.float32) + 0.5)
+    dist = np.hypot(gx - cx, gy - cy)
+    disc = np.clip(radius_px + 0.5 - dist, 0.0, 1.0)
+    rim = np.clip(radius_px + 2.5 - dist, 0.0, 1.0) - disc
+    col = np.asarray(color, np.float32)
+    a = (disc * col[3] + rim * 0.5)[..., None]
+    win = arr[y0:y1, x0:x1]
+    win[..., :3] = disc[..., None] * col[:3] + (1 - a) * win[..., :3]
+    win[..., 3] = np.maximum(a[..., 0], win[..., 3])
+    return arr
+
+
 def render_reference_point_marker(
     camera,
     reference_point_xyz,
@@ -89,25 +151,15 @@ def render_reference_point_marker(
     (ReferencePointSelectionRenderer analogue, screen-space disc with a
     shadow rim like ShadowCircleRasterPass)."""
     width, height = image_size
-    zs, ys, xs = grid_shape_zyx
-    box_min = np.asarray(box[0], np.float32)
-    box_max = np.asarray(box[1], np.float32)
-    x, y, z = reference_point_xyz
-    world = box_min + (np.array([x + 0.5, y + 0.5, z + 0.5])
-                       / np.array([xs, ys, zs])) * (box_max - box_min)
-
-    view = camera.view_matrix()
-    proj = camera.projection_matrix(width / height)
-    clip = proj @ (view @ np.append(world, 1.0))
-    if clip[3] <= 0:
+    center = marker_screen_center(
+        camera, reference_point_xyz, grid_shape_zyx, box, image_size)
+    if center is None:
         return (
             base_image
             if base_image is not None
             else jnp.zeros((height, width, 4), jnp.float32)
         )
-    ndc = clip[:3] / clip[3]
-    cx = (ndc[0] * 0.5 + 0.5) * width
-    cy = (0.5 - ndc[1] * 0.5) * height
+    cx, cy = center
 
     gx, gy = jnp.meshgrid(
         jnp.arange(width, dtype=jnp.float32) + 0.5,

@@ -42,7 +42,13 @@ def render_correlation_fast(
     """
     from correrender_tpu.render.dvr_fast import dvr_shearwarp
 
-    x, y, z = (int(c) for c in ref_point)
+    # Traced ref points (an int32[3] under an outer jit — the viewer's
+    # drag-the-reference-point loop) index via gather; host ints are
+    # coerced so a stray float doesn't change the indexing semantics.
+    if isinstance(ref_point, jnp.ndarray):
+        x, y, z = ref_point[0], ref_point[1], ref_point[2]
+    else:
+        x, y, z = (int(c) for c in ref_point)
     ref_series = stack[z, y, x]
     field = correlate_field(stack, ref_series, measure, **measure_kwargs)
     return dvr_shearwarp(

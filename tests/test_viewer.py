@@ -297,6 +297,37 @@ class TestViewerApp:
                         "colormap": "viridis"})["ok"]
         assert app.info()["colormap"] == "viridis"
 
+    def test_fused_path_matches_scene_render(self):
+        # The single-DVR-over-correlation shape takes the fused
+        # correlate+render program (render/pipeline.py); its frame
+        # must match the Scene compositor's within fusion tolerance.
+        scene = make_scene()
+        app = ViewerApp(scene, image_size=(96, 72))
+        job = app._fused_dvr_job()
+        assert job is not None
+        fused = np.asarray(app._render_fused(*job))
+        composed = np.asarray(scene.render_view(
+            0, image_size=(96, 72), fast_dvr=True))
+        assert fused.shape == composed.shape
+        assert np.abs(fused - composed).max() < 0.05
+
+        # De-fusing conditions fall back to the Scene path.
+        calc = next(iter(scene.volume_data.calculators.values()))
+        calc.use_render_restriction = True
+        assert app._fused_dvr_job() is None
+        calc.use_render_restriction = False
+        assert app._fused_dvr_job() is not None
+        scene.add_renderer("domain_outline")
+        assert app._fused_dvr_job() is None
+
+    def test_frame_cache_serves_unchanged_frames(self):
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        p1 = app.frame_png()
+        assert app.frame_png() is p1        # cached bytes, no re-render
+        app.api({"op": "orbit", "dtheta": 0.5})
+        p2 = app.frame_png()
+        assert p2 != p1                     # epoch bump invalidates
+
     def test_save_state(self, tmp_path):
         app = ViewerApp(make_scene(), image_size=(64, 48))
         path = tmp_path / "scene.json"
