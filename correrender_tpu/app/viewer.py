@@ -306,6 +306,83 @@ class ViewerApp:
             self._frame_cache = (key, png)
         return png
 
+    def diagram_svg(self, kind: str, params: dict | None = None) -> str:
+        """Render one of the 2D analysis diagrams as SVG text (the
+        reference docks these beside the 3D views). Read-only; cached
+        per (kind, params, mutation epoch)."""
+        params = dict(params or {})
+        with self._lock:
+            key = (kind, tuple(sorted(params.items())),
+                   self._frame_epoch)
+            cached = getattr(self, "_diagram_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            svg = self._diagram_locked(kind, params)
+            self._diagram_cache = (key, svg)
+            return svg
+
+    def _diagram_locked(self, kind: str, params: dict) -> str:
+        scene, vd = self.scene, self.scene.volume_data
+        calcs = self._correlation_calcs()
+        measure = params.get(
+            "measure", calcs[0].measure.value if calcs else "pearson")
+        raw = [f for f in vd.field_names if f not in vd.calculators]
+        field = params.get("field") or (raw[0] if raw
+                                        else vd.field_names[0])
+        if kind == "heb":
+            from correrender_tpu.diagrams.heb import HEBChart
+
+            stack = np.asarray(
+                vd.get_member_stack(field, scene.current_time))
+            chart = HEBChart(
+                stack,
+                downsample_factor=int(params.get("downsample", 4)),
+                measure=measure,
+                num_samples=int(params.get("num_samples", 20)),
+                max_chords=int(params.get("max_chords", 250)),
+            )
+            chart.compute_correlations()
+            return chart.render_svg(size=int(params.get("size", 700)))
+        if kind == "matrix":
+            from correrender_tpu.diagrams.matrix import (
+                field_correlation_matrix,
+                render_matrix_svg,
+            )
+
+            m, names = field_correlation_matrix(
+                vd, raw or None, time=scene.current_time,
+                measure=measure)
+            return render_matrix_svg(m, labels=names)
+        if kind == "distribution":
+            from correrender_tpu.diagrams.distribution_similarity import (
+                distribution_similarity,
+            )
+            from correrender_tpu.diagrams.scatter import (
+                render_scatter_svg,
+            )
+
+            stack = np.asarray(
+                vd.get_member_stack(field, scene.current_time))
+            emb, labels, _ = distribution_similarity(
+                stack, max_points=int(params.get("max_points", 512)))
+            return render_scatter_svg(
+                emb[:, 0], emb[:, 1],
+                labels=("t-SNE 1", "t-SNE 2"), colors=labels)
+        if kind == "scatter":
+            from correrender_tpu.diagrams.scatter import (
+                render_scatter_svg,
+            )
+
+            field_b = params.get("field_b") or field
+            a = np.asarray(vd.get_field(field, scene.current_time,
+                                        scene.current_member))
+            b = np.asarray(vd.get_field(field_b, scene.current_time,
+                                        scene.current_member))
+            return render_scatter_svg(a, b, labels=(field, field_b))
+        raise ValueError(
+            f"unknown diagram kind {kind!r}; one of "
+            "heb/matrix/distribution/scatter")
+
     # -- the JSON command surface ---------------------------------------------
 
     def info(self) -> dict:
@@ -605,6 +682,21 @@ def _make_handler(app: ViewerApp):
                                json.dumps({"error": str(e)}).encode())
                     return
                 self._send(200, "image/png", png)
+            elif url.path == "/diagram":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                kind = q.pop("kind", "heb")
+                q.pop("t", None)   # client cache-buster
+                try:
+                    svg = app.diagram_svg(kind, q)
+                except ValueError as e:
+                    self._send(400, "application/json",
+                               json.dumps({"error": str(e)}).encode())
+                    return
+                except Exception as e:
+                    self._send(500, "application/json",
+                               json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, "image/svg+xml", svg.encode())
             elif url.path == "/api":
                 # GET is read-only: mutating ops would be reachable
                 # cross-origin by any web page via <img src=...> (no
@@ -700,7 +792,12 @@ _INDEX_HTML = """<!doctype html>
   button.off { background:#3a3e47; }
   #status { color:#7b818c; min-height:2.5em; white-space:pre-wrap; }
 </style></head><body>
-<div id="frame"><img id="img" draggable="false" alt="volume render"></div>
+<div id="frame" style="flex-direction:column">
+  <img id="img" draggable="false" alt="volume render">
+  <div id="diagdock" style="display:none;max-height:45%;overflow:auto">
+    <img id="diagimg" alt="diagram" style="max-width:100%;cursor:default">
+  </div>
+</div>
 <div id="panel">
   <h1>correrender_tpu</h1>
   <div class="row"><label>Measure</label><select id="measure"></select></div>
@@ -737,6 +834,14 @@ _INDEX_HTML = """<!doctype html>
     <button id="legend">Legend</button>
     <button id="absbtn" class="off">Abs</button>
   </div>
+  <div class="row"><label>Diagram (docked below view)</label>
+    <select id="diagram">
+      <option value="">none</option>
+      <option value="heb">HEB chords</option>
+      <option value="matrix">correlation matrix</option>
+      <option value="distribution">distribution similarity</option>
+      <option value="scatter">scatter</option>
+    </select></div>
   <div class="row"><label>Camera checkpoint</label>
     <input type="text" id="ckname" placeholder="name">
     <div style="margin-top:5px">
@@ -1041,6 +1146,17 @@ async function init() {
     await api({op:"set_renderer_option", key:"position",
                value:ev.target.value / 100});
     refreshFrame();
+  };
+  document.getElementById("diagram").onchange = async ev => {
+    const kind = ev.target.value;
+    const dock = document.getElementById("diagdock");
+    if (!kind) { dock.style.display = "none"; return; }
+    setStatus("computing " + kind + " diagram…");
+    const di = document.getElementById("diagimg");
+    di.src = "/diagram?kind=" + kind + "&t=" + Date.now();
+    di.onload = () => { dock.style.display = ""; setStatus("");
+                        di.onerror = null; };
+    di.onerror = () => setStatus("diagram failed — see server log");
   };
   const absbtn = document.getElementById("absbtn");
   absbtn.classList.toggle("off", !info.absolute);

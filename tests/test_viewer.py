@@ -187,6 +187,25 @@ class TestHttpSurface:
         reply = _api(base, {"op": "warp_core_breach"})
         assert not reply["ok"] and "unknown op" in reply["error"]
 
+    def test_diagram_endpoint(self, server_url):
+        base, app = server_url
+        status, ctype, body = _get(base + "/diagram?kind=heb"
+                                   "&downsample=4&num_samples=6"
+                                   "&max_chords=20")
+        assert status == 200 and ctype == "image/svg+xml"
+        assert body.startswith(b"<svg") or b"<svg" in body[:200]
+        # Cached per epoch: identical request returns the same text.
+        _, _, body2 = _get(base + "/diagram?kind=heb&downsample=4"
+                           "&num_samples=6&max_chords=20")
+        assert body2 == body
+
+        status, _, body = _get(base + "/diagram?kind=scatter")
+        assert status == 200 and b"<svg" in body[:200]
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base + "/diagram?kind=nope")
+        assert exc.value.code == 400
+
     def test_404(self, server_url):
         base, _ = server_url
         with pytest.raises(urllib.error.HTTPError) as exc:
