@@ -472,6 +472,33 @@ def make_iso_bench():
     return measure, prep_delta
 
 
+def make_heb_bench():
+    """512-leaf HEB serve with plastic request sampling — the
+    interactive diagram drill-down workload. Round-3 work cut the
+    steady-state serve 51 s → ~4 s (jitted request programs, pipelined
+    chunk enqueue, member-adaptive chunk size); this metric pins it
+    per round. Returns the warm serve time in ms."""
+    from correrender_tpu.diagrams.heb import HEBChart
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((32, 32, 32, 1)).astype(np.float32)
+    stack = base + 0.5 * rng.standard_normal(
+        (32, 32, 32, 20)
+    ).astype(np.float32)
+    chart = HEBChart(
+        stack, downsample_factor=4, measure="pearson",
+        sampling_method="plastic", num_samples=20, max_chords=250,
+    )
+    chart.compute_correlations()  # compile + warm
+
+    def measure():
+        t0 = time.perf_counter()
+        chart.compute_correlations()
+        return (time.perf_counter() - t0) * 1000.0
+
+    return measure
+
+
 def fast_vs_exact_ssim():
     """SSIM of the shear-warp fast paths against the exact marchers ON
     HARDWARE at a mid resolution (VERDICT r2 weak #5: goldens stopped
@@ -627,6 +654,11 @@ def main():
         add("iso_frame_pipelined_ms", ip_ms)
     del iso
 
+    heb = make_heb_bench()
+    for _ in range(REPS):
+        add("heb_serve_ms", heb())
+    del heb
+
     med = {k: _summary(v)["median"] for k, v in samples.items()}
 
     # Insurance line: the MI/equality phases below cost many minutes
@@ -694,6 +726,7 @@ def main():
         "iso_1080p_250c_frame_pipelined_ms": round(
             med["iso_frame_pipelined_ms"], 2
         ),
+        "heb_512leaf_plastic_serve_ms": round(med["heb_serve_ms"], 1),
         "stats": {
             k: {kk: round(vv, 6) if kk != "n" else vv
                 for kk, vv in _summary(v).items()}

@@ -256,23 +256,54 @@ def correlate_requests(
     Returns:
       ``(R,)`` correlation values.
     """
-    n = stack.shape[-1]
-    flat = stack.reshape(-1, n)
-    flat_b = flat if stack_b is None else stack_b.reshape(-1, n)
-
-    def to_flat(req, shape):
-        req = jnp.asarray(req)
-        if req.ndim == 2:
-            z, y, x = req[:, 0], req[:, 1], req[:, 2]
-            return (z * shape[1] + y) * shape[2] + x
-        return req
-
-    ia = to_flat(requests_a, stack.shape[:3])
-    ib = to_flat(requests_b, stack.shape[:3])
-    sa = flat[ia]  # (R, n)
-    sb = flat_b[ib]
     m = measure_from_id(measure)
-    return ops.correlate(sa, sb, m, **kwargs)
+    ra = jnp.asarray(requests_a)
+    rb = jnp.asarray(requests_b)
+    key = tuple(sorted(kwargs.items()))
+    try:
+        hash(key)
+    except TypeError:
+        # Unhashable kwargs (array mi_bounds): eager path.
+        n = stack.shape[-1]
+        flat = stack.reshape(-1, n)
+        flat_b = flat if stack_b is None else stack_b.reshape(-1, n)
+        return ops.correlate(
+            flat[_to_flat(ra, stack.shape[:3])],
+            flat_b[_to_flat(rb, stack.shape[:3])],
+            m,
+            **kwargs,
+        )
+    # One cached jitted program per (measure, kwargs): the eager path
+    # paid ~12 tunnel dispatches per chunk (round-3 HEB profile).
+    # Flatten/gather happen inside the program, so a device-resident
+    # stack passed by a chunk loop incurs no per-chunk transfers.
+    prog = _requests_program(m, key)
+    return prog(stack, stack if stack_b is None else stack_b, ra, rb)
+
+
+def _to_flat(req, shape):
+    if req.ndim == 2:
+        z, y, x = req[:, 0], req[:, 1], req[:, 2]
+        return (z * shape[1] + y) * shape[2] + x
+    return req
+
+
+@functools.lru_cache(maxsize=64)
+def _requests_program(measure, kw_items):
+    # jax.jit re-traces per input shape/ndim, so request ndim (flat vs
+    # (R, 3) coords) needs no explicit cache key.
+    kw = dict(kw_items)
+
+    @jax.jit
+    def run(stack, stack_b, ra, rb):
+        n = stack.shape[-1]
+        flat = stack.reshape(-1, n)
+        flat_b = stack_b.reshape(-1, stack_b.shape[-1])
+        ia = _to_flat(ra, stack.shape[:3])
+        ib = _to_flat(rb, stack_b.shape[:3])
+        return ops.correlate(flat[ia], flat_b[ib], measure, **kw)
+
+    return run
 
 
 @register_calculator_type("correlation")

@@ -126,7 +126,7 @@ def bayesian_opt_max(
         sa = stack[pa[:, 2], pa[:, 1], pa[:, 0]]
         sb = stack[pb[:, 2], pb[:, 1], pb[:, 0]]
         vals = np.asarray(
-            ops.correlate(
+            ops.correlate_jit(
                 jnp.asarray(sa), jnp.asarray(sb), measure,
                 absolute=True, **measure_kw,
             )

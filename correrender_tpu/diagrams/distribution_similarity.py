@@ -98,7 +98,9 @@ def build_features(
             yq = np.clip(cells[:, 1] + dy, 0, ys - 1)
             xq = np.clip(cells[:, 2] + dx, 0, xs - 1)
             neigh = jnp.asarray(stack[zq, yq, xq])
-            feats.append(np.asarray(ops.correlate(center, neigh, measure)))
+            feats.append(
+                np.asarray(ops.correlate_jit(center, neigh, measure))
+            )
         return np.nan_to_num(np.stack(feats, axis=-1)).astype(np.float32), cells
     raise ValueError(f"unknown feature mode {mode!r}")
 

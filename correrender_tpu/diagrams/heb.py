@@ -125,7 +125,7 @@ class HEBChart:
                 ]
             )  # (L, n)
             vals = np.asarray(
-                ops.correlate(
+                ops.correlate_jit(
                     jnp.asarray(series)[:, None, :],
                     jnp.asarray(series)[None, :, :],
                     self.measure,

@@ -27,7 +27,8 @@ def correlation_matrix(
     """
     s = jnp.asarray(series)
     mat = np.asarray(
-        ops.correlate(s[:, None, :], s[None, :, :], measure, **measure_kw)
+        ops.correlate_jit(s[:, None, :], s[None, :, :], measure,
+                          **measure_kw)
     )
     if symmetric:
         mat = 0.5 * (mat + mat.T)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from correrender_tpu import ops
@@ -62,8 +63,8 @@ def _pairs_to_series(stack, region_a, region_b, ua, ub):
 
 def _eval_max(sa, sb, measure, **kw):
     vals = np.asarray(
-        ops.correlate(jnp.asarray(sa), jnp.asarray(sb), measure,
-                      absolute=True, **kw)
+        ops.correlate_jit(jnp.asarray(sa), jnp.asarray(sb), measure,
+                          absolute=True, **kw)
     )
     vals = vals[np.isfinite(vals)]
     return float(vals.max()) if len(vals) else float("nan")
@@ -160,7 +161,7 @@ def batched_block_pairs_max(
     method="plastic",
     num_samples=100,
     seed=0,
-    request_chunk=16384,
+    request_chunk=None,
     **kw,
 ):
     """Max |corr| for MANY region pairs in batched device dispatches.
@@ -187,6 +188,19 @@ def batched_block_pairs_max(
     from correrender_tpu.calculators.correlation import (
         correlate_requests,
     )
+
+    if request_chunk is None:
+        # Chunk by a series-bytes budget, not a fixed request count:
+        # at n=20 members a 16384-request chunk is ~2.6 MB — pure
+        # dispatch overhead on the tunneled chip — while at n=1000 a
+        # 256k chunk would blow the KSG band workspace. ~128 MB of
+        # gathered pair series per chunk, clamped to [16384, 262144].
+        n_members = int(stack.shape[-1])
+        budget = 128 << 20
+        request_chunk = int(
+            min(262144, max(16384, budget // (2 * 4 * n_members)))
+        )
+        request_chunk = 1 << (request_chunk.bit_length() - 1)
 
     s = num_samples
     if method == "random":
@@ -229,14 +243,24 @@ def batched_block_pairs_max(
         pad = np.zeros((padded - total, 3), pa.dtype)
         pa = np.concatenate([pa, pad])
         pb = np.concatenate([pb, pad])
-    vals = np.empty(padded, np.float32)
     absolute = kw.pop("absolute", True)
-    for start in range(0, padded, request_chunk):
-        end = min(start + request_chunk, padded)
-        vals[start:end] = np.asarray(correlate_requests(
-            stack, jnp.asarray(pa[start:end]), jnp.asarray(pb[start:end]),
-            measure, absolute=absolute, **kw,
-        ))
+    # Device-put the stack ONCE and enqueue every chunk before the
+    # first sync: per-chunk np.asarray paid one tunnel round-trip per
+    # chunk (~0.3 s each — 160 chunks = 50 s at 512 leaves), and an
+    # np stack argument was re-transferred with every call.
+    stack_dev = jax.device_put(jnp.asarray(stack))
+    outs = [
+        correlate_requests(
+            stack_dev,
+            jnp.asarray(pa[start : start + request_chunk]),
+            jnp.asarray(pb[start : start + request_chunk]),
+            measure,
+            absolute=absolute,
+            **kw,
+        )
+        for start in range(0, padded, request_chunk)
+    ]
+    vals = np.concatenate([np.asarray(o) for o in outs])
     vals = vals[:total].reshape(p, s)
     with np.errstate(invalid="ignore"):
         out = np.nanmax(
@@ -259,7 +283,7 @@ def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",
     sa = region_series(region_a)
     sb = region_series(region_b)
     vals = np.asarray(
-        ops.correlate(
+        ops.correlate_jit(
             jnp.asarray(sa)[:, None, :], jnp.asarray(sb)[None, :, :],
             measure, absolute=True, **kw,
         )

@@ -146,7 +146,7 @@ def time_series_correlation(
     if window is None:
         x = jnp.asarray(s)
         return np.asarray(
-            ops.correlate(
+            ops.correlate_jit(
                 x[:, None, :], x[None, :, :], measure, **measure_kw
             )
         )
@@ -156,7 +156,7 @@ def time_series_correlation(
         [jnp.asarray(s[:, k : k + window]) for k in range(num_lags)], axis=1
     )  # (S, L, window)
     return np.asarray(
-        ops.correlate(base[:, None, :], lags, measure, **measure_kw)
+        ops.correlate_jit(base[:, None, :], lags, measure, **measure_kw)
     )
 
 

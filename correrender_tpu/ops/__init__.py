@@ -17,6 +17,7 @@ from correrender_tpu.ops.registry import (
     is_measure_correlation_coefficient_mi,
     measure_from_id,
     correlate,
+    correlate_jit,
 )
 from correrender_tpu.ops.pearson import pearson
 from correrender_tpu.ops.ranks import fractional_ranks
@@ -39,6 +40,7 @@ __all__ = [
     "is_measure_correlation_coefficient_mi",
     "measure_from_id",
     "correlate",
+    "correlate_jit",
     "pearson",
     "fractional_ranks",
     "spearman",

@@ -11,7 +11,9 @@ scene catalog remain compatible:
 from __future__ import annotations
 
 import enum
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from correrender_tpu.ops.pearson import pearson
@@ -135,6 +137,31 @@ def correlate(
     if absolute:
         out = jnp.abs(out)
     return out
+
+
+@functools.lru_cache(maxsize=128)
+def _correlate_program(measure: CorrelationMeasure, kw_items: tuple):
+    kw = dict(kw_items)
+    return jax.jit(lambda x, y: correlate(x, y, measure, **kw))
+
+
+def correlate_jit(x, y, measure=CorrelationMeasure.PEARSON, **kw):
+    """:func:`correlate` as ONE cached jitted program.
+
+    Eager :func:`correlate` issues one device dispatch per jnp op —
+    fine inside an outer jit, but a real cost on its own over the
+    tunneled chip (the round-3 HEB profile measured ~0.3 s/chunk of
+    pure dispatch overhead). Programs are cached per
+    (measure, kwargs); unhashable kwargs (array ``mi_bounds``) fall
+    back to the eager path.
+    """
+    m = measure_from_id(measure)
+    key = tuple(sorted(kw.items()))
+    try:
+        hash(key)
+    except TypeError:
+        return correlate(x, y, m, **kw)
+    return _correlate_program(m, key)(x, y)
 
 
 def _normalize01(v):

@@ -41,11 +41,18 @@ def field_similarity(
     a, b = a[ok], b[ok]
     from correrender_tpu.ops.registry import (
         CorrelationMeasure,
+        is_measure_kraskov_mi,
         measure_from_id,
     )
 
-    if (measure_from_id(measure) == CorrelationMeasure.KENDALL
-            and "dtype" not in measure_kw):
+    m = measure_from_id(measure)
+    if is_measure_kraskov_mi(m):
+        # The single-pair KSG path materializes an (n, n) neighbour
+        # problem — n = 55k already needs ~23 GB of HBM. 16384 keeps
+        # the working set ~3 GB and the estimate stable (the reference
+        # walks k-d trees instead and has no such wall).
+        max_samples = min(max_samples, 16384)
+    if m == CorrelationMeasure.KENDALL and "dtype" not in measure_kw:
         # Kendall's pair counts are float32-exact only while the
         # double-counted symmetric sum n(n-1) stays below 2^24, i.e.
         # n ≲ 4000; beyond that the accumulators round and even
@@ -58,7 +65,9 @@ def field_similarity(
         )
         a, b = a[idx], b[idx]
     return float(
-        ops.correlate(jnp.asarray(a), jnp.asarray(b), measure, **measure_kw)
+        ops.correlate_jit(
+            jnp.asarray(a), jnp.asarray(b), measure, **measure_kw
+        )
     )
 
 
