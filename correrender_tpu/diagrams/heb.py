@@ -153,6 +153,26 @@ class HEBChart:
                 num_samples=self.num_samples,
                 **self.measure_kw,
             )
+        elif self.sampling_method == "bayesian":
+            # All pairs' GP-UCB loops advance inside one jitted
+            # program per pair-chunk (the reference runs an
+            # independent CPU limbo GP per pair — unusable at 130k
+            # pairs; see _batched_bayopt_program).
+            from correrender_tpu.diagrams.bayopt import (
+                batched_bayesian_opt_max,
+            )
+
+            iu, ju = np.triu_indices(L, k=1)
+            num_init = min(20, self.num_samples)
+            flat = batched_bayesian_opt_max(
+                self.stack,
+                [self._upscale(self.leaves[i]) for i in iu],
+                [self._upscale(self.leaves[j]) for j in ju],
+                self.measure,
+                num_init=num_init,
+                num_iters=max(self.num_samples - num_init, 0),
+                **self.measure_kw,
+            )
         else:
             iu, ju = np.triu_indices(L, k=1)
             flat = np.array(

@@ -13,6 +13,8 @@ request buffers (CorrelationMain.glsl request mode).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -45,12 +47,17 @@ def plastic_sequence(n: int, dim: int) -> np.ndarray:
 
 
 def _region_points(region, u: np.ndarray) -> np.ndarray:
-    """Map unit-cube samples to integer voxel coords of a region."""
+    """Map unit-cube samples to integer voxel coords of a region.
+
+    The lo + u·(hi−lo+1) map is evaluated in float32 so the host
+    per-pair path and the on-device batched programs (which run f32)
+    place samples at bit-identical voxels.
+    """
     lo = np.array([region.x_min, region.y_min, region.z_min])
     hi = np.array([region.x_max, region.y_max, region.z_max])
-    return np.minimum(
-        (lo + u * (hi - lo + 1)).astype(np.int64), hi
-    )
+    pts = (lo.astype(np.float32)
+           + u.astype(np.float32) * (hi - lo + 1).astype(np.float32))
+    return np.minimum(pts.astype(np.int64), hi)
 
 
 def _pairs_to_series(stack, region_a, region_b, ua, ub):
@@ -185,23 +192,6 @@ def batched_block_pairs_max(
     Returns:
       (P,) float max |corr| per pair (NaN where all probes are NaN).
     """
-    from correrender_tpu.calculators.correlation import (
-        correlate_requests,
-    )
-
-    if request_chunk is None:
-        # Chunk by a series-bytes budget, not a fixed request count:
-        # at n=20 members a 16384-request chunk is ~2.6 MB — pure
-        # dispatch overhead on the tunneled chip — while at n=1000 a
-        # 256k chunk would blow the KSG band workspace. ~128 MB of
-        # gathered pair series per chunk, clamped to [16384, 262144].
-        n_members = int(stack.shape[-1])
-        budget = 128 << 20
-        request_chunk = int(
-            min(262144, max(16384, budget // (2 * 4 * n_members)))
-        )
-        request_chunk = 1 << (request_chunk.bit_length() - 1)
-
     s = num_samples
     if method == "random":
         rng = np.random.default_rng(seed)
@@ -217,56 +207,111 @@ def batched_block_pairs_max(
     else:
         raise ValueError(f"batched sampling: unknown method {method!r}")
 
-    def coords(regions, u):
-        lo = np.array([[r.x_min, r.y_min, r.z_min] for r in regions])
-        hi = np.array([[r.x_max, r.y_max, r.z_max] for r in regions])
-        pts = np.minimum(
-            (lo[:, None, :] + u[None] * (hi - lo + 1)[:, None, :])
-            .astype(np.int64),
-            hi[:, None, :],
-        )  # (P, S, 3) xyz
-        return pts[..., ::-1]  # zyx for correlate_requests
-
-    pa = coords(regions_a, ua).reshape(-1, 3)
-    pb = coords(regions_b, ub).reshape(-1, 3)
     p = len(regions_a)
-    total = p * s
-    # Pad the request buffer to a canonical size (multiple of the
-    # chunk, or the next power of two below it) so repeated diagram
-    # levels reuse a handful of compiled shapes instead of compiling a
-    # fresh remainder-sized program each time.
-    if total >= request_chunk:
-        padded = -(-total // request_chunk) * request_chunk
+    n_members = int(stack.shape[-1])
+    if request_chunk is None:
+        # Chunk by a series-bytes budget: the gathered pair series are
+        # 2·S·n·4 bytes per pair; ~128 MB per chunk keeps dispatch
+        # count low at small n without blowing the KSG band workspace
+        # at n=1000.
+        budget = 128 << 20
+        request_chunk = int(
+            min(262144, max(16384, budget // (2 * 4 * n_members)))
+        )
+        request_chunk = 1 << (request_chunk.bit_length() - 1)
+    pair_chunk = max(request_chunk // s, 1)
+    # Canonical chunk shapes: pad the pair list to a multiple of the
+    # chunk (or the next power of two below it) so repeated diagram
+    # levels reuse a handful of compiled programs.
+    if p >= pair_chunk:
+        padded = -(-p // pair_chunk) * pair_chunk
     else:
-        padded = 1 << (total - 1).bit_length()
-    if padded > total:
-        pad = np.zeros((padded - total, 3), pa.dtype)
-        pa = np.concatenate([pa, pad])
-        pb = np.concatenate([pb, pad])
+        padded = 1 << max(p - 1, 1).bit_length()
+        pair_chunk = padded
+
+    def bounds(regions):
+        lo = np.array(
+            [[r.x_min, r.y_min, r.z_min] for r in regions], np.int32
+        )
+        hi = np.array(
+            [[r.x_max, r.y_max, r.z_max] for r in regions], np.int32
+        )
+        if padded > p:
+            pad = np.zeros((padded - p, 3), np.int32)
+            lo = np.concatenate([lo, pad])
+            hi = np.concatenate([hi, pad])
+        return lo, hi
+
+    lo_a, hi_a = bounds(regions_a)
+    lo_b, hi_b = bounds(regions_b)
     absolute = kw.pop("absolute", True)
-    # Device-put the stack ONCE and enqueue every chunk before the
-    # first sync: per-chunk np.asarray paid one tunnel round-trip per
-    # chunk (~0.3 s each — 160 chunks = 50 s at 512 leaves), and an
-    # np stack argument was re-transferred with every call.
+    key = tuple(sorted(kw.items()) + [("absolute", absolute)])
+    hash(key)  # array-valued kwargs are not supported here
+    from correrender_tpu.ops.registry import measure_from_id
+
+    prog = _pairs_max_program(measure_from_id(measure), key)
+    # Only the region bounds (P×6 int32) and the SHARED sample
+    # positions cross the host↔device link: sample-coordinate
+    # generation, series gather, correlation, and the per-pair max all
+    # run in one program per chunk. (The previous request-buffer
+    # design shipped P·S explicit voxel coords — 125 MB at 512 leaves
+    # — over a ~0.2 GiB/s tunnel, and fetched P·S values back.)
     stack_dev = jax.device_put(jnp.asarray(stack))
+    ua_dev = jnp.asarray(ua, jnp.float32)
+    ub_dev = jnp.asarray(ub, jnp.float32)
     outs = [
-        correlate_requests(
+        prog(
             stack_dev,
-            jnp.asarray(pa[start : start + request_chunk]),
-            jnp.asarray(pb[start : start + request_chunk]),
-            measure,
-            absolute=absolute,
-            **kw,
+            jnp.asarray(lo_a[c : c + pair_chunk]),
+            jnp.asarray(hi_a[c : c + pair_chunk]),
+            jnp.asarray(lo_b[c : c + pair_chunk]),
+            jnp.asarray(hi_b[c : c + pair_chunk]),
+            ua_dev,
+            ub_dev,
         )
-        for start in range(0, padded, request_chunk)
+        for c in range(0, padded, pair_chunk)
     ]
-    vals = np.concatenate([np.asarray(o) for o in outs])
-    vals = vals[:total].reshape(p, s)
-    with np.errstate(invalid="ignore"):
-        out = np.nanmax(
-            np.where(np.isfinite(vals), vals, np.nan), axis=1
+    return np.concatenate([np.asarray(o) for o in outs])[:p]
+
+
+@functools.lru_cache(maxsize=64)
+def _pairs_max_program(measure, kw_items):
+    """One jitted program: region samples → gather → correlate → max.
+
+    ``kw_items`` carries the correlate kwargs plus the ``absolute``
+    flag; per-pair NaN-only sample sets return NaN (matching the old
+    host-side nanmax semantics).
+    """
+    kw = dict(kw_items)
+    absolute = kw.pop("absolute", True)
+
+    @jax.jit
+    def run(stack, lo_a, hi_a, lo_b, hi_b, ua, ub):
+        zs, ys, xs = stack.shape[:3]
+        n = stack.shape[-1]
+        flat = stack.reshape(-1, n)
+
+        def idx(lo, hi, u):
+            # Same f32 lo + u·width map as _region_points.
+            width = (hi - lo + 1).astype(jnp.float32)
+            pts = jnp.minimum(
+                (lo.astype(jnp.float32)[:, None, :]
+                 + u[None, :, :] * width[:, None, :]).astype(jnp.int32),
+                hi[:, None, :],
+            )  # (P, S, 3) xyz
+            return (pts[..., 2] * ys + pts[..., 1]) * xs + pts[..., 0]
+
+        ia = idx(lo_a, hi_a, ua).reshape(-1)
+        ib = idx(lo_b, hi_b, ub).reshape(-1)
+        vals = ops.correlate(
+            flat[ia], flat[ib], measure, absolute=absolute, **kw
         )
-    return out
+        vals = vals.reshape(lo_a.shape[0], -1)
+        finite = jnp.isfinite(vals)
+        best = jnp.max(jnp.where(finite, vals, -jnp.inf), axis=1)
+        return jnp.where(jnp.any(finite, axis=1), best, jnp.nan)
+
+    return run
 
 
 def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",

@@ -274,6 +274,63 @@ class TestCalculators:
         assert out.shape == (2,)
         assert out[0] == pytest.approx(1.0, abs=1e-5)
 
+    def test_request_mode_flat_indices_match_coords(self):
+        # Flat indices and (z, y, x) coords hit the same jitted
+        # program family and must agree.
+        from correrender_tpu.calculators.correlation import (
+            correlate_requests,
+        )
+
+        vd, data = make_volume(members=30)
+        stack = vd.get_member_stack("data")
+        zs, ys, xs = stack.shape[:3]
+        coords = jnp.asarray([[1, 2, 3], [0, 1, 1], [2, 0, 2]])
+        flat = coords[:, 0] * ys * xs + coords[:, 1] * xs + coords[:, 2]
+        ref = jnp.asarray([[0, 0, 0]] * 3)
+        a = np.asarray(correlate_requests(stack, coords, ref, "spearman"))
+        b = np.asarray(correlate_requests(stack, flat, ref, "spearman"))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_request_mode_separate_stack_b(self):
+        from correrender_tpu.calculators.correlation import (
+            correlate_requests,
+        )
+
+        vd, data = make_volume(members=30)
+        stack = np.asarray(vd.get_member_stack("data"))
+        stack_b = -stack  # perfectly anti-correlated second field
+        req = jnp.asarray([[1, 1, 1], [2, 2, 2]])
+        out = np.asarray(
+            correlate_requests(
+                stack, req, req, "pearson", stack_b=jnp.asarray(stack_b)
+            )
+        )
+        np.testing.assert_allclose(out, [-1.0, -1.0], atol=1e-5)
+
+    def test_request_mode_unhashable_kwargs_fall_back(self):
+        # Array mi_bounds cannot key the program cache; the eager
+        # path must produce the same values as hashable bounds.
+        from correrender_tpu.calculators.correlation import (
+            correlate_requests,
+        )
+
+        vd, data = make_volume(members=30)
+        stack = vd.get_member_stack("data")
+        req = jnp.asarray([[1, 2, 3], [3, 2, 1]])
+        ref = jnp.asarray([[0, 0, 0]] * 2)
+        lo = float(jnp.min(stack))
+        hi = float(jnp.max(stack))
+        hashable = np.asarray(correlate_requests(
+            stack, req, ref, "mi_binned", num_bins=16,
+            mi_bounds=((lo, hi), (lo, hi)),
+        ))
+        arrays = np.asarray(correlate_requests(
+            stack, req, ref, "mi_binned", num_bins=16,
+            mi_bounds=((jnp.asarray(lo), jnp.asarray(hi)),
+                       (jnp.asarray(lo), jnp.asarray(hi))),
+        ))
+        np.testing.assert_allclose(hashable, arrays, atol=1e-5)
+
 
 def test_bf16_member_stacks():
     # format_cast float16 → bf16 member stacks (half the HBM

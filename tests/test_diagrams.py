@@ -91,6 +91,46 @@ class TestSamplers:
         assert est <= truth + 1e-5
         assert est > 0.6 * truth
 
+    def test_batched_bayopt_matches_quality_and_determinism(
+        self, box_stack
+    ):
+        from correrender_tpu.diagrams.bayopt import (
+            batched_bayesian_opt_max,
+        )
+
+        ra = [GridRegion(0, 0, 2, 7, 7, 5), GridRegion(0, 0, 0, 7, 7, 3)]
+        rb = [GridRegion(8, 0, 2, 15, 7, 5), GridRegion(8, 0, 0, 15, 7, 3)]
+        est = batched_bayesian_opt_max(
+            box_stack, ra, rb, "pearson", num_init=16, num_iters=24,
+            seed=0,
+        )
+        assert est.shape == (2,)
+        truth = np.array([
+            sampling.exhaustive_block_pair_max(box_stack, a, b, "pearson")
+            for a, b in zip(ra, rb)
+        ])
+        assert np.all(est <= truth + 1e-5)
+        assert np.all(est > 0.6 * truth)
+        # Deterministic given seed, and pair-chunking (incl. the padded
+        # final chunk) must not change values.
+        chunked = batched_bayesian_opt_max(
+            box_stack, ra, rb, "pearson", num_init=16, num_iters=24,
+            seed=0, pair_chunk=1,
+        )
+        np.testing.assert_allclose(est, chunked, atol=1e-6)
+
+    def test_batched_bayopt_zero_iters_falls_back(self, box_stack):
+        from correrender_tpu.diagrams.bayopt import (
+            batched_bayesian_opt_max,
+        )
+
+        ra = [GridRegion(0, 0, 2, 7, 7, 5)]
+        rb = [GridRegion(8, 0, 2, 15, 7, 5)]
+        est = batched_bayesian_opt_max(
+            box_stack, ra, rb, "pearson", num_init=16, num_iters=0
+        )
+        assert est.shape == (1,) and np.isfinite(est[0])
+
 
 class TestHEB:
     def test_chart_builds_and_renders(self, box_stack, tmp_path):
@@ -112,6 +152,16 @@ class TestHEB:
         )
         chords = chart.compute_correlations()
         assert len(chords) > 0
+
+    def test_bayesian_mode(self, box_stack):
+        # Routes through the batched one-program GP-UCB sampler.
+        chart = HEBChart(
+            box_stack, downsample_factor=16,
+            sampling_method="bayesian", num_samples=24, max_chords=10,
+        )
+        chords = chart.compute_correlations()
+        assert len(chords) > 0
+        assert all(0 <= c[2] <= 1.0 + 1e-6 for c in chords)
 
 
 class TestMatrix:
