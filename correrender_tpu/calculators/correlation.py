@@ -32,6 +32,7 @@ from correrender_tpu import ops
 from correrender_tpu.calculators.base import Calculator, register_calculator_type
 from correrender_tpu.ops.registry import (
     CorrelationMeasure,
+    hashable_kwargs,
     is_measure_binned_mi,
     is_measure_kraskov_mi,
     measure_from_id,
@@ -259,17 +260,19 @@ def correlate_requests(
     m = measure_from_id(measure)
     ra = jnp.asarray(requests_a)
     rb = jnp.asarray(requests_b)
-    key = tuple(sorted(kwargs.items()))
-    try:
-        hash(key)
-    except TypeError:
-        # Unhashable kwargs (array mi_bounds): eager path.
-        n = stack.shape[-1]
-        flat = stack.reshape(-1, n)
-        flat_b = flat if stack_b is None else stack_b.reshape(-1, n)
+    key = hashable_kwargs(kwargs)
+    if key is None:
+        # Kwargs that cannot key the program cache (non-scalar array
+        # mi_bounds): eager path, same value semantics.
+        flat = stack.reshape(-1, stack.shape[-1])
+        if stack_b is None:
+            flat_b, shape_b = flat, stack.shape[:3]
+        else:
+            flat_b = stack_b.reshape(-1, stack_b.shape[-1])
+            shape_b = stack_b.shape[:3]
         return ops.correlate(
             flat[_to_flat(ra, stack.shape[:3])],
-            flat_b[_to_flat(rb, stack.shape[:3])],
+            flat_b[_to_flat(rb, shape_b)],
             m,
             **kwargs,
         )

@@ -299,12 +299,19 @@ def batched_bayesian_opt_max(
     :func:`_batched_bayopt_program`); pairs are chunked to bound the
     (chunk, cap, cap) Cholesky workspace.
     """
-    from correrender_tpu.ops.registry import measure_from_id
+    from correrender_tpu.ops.registry import (
+        hashable_kwargs,
+        measure_from_id,
+    )
 
     m = measure_from_id(measure)
     measure_kw.pop("absolute", None)  # the sampler is |corr| by definition
-    key = tuple(sorted(measure_kw.items()))
-    hash(key)  # array-valued kwargs are not supported here
+    key = hashable_kwargs(measure_kw)
+    if key is None:
+        raise ValueError(
+            "batched_bayesian_opt_max bakes measure kwargs into a "
+            "compiled program; pass scalar values, not arrays"
+        )
     if num_iters <= 0:
         # Pure quasirandom budget — no GP to run.
         from correrender_tpu.diagrams.sampling import (
@@ -337,7 +344,7 @@ def batched_bayesian_opt_max(
     if p < pair_chunk:
         # Pad small batches to the next power of two so repeated
         # drill-down levels reuse a handful of compiled programs.
-        pair_chunk = 1 << max(p - 1, 1).bit_length()
+        pair_chunk = 1 << (p - 1).bit_length() if p > 1 else 1
     outs = []
     for start in range(0, p, pair_chunk):
         end = min(start + pair_chunk, p)

@@ -186,8 +186,9 @@ def batched_block_pairs_max(
       method: "random" | "halton" | "plastic".
       seed: affects sample positions for method="random" only; the
         halton/plastic sequences are deterministic by construction.
-      **kw: forwarded to ``correlate_requests``; a caller-supplied
-        ``absolute`` overrides the default of True.
+      **kw: measure kwargs baked into the jitted per-chunk program
+        (scalar values only — non-scalar arrays raise ValueError); a
+        caller-supplied ``absolute`` overrides the default of True.
 
     Returns:
       (P,) float max |corr| per pair (NaN where all probes are NaN).
@@ -207,17 +208,29 @@ def batched_block_pairs_max(
     else:
         raise ValueError(f"batched sampling: unknown method {method!r}")
 
+    from correrender_tpu.ops.registry import (
+        is_measure_kraskov_mi,
+        measure_from_id,
+    )
+
+    m = measure_from_id(measure)
     p = len(regions_a)
     n_members = int(stack.shape[-1])
     if request_chunk is None:
-        # Chunk by a series-bytes budget: the gathered pair series are
-        # 2·S·n·4 bytes per pair; ~128 MB per chunk keeps dispatch
-        # count low at small n without blowing the KSG band workspace
-        # at n=1000.
+        # Chunk by the dominant per-request working set: the gathered
+        # pair series are 2·n·4 bytes each (~128 MB budget), and the
+        # dense request-mode KSG additionally materializes an
+        # (R, n, n) neighbour problem — three f32 arrays — which is
+        # what actually bounds R at moderate-to-large member counts
+        # (128 members: ~200 KB per request).
         budget = 128 << 20
-        request_chunk = int(
-            min(262144, max(16384, budget // (2 * 4 * n_members)))
-        )
+        request_chunk = budget // (2 * 4 * n_members)
+        if is_measure_kraskov_mi(m):
+            ksg_budget = 4 << 30  # transient; HBM is 16 GB
+            request_chunk = min(
+                request_chunk, ksg_budget // (3 * 4 * n_members ** 2)
+            )
+        request_chunk = int(min(262144, max(256, request_chunk)))
         request_chunk = 1 << (request_chunk.bit_length() - 1)
     pair_chunk = max(request_chunk // s, 1)
     # Canonical chunk shapes: pad the pair list to a multiple of the
@@ -226,7 +239,7 @@ def batched_block_pairs_max(
     if p >= pair_chunk:
         padded = -(-p // pair_chunk) * pair_chunk
     else:
-        padded = 1 << max(p - 1, 1).bit_length()
+        padded = 1 << (p - 1).bit_length() if p > 1 else 1
         pair_chunk = padded
 
     def bounds(regions):
@@ -245,11 +258,16 @@ def batched_block_pairs_max(
     lo_a, hi_a = bounds(regions_a)
     lo_b, hi_b = bounds(regions_b)
     absolute = kw.pop("absolute", True)
-    key = tuple(sorted(kw.items()) + [("absolute", absolute)])
-    hash(key)  # array-valued kwargs are not supported here
-    from correrender_tpu.ops.registry import measure_from_id
+    from correrender_tpu.ops.registry import hashable_kwargs
 
-    prog = _pairs_max_program(measure_from_id(measure), key)
+    key = hashable_kwargs({**kw, "absolute": absolute})
+    if key is None:
+        raise ValueError(
+            "batched_block_pairs_max bakes measure kwargs into a "
+            "compiled program; pass scalar values (e.g. float "
+            "mi_bounds), not arrays"
+        )
+    prog = _pairs_max_program(m, key)
     # Only the region bounds (P×6 int32) and the SHARED sample
     # positions cross the host↔device link: sample-coordinate
     # generation, series gather, correlation, and the per-pair max all

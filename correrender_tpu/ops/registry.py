@@ -139,6 +139,38 @@ def correlate(
     return out
 
 
+def hashable_kwargs(kw: dict):
+    """Normalize correlate kwargs into a hashable, sorted item tuple.
+
+    The compiled-program caches (here, ``correlate_requests``, the
+    diagram samplers) key on kwargs. 0-d device/numpy scalars — e.g.
+    data-derived ``mi_bounds`` like the ones ``correlate_field``
+    builds — are converted to Python floats so they can key a cache
+    (and become baked constants of the program, which is what a bound
+    IS). Returns ``None`` when a value cannot be made hashable
+    (non-scalar arrays, tracers): callers then take an eager path or
+    raise, uniformly.
+    """
+
+    def conv(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(conv(x) for x in v)
+        if isinstance(v, jnp.ndarray) or type(v).__module__.startswith(
+            "numpy"
+        ):
+            if getattr(v, "ndim", 1) == 0:
+                return v.item()
+            raise TypeError("non-scalar array kwarg")
+        return v
+
+    try:
+        items = tuple(sorted((k, conv(v)) for k, v in kw.items()))
+        hash(items)
+        return items
+    except TypeError:  # incl. TracerArrayConversionError
+        return None
+
+
 @functools.lru_cache(maxsize=128)
 def _correlate_program(measure: CorrelationMeasure, kw_items: tuple):
     kw = dict(kw_items)
@@ -152,14 +184,12 @@ def correlate_jit(x, y, measure=CorrelationMeasure.PEARSON, **kw):
     fine inside an outer jit, but a real cost on its own over the
     tunneled chip (the round-3 HEB profile measured ~0.3 s/chunk of
     pure dispatch overhead). Programs are cached per
-    (measure, kwargs); unhashable kwargs (array ``mi_bounds``) fall
-    back to the eager path.
+    (measure, kwargs); kwargs that cannot key the cache (non-scalar
+    array ``mi_bounds``) fall back to the eager path.
     """
     m = measure_from_id(measure)
-    key = tuple(sorted(kw.items()))
-    try:
-        hash(key)
-    except TypeError:
+    key = hashable_kwargs(kw)
+    if key is None:
         return correlate(x, y, m, **kw)
     return _correlate_program(m, key)(x, y)
 

@@ -119,6 +119,33 @@ class TestSamplers:
         )
         np.testing.assert_allclose(est, chunked, atol=1e-6)
 
+    def test_batched_sampler_ksg_and_kwargs_policy(self):
+        # KSG request chunks must be bounded by the (R, n, n) dense
+        # neighbour workspace, and the kwargs cache policy must accept
+        # 0-d scalars but reject non-scalar arrays with a clear error.
+        from correrender_tpu.diagrams.sampling import (
+            batched_block_pairs_max,
+        )
+
+        rng = np.random.default_rng(0)
+        stack = rng.standard_normal((8, 8, 8, 64)).astype(np.float32)
+        ra = [GridRegion(0, 0, 0, 3, 3, 3)]
+        rb = [GridRegion(4, 4, 4, 7, 7, 7)]
+        out = batched_block_pairs_max(
+            stack, ra, rb, "mi_kraskov", num_samples=16
+        )
+        assert out.shape == (1,) and np.isfinite(out[0])
+        ok = batched_block_pairs_max(
+            stack, ra, rb, "mi_binned", num_samples=8, num_bins=8,
+            mi_bounds=((np.float32(-4), np.float32(4)),) * 2,
+        )
+        assert np.isfinite(ok[0])
+        with pytest.raises(ValueError, match="scalar"):
+            batched_block_pairs_max(
+                stack, ra, rb, "mi_binned", num_samples=8,
+                mi_bounds=((np.zeros(3), np.ones(3)),) * 2,
+            )
+
     def test_batched_bayopt_zero_iters_falls_back(self, box_stack):
         from correrender_tpu.diagrams.bayopt import (
             batched_bayesian_opt_max,
