@@ -9,6 +9,7 @@ voxels masked), Vulkan↔CUDA interop (moot: one address space).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ class NeuralCorrelationCalculator(Calculator):
         self.train_steps = train_steps
         self.weights_path = weights_path
         self._stencil = None  # lazy NaN stencil (valid-voxel mask)
+        self._field_program = None  # jitted whole-field apply
         if weights_path is not None:
             self.load_weights(weights_path)
 
@@ -106,6 +108,7 @@ class NeuralCorrelationCalculator(Calculator):
         PyTorchCorrelationCalculator.cpp:261)."""
         import numpy as _np
 
+        self._field_program = None  # model is changing
         if path.endswith((".pt", ".pth", ".ts")):
             from correrender_tpu.models.torch_import import (
                 srn_from_torch_archive,
@@ -206,9 +209,18 @@ class NeuralCorrelationCalculator(Calculator):
             [(x + 0.5) / g.xs, (y + 0.5) / g.ys, (z + 0.5) / g.zs]
         )
         pos = self._grid_positions()
-        out = self.model.apply(
-            self.params, jnp.broadcast_to(ref_pos, pos.shape), pos
-        )
+        # One jitted program per model instance: the eager apply costs
+        # one dispatch per op — the hash-grid encoder alone is ~30 ops
+        # per level — which made a reference-point move seconds instead
+        # of milliseconds on the tunneled chip.
+        if self._field_program is None:
+            model = self.model
+            self._field_program = jax.jit(
+                lambda p, r, q: model.apply(
+                    p, jnp.broadcast_to(r, q.shape), q
+                )
+            )
+        out = self._field_program(self.params, ref_pos, pos)
         # NaN-stencil the output like the reference masks invalid
         # voxels (DeepLearningCorrelationCalculator.hpp:101-104).
         stack = vd.get_member_stack(

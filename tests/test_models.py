@@ -188,6 +188,64 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
 
+    def test_hash_grid_srn_config_roundtrip(self):
+        # The hash-grid encoder option must survive the embedded
+        # config array (presets carry it; no side-channel config).
+        model = CorrelationSRN.create(
+            hidden=16, latent=8, encoding="hash_grid",
+            hash_levels=4, hash_log2_size=10, hash_base_res=3,
+            hash_per_level_scale=1.4,
+        )
+        params = model.init(jax.random.key(0))
+        rebuilt = CorrelationSRN.from_config_array(model.config_array())
+        pr = jnp.full((5, 3), 0.4)
+        a = model.apply(params, pr, pr * 0.5)
+        b = rebuilt.apply(params, pr, pr * 0.5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+        enc = rebuilt.encoding
+        assert type(enc).__name__ == "HashGridEncoding"
+        assert (enc.num_levels, enc.log2_hashmap_size,
+                enc.base_resolution) == (4, 10, 3)
+        assert abs(enc.per_level_scale - 1.4) < 1e-9
+        # Legacy 7-field (frequency-era) configs still load.
+        legacy = CorrelationSRN.from_config_array(
+            CorrelationSRN.create(hidden=16, latent=8).config_array()[:7]
+        )
+        assert type(legacy.encoding).__name__ == "FrequencyEncoding"
+
+    def test_neural_calculator_field_program_invalidated(self, tmp_path):
+        # compute() caches a jitted whole-field program; loading new
+        # weights (possibly a different architecture) must rebuild it.
+        from correrender_tpu.core import GridMetadata, VolumeData
+        from correrender_tpu.calculators.neural import (
+            NeuralCorrelationCalculator,
+        )
+        from correrender_tpu.utils import fixtures
+
+        data = fixtures.synth_box_ensemble(xs=8, ys=8, zs=4, members=20)
+        vd = VolumeData(GridMetadata(xs=8, ys=8, zs=4, es=20))
+        vd.add_field("data", lambda t, e: data[e])
+        c = NeuralCorrelationCalculator("data", train_steps=30)
+        c.model = CorrelationSRN.create(hidden=8, latent=4,
+                                        num_frequencies=2)
+        vd.add_calculator(c)
+        _ = np.asarray(vd.get_field(c.output_name))
+        assert c._field_program is not None
+        # Save under a DIFFERENT architecture and reload.
+        c2 = NeuralCorrelationCalculator("data", train_steps=30)
+        c2.model = CorrelationSRN.create(
+            hidden=8, latent=4, encoding="hash_grid",
+            hash_levels=2, hash_log2_size=8,
+        )
+        c2.params = c2.model.init(jax.random.key(0))
+        path = str(tmp_path / "preset.npz")
+        c2.save_weights(path)
+        c.load_weights(path)
+        assert c._field_program is None
+        out = np.asarray(c.compute(0, 0))
+        assert out.shape == (4, 8, 8) and np.isfinite(out).all()
+
     def test_missing_key_raises(self, tmp_path):
         from correrender_tpu.models.checkpoint import (
             load_params,
