@@ -69,7 +69,7 @@ class ViewerApp:
     """
 
     def __init__(self, scene, image_size=(800, 600), fast_dvr=True,
-                 view: int = 0):
+                 view: int = 0, warm_measures=True):
         self.scene = scene
         self.image_size = tuple(int(v) for v in image_size)
         self.fast_dvr = bool(fast_dvr)
@@ -87,6 +87,9 @@ class ViewerApp:
         self._radius, self._center = radius, center
         self._lock = threading.Lock()
         self._frame_epoch = 0
+        self.warm_measures = bool(warm_measures)
+        self._warm_thread = None
+        self._shutdown = False
 
     # -- camera ------------------------------------------------------------
 
@@ -304,7 +307,83 @@ class ViewerApp:
                                       compress_level=1)
             png = buf.getvalue()
             self._frame_cache = (key, png)
+        self._start_measure_warming()
         return png
+
+    # -- background measure warming -----------------------------------------
+
+    #: Warm order: cheap compiles first so the panel's most common
+    #: switches become instant soonest.
+    _WARM_MEASURES = ("pearson", "spearman", "mi_binned", "mi_kraskov",
+                      "kendall", "binned_mi_correlation_coefficient",
+                      "kmi_correlation_coefficient")
+
+    def _start_measure_warming(self):
+        """Compile the OTHER measures' fused programs in a daemon
+        thread after the first frame serves.
+
+        A measure switch in the panel otherwise stalls 10-40 s on the
+        tunneled chip (fresh XLA compile of the fused
+        correlate+render program). Warming happens off-lock: the
+        programs are pure functions of snapshotted inputs, JAX's
+        compile cache is thread-safe, and the device queue serializes
+        any overlap with interactive frames.
+        """
+        if (not self.warm_measures or self._warm_thread is not None
+                or self._shutdown):
+            return
+        job = self._fused_dvr_job()
+        if job is None:
+            return
+        calc, renderer = job
+        scene, vd = self.scene, self.scene.volume_data
+        fname = calc.field_name or vd.field_names[0]
+        # Snapshot the frame inputs briefly under the lock; the warm
+        # renders then run lock-free on the snapshot.
+        with self._lock:
+            snap = dict(
+                stack=vd.get_member_stack(fname, scene.current_time),
+                ref=calc.reference_point,
+                cam=scene.views[self.view],
+                tf=scene.tf_for(calc.output_name),
+                size=self.image_size,
+                atten=renderer.get("attenuation", 100.0),
+                num_bins=calc.num_bins, k=calc.k,
+                est=calc.kraskov_estimator,
+                absolute=calc.absolute,
+                current=calc.measure,
+            )
+
+        def work():
+            from correrender_tpu.render.pipeline import (
+                render_correlation_fast,
+            )
+            import jax.numpy as _jnp
+
+            for m in self._WARM_MEASURES:
+                if self._shutdown:
+                    return
+                if str(m) == str(snap["current"]):
+                    continue
+                try:
+                    out = render_correlation_fast(
+                        snap["stack"], snap["ref"], snap["cam"],
+                        snap["tf"], m, image_size=snap["size"],
+                        attenuation=snap["atten"],
+                        background=(0.0, 0.0, 0.0, 0.0),
+                        intermediate_scale=1.0,
+                        num_bins=snap["num_bins"], k=snap["k"],
+                        kraskov_estimator=snap["est"],
+                        absolute=snap["absolute"],
+                    )
+                    float(_jnp.sum(out))  # force the compile+run
+                except Exception:  # noqa: BLE001 — warming is best-effort
+                    continue
+
+        self._warm_thread = threading.Thread(
+            target=work, name="measure-warmer", daemon=True
+        )
+        self._warm_thread.start()
 
     def diagram_svg(self, kind: str, params: dict | None = None) -> str:
         """Render one of the 2D analysis diagrams as SVG text (the

@@ -354,3 +354,22 @@ class TestViewerApp:
         assert reply["ok"] and path.exists()
         saved = json.loads(path.read_text())
         assert "calculators" in saved
+
+    def test_measure_warming_thread(self):
+        # The first frame starts the measure warmer (fused-DVR views
+        # only); warm completion leaves every measure's programs in
+        # the process cache so set_measure + frame needs no fresh
+        # compile. warm_measures=False must not start it.
+        app = ViewerApp(make_scene(), image_size=(64, 48))
+        app.frame_png()
+        assert app._warm_thread is not None
+        app._warm_thread.join(timeout=300)
+        assert not app._warm_thread.is_alive()
+        app.api({"op": "set_measure", "measure": "mi_kraskov"})
+        png = app.frame_png()
+        assert png[:4] == b"\x89PNG"
+
+        cold = ViewerApp(make_scene(), image_size=(64, 48),
+                         warm_measures=False)
+        cold.frame_png()
+        assert cold._warm_thread is None
