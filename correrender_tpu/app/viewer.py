@@ -388,7 +388,13 @@ class ViewerApp:
     def diagram_svg(self, kind: str, params: dict | None = None) -> str:
         """Render one of the 2D analysis diagrams as SVG text (the
         reference docks these beside the 3D views). Read-only; cached
-        per (kind, params, mutation epoch)."""
+        per (kind, params, mutation epoch).
+
+        The heavy kinds (HEB sampling serve, t-SNE) run OFF the app
+        lock on a stack snapshot taken under it — a multi-second
+        diagram serve must not freeze the frame endpoint (two
+        concurrent clients may redundantly compute the same diagram;
+        last writer wins the cache)."""
         params = dict(params or {})
         with self._lock:
             key = (kind, tuple(sorted(params.items())),
@@ -396,32 +402,75 @@ class ViewerApp:
             cached = getattr(self, "_diagram_cache", None)
             if cached is not None and cached[0] == key:
                 return cached[1]
-            svg = self._diagram_locked(kind, params)
+            job = self._heavy_diagram_job(kind, params)
+            if job is None:
+                svg = self._diagram_locked(kind, params)
+                self._diagram_cache = (key, svg)
+                return svg
+        svg = job()
+        with self._lock:
             self._diagram_cache = (key, svg)
-            return svg
+        return svg
 
-    def _diagram_locked(self, kind: str, params: dict) -> str:
-        scene, vd = self.scene, self.scene.volume_data
+    def _diagram_field_measure(self, params: dict):
+        vd = self.scene.volume_data
         calcs = self._correlation_calcs()
         measure = params.get(
             "measure", calcs[0].measure.value if calcs else "pearson")
         raw = [f for f in vd.field_names if f not in vd.calculators]
         field = params.get("field") or (raw[0] if raw
                                         else vd.field_names[0])
-        if kind == "heb":
-            from correrender_tpu.diagrams.heb import HEBChart
+        return field, measure, raw
 
-            stack = np.asarray(
-                vd.get_member_stack(field, scene.current_time))
-            chart = HEBChart(
-                stack,
-                downsample_factor=int(params.get("downsample", 4)),
-                measure=measure,
-                num_samples=int(params.get("num_samples", 20)),
-                max_chords=int(params.get("max_chords", 250)),
-            )
-            chart.compute_correlations()
-            return chart.render_svg(size=int(params.get("size", 700)))
+    def _heavy_diagram_job(self, kind: str, params: dict):
+        """Closure for the multi-second diagram kinds, or None.
+
+        Called under the lock: it snapshots the member stack (the
+        only shared mutable input — the LRU cache is not
+        thread-safe); the returned closure runs lock-free."""
+        if kind not in ("heb", "distribution"):
+            return None
+        scene, vd = self.scene, self.scene.volume_data
+        field, measure, _ = self._diagram_field_measure(params)
+        stack = np.asarray(
+            vd.get_member_stack(field, scene.current_time))
+
+        if kind == "heb":
+            def job():
+                from correrender_tpu.diagrams.heb import HEBChart
+
+                chart = HEBChart(
+                    stack,
+                    downsample_factor=int(params.get("downsample", 4)),
+                    measure=measure,
+                    sampling_method=params.get(
+                        "sampling_method", "plastic"),
+                    num_samples=int(params.get("num_samples", 20)),
+                    max_chords=int(params.get("max_chords", 250)),
+                )
+                chart.compute_correlations()
+                return chart.render_svg(
+                    size=int(params.get("size", 700)))
+        else:
+            def job():
+                from correrender_tpu.diagrams.distribution_similarity \
+                    import distribution_similarity
+                from correrender_tpu.diagrams.scatter import (
+                    render_scatter_svg,
+                )
+
+                emb, labels, _ = distribution_similarity(
+                    stack,
+                    max_points=int(params.get("max_points", 512)))
+                return render_scatter_svg(
+                    emb[:, 0], emb[:, 1],
+                    labels=("t-SNE 1", "t-SNE 2"), colors=labels)
+
+        return job
+
+    def _diagram_locked(self, kind: str, params: dict) -> str:
+        scene, vd = self.scene, self.scene.volume_data
+        field, measure, raw = self._diagram_field_measure(params)
         if kind == "matrix":
             from correrender_tpu.diagrams.matrix import (
                 field_correlation_matrix,
@@ -432,21 +481,6 @@ class ViewerApp:
                 vd, raw or None, time=scene.current_time,
                 measure=measure)
             return render_matrix_svg(m, labels=names)
-        if kind == "distribution":
-            from correrender_tpu.diagrams.distribution_similarity import (
-                distribution_similarity,
-            )
-            from correrender_tpu.diagrams.scatter import (
-                render_scatter_svg,
-            )
-
-            stack = np.asarray(
-                vd.get_member_stack(field, scene.current_time))
-            emb, labels, _ = distribution_similarity(
-                stack, max_points=int(params.get("max_points", 512)))
-            return render_scatter_svg(
-                emb[:, 0], emb[:, 1],
-                labels=("t-SNE 1", "t-SNE 2"), colors=labels)
         if kind == "scatter":
             from correrender_tpu.diagrams.scatter import (
                 render_scatter_svg,

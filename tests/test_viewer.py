@@ -373,3 +373,33 @@ class TestViewerApp:
                          warm_measures=False)
         cold.frame_png()
         assert cold._warm_thread is None
+
+    def test_heavy_diagrams_serve_off_lock(self):
+        # A slow diagram serve must not freeze the frame endpoint:
+        # heb/distribution snapshot the stack under the lock and
+        # compute off it.
+        import time
+
+        app = ViewerApp(make_scene(), image_size=(64, 48),
+                        warm_measures=False)
+        app.frame_png()
+        done = {}
+
+        def diag():
+            done["svg"] = app.diagram_svg(
+                "heb", {"downsample": 2, "num_samples": 8})
+
+        t = threading.Thread(target=diag)
+        t.start()
+        app.api({"op": "orbit", "dtheta": 0.3})
+        t0 = time.perf_counter()
+        app.frame_png()
+        frame_t = time.perf_counter() - t0
+        t.join(timeout=120)
+        assert "<svg" in done["svg"]
+        assert frame_t < 60  # not serialized behind the whole serve
+        # sampling_method param passes through to the HEB chart.
+        svg = app.diagram_svg("heb", {"downsample": 2,
+                                      "num_samples": 8,
+                                      "sampling_method": "mean"})
+        assert "<svg" in svg
