@@ -571,6 +571,31 @@ def _summary(vals):
     }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same policy as the CLI — see
+    app/cli.py::_enable_compile_cache for the measurement history).
+    Bench TIMINGS are unaffected: every metric syncs a warmup run
+    before its timer, so the cache only shortens bench wall time and
+    steadies the compile-heavy phases (MI-250 + equality sweep)."""
+    if os.environ.get("CORRERENDER_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get("CORRERENDER_COMPILE_CACHE") or (
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "correrender_tpu", "xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
 def _device_reachable(timeout_s: float = 300.0) -> bool:
     """Probe the backend in a subprocess with a timeout.
 
@@ -594,6 +619,7 @@ def _device_reachable(timeout_s: float = 300.0) -> bool:
 
 
 def main():
+    _enable_compile_cache()
     if not _device_reachable():
         print(json.dumps({
             "metric": "pearson_field_throughput_250c_1000m",
