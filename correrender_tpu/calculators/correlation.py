@@ -81,17 +81,7 @@ def _correlate_chunked(
     mi_bounds,
 ):
     v = series.shape[0]
-    num_chunks = -(-v // voxel_chunk)
-    padded = num_chunks * voxel_chunk
-
-    def pad(a):
-        return jnp.pad(a, ((0, padded - v), (0, 0)))
-
-    series_p = pad(series).reshape(num_chunks, voxel_chunk, -1)
     per_voxel_ref = ref.ndim == 2
-    ref_p = (
-        pad(ref).reshape(num_chunks, voxel_chunk, -1) if per_voxel_ref else ref
-    )
 
     def one_chunk(args):
         chunk_series, chunk_ref = args
@@ -106,11 +96,35 @@ def _correlate_chunked(
             absolute=absolute,
         )
 
-    if per_voxel_ref:
-        out = jax.lax.map(one_chunk, (series_p, ref_p))
-    else:
-        out = jax.lax.map(lambda s: one_chunk((s, ref_p)), series_p)
-    return out.reshape(padded)[:v]
+    # Pad ONLY the remainder chunk: jnp.pad over the full (V, n)
+    # series copied the whole stack — at 250³×100 that one copy
+    # (6.25 GB) pushed the program past HBM (18 GB requested on a
+    # 16 GB chip). The bulk reshape below is a free view of the
+    # input; the tail pad copies at most one chunk.
+    num_full = v // voxel_chunk
+    rem = v - num_full * voxel_chunk
+    parts = []
+    if num_full:
+        bulk = series[: num_full * voxel_chunk].reshape(
+            num_full, voxel_chunk, -1
+        )
+        if per_voxel_ref:
+            ref_bulk = ref[: num_full * voxel_chunk].reshape(
+                num_full, voxel_chunk, -1
+            )
+            out = jax.lax.map(one_chunk, (bulk, ref_bulk))
+        else:
+            out = jax.lax.map(lambda s: one_chunk((s, ref)), bulk)
+        parts.append(out.reshape(num_full * voxel_chunk))
+    if rem:
+        def pad_tail(a):
+            return jnp.pad(a[num_full * voxel_chunk:],
+                           ((0, voxel_chunk - rem), (0, 0)))
+
+        tail_ref = pad_tail(ref) if per_voxel_ref else ref
+        tail_out = one_chunk((pad_tail(series), tail_ref))
+        parts.append(tail_out[:rem])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def correlate_field(
@@ -141,11 +155,72 @@ def correlate_field(
     m = measure_from_id(measure)
     spatial_shape = stack.shape[:-1]
     n = stack.shape[-1]
-    series = stack.reshape(-1, n)
     ref = jnp.asarray(ref)
     per_voxel_ref = ref.ndim > 1
+
+    if is_measure_binned_mi(m) and mi_bounds is None:
+        # Global normalization like the reference (global field
+        # min/max, CorrelationCalculator.cpp:820-845) — computed on
+        # the un-flattened stack so slabbing below can't bias it.
+        qmin, qmax = jnp.nanmin(stack), jnp.nanmax(stack)
+        rmin, rmax = jnp.nanmin(ref), jnp.nanmax(ref)
+        mi_bounds = ((rmin, rmax), (qmin, qmax))
+
+    # Flatten in Z-slabs past ~1 GB: an eager (Z, Y, X, n) → (V, n)
+    # reshape of a large stack RETILES it — TPU pads the two minor
+    # dims to (8, 128) tiles, the padding locations differ between
+    # the two shapes, and the copy materializes input+output (at
+    # 250³×100 that single reshape is an 18 GB program on a 16 GB
+    # chip). Leading-dim slab slices keep the tiling, so only one
+    # slab-sized retile is ever live.
+    kwargs = dict(
+        num_bins=num_bins, k=k, kraskov_estimator=kraskov_estimator,
+        absolute=absolute, mi_bounds=mi_bounds,
+        chunk_budget_bytes=chunk_budget_bytes,
+    )
+    if stack.ndim == 4 and stack.size * 4 > _FLAT_SLAB_BYTES:
+        zs, ys, xs = stack.shape[:3]
+        planes = max(int(_FLAT_SLAB_BYTES // (4 * n * ys * xs)), 1)
+        outs = [
+            _correlate_field_flat(
+                stack[z0 : z0 + planes].reshape(-1, n),
+                (ref[z0 : z0 + planes].reshape(-1, n)
+                 if per_voxel_ref else ref),
+                m,
+                **kwargs,
+            )
+            for z0 in range(0, zs, planes)
+        ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return out.reshape(spatial_shape)
+
+    series = stack.reshape(-1, n)
     if per_voxel_ref:
         ref = ref.reshape(-1, n)
+    return _correlate_field_flat(series, ref, m, **kwargs).reshape(
+        spatial_shape
+    )
+
+
+#: Eager-flatten threshold / slab size (see correlate_field).
+_FLAT_SLAB_BYTES = 1 << 30
+
+
+def _correlate_field_flat(
+    series: jnp.ndarray,
+    ref: jnp.ndarray,
+    m: CorrelationMeasure,
+    *,
+    num_bins: int,
+    k: int,
+    kraskov_estimator: int,
+    absolute: bool,
+    mi_bounds,
+    chunk_budget_bytes: int,
+) -> jnp.ndarray:
+    """Flat-series core of :func:`correlate_field`: (V, n) → (V,)."""
+    n = series.shape[-1]
+    per_voxel_ref = ref.ndim > 1
 
     # Fast path: Kendall against a single reference series on TPU —
     # VMEM-resident pairwise sign sweep (exact equality with the XLA
@@ -166,7 +241,7 @@ def correlate_field(
             out = kendall_pallas(series, ref)
             if absolute:
                 out = jnp.abs(out)
-            return out.reshape(spatial_shape)
+            return out
 
     # Fast path: Spearman on TPU — sortless pairwise ranks fused with
     # the Pearson moments (~4x the argsort+scatter XLA path at n=1000;
@@ -182,7 +257,7 @@ def correlate_field(
             out = spearman_pallas(series, ref)
             if absolute:
                 out = jnp.abs(out)
-            return out.reshape(spatial_shape)
+            return out
 
     # Fast path: KSG against a single reference series uses the Pallas
     # kernel on TPU (VMEM-resident pairwise distances, ~16x the XLA
@@ -209,18 +284,11 @@ def correlate_field(
                 out = kmi_correlation_coefficient(out)
             if absolute:
                 out = jnp.abs(out)
-            return out.reshape(spatial_shape)
-
-    if is_measure_binned_mi(m) and mi_bounds is None:
-        # Global normalization like the reference (global field min/max,
-        # CorrelationCalculator.cpp:820-845).
-        qmin, qmax = jnp.nanmin(series), jnp.nanmax(series)
-        rmin, rmax = jnp.nanmin(ref), jnp.nanmax(ref)
-        mi_bounds = ((rmin, rmax), (qmin, qmax))
+            return out
 
     chunk = min(_auto_chunk(m, n, chunk_budget_bytes, num_bins),
                 series.shape[0])
-    out = _correlate_chunked(
+    return _correlate_chunked(
         series,
         ref,
         m,
@@ -231,7 +299,6 @@ def correlate_field(
         chunk,
         mi_bounds,
     )
-    return out.reshape(spatial_shape)
 
 
 def correlate_requests(
