@@ -434,3 +434,55 @@ class TestReviewRegressions:
         assert kw2["time_lag"] == 3
         assert kw2["symmetric_fields"] is False
         assert kw2["field_name_ref"] == "b"
+
+
+class TestSlabFlatten:
+    def test_slabbed_field_matches_direct(self, monkeypatch):
+        # Past the eager-flatten threshold correlate_field slices the
+        # stack in Z-slabs (the full (V, n) reshape retiles on TPU and
+        # OOM'd at 250^3x100); values must match the direct path
+        # exactly, including the global binned-MI bounds and the
+        # SEPARATE_SYMMETRIC per-voxel-ref mode.
+        import correrender_tpu.calculators.correlation as cc
+
+        rng = np.random.default_rng(0)
+        stack = rng.standard_normal((9, 6, 5, 20)).astype(np.float32)
+        other = rng.standard_normal((9, 6, 5, 20)).astype(np.float32)
+        ref = stack[4, 3, 2]
+        direct = {}
+        for meas in ("pearson", "mi_binned"):
+            direct[meas] = np.asarray(
+                cc.correlate_field(jnp.asarray(stack), jnp.asarray(ref),
+                                   meas))
+        direct_sym = np.asarray(
+            cc.correlate_field(jnp.asarray(stack), jnp.asarray(other),
+                               "pearson"))
+        # Force slabbing: threshold below the stack size, slab = a few
+        # Z planes (non-dividing remainder on purpose: 9 % 2 = 1).
+        monkeypatch.setattr(cc, "_FLAT_SLAB_BYTES",
+                            2 * 6 * 5 * 20 * 4)
+        for meas in ("pearson", "mi_binned"):
+            slabbed = np.asarray(
+                cc.correlate_field(jnp.asarray(stack), jnp.asarray(ref),
+                                   meas))
+            np.testing.assert_allclose(slabbed, direct[meas], atol=1e-6)
+        slabbed_sym = np.asarray(
+            cc.correlate_field(jnp.asarray(stack), jnp.asarray(other),
+                               "pearson"))
+        np.testing.assert_allclose(slabbed_sym, direct_sym, atol=1e-6)
+
+    def test_chunk_remainder_padding(self):
+        # _correlate_chunked pads only the remainder chunk; a V that
+        # does not divide the chunk must still give exact results.
+        import correrender_tpu.calculators.correlation as cc
+
+        rng = np.random.default_rng(1)
+        series = rng.standard_normal((37, 16)).astype(np.float32)
+        ref = rng.standard_normal(16).astype(np.float32)
+        full = np.asarray(cc._correlate_chunked(
+            jnp.asarray(series), jnp.asarray(ref),
+            cc.CorrelationMeasure.PEARSON, 80, 3, 1, False, 37, None))
+        chunked = np.asarray(cc._correlate_chunked(
+            jnp.asarray(series), jnp.asarray(ref),
+            cc.CorrelationMeasure.PEARSON, 80, 3, 1, False, 8, None))
+        np.testing.assert_allclose(chunked, full, atol=1e-6)
