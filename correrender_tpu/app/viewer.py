@@ -310,6 +310,11 @@ class ViewerApp:
         self._start_measure_warming()
         return png
 
+    def close(self):
+        """Stop background work (the measure warmer checks this flag
+        between compiles); the app stays usable for direct calls."""
+        self._shutdown = True
+
     # -- background measure warming -----------------------------------------
 
     #: Warm order: cheap compiles first so the panel's most common
@@ -865,7 +870,7 @@ def make_server(scene, host="127.0.0.1", port=8777, **app_kwargs):
 
 def serve(scene, host="127.0.0.1", port=8777, **app_kwargs):
     """Serve the viewer; blocks until interrupted."""
-    server, _ = make_server(scene, host, port, **app_kwargs)
+    server, app = make_server(scene, host, port, **app_kwargs)
     print(f"viewer: http://{host}:{server.server_address[1]}/ "
           f"(ctrl-C to stop)")
     try:
@@ -873,6 +878,7 @@ def serve(scene, host="127.0.0.1", port=8777, **app_kwargs):
     except KeyboardInterrupt:
         pass
     finally:
+        app.close()
         server.server_close()
 
 

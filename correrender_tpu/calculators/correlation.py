@@ -181,11 +181,20 @@ def correlate_field(
     if stack.ndim == 4 and stack.size * 4 > _FLAT_SLAB_BYTES:
         zs, ys, xs = stack.shape[:3]
         planes = max(int(_FLAT_SLAB_BYTES // (4 * n * ys * xs)), 1)
+
+        def ref_slab(z0):
+            # A per-voxel ref may arrive 4-D (SYMMETRIC mode) or
+            # already flattened to (V, n) — slice the matching rows.
+            if not per_voxel_ref:
+                return ref
+            if ref.ndim == 2:
+                return ref[z0 * ys * xs : (z0 + planes) * ys * xs]
+            return ref[z0 : z0 + planes].reshape(-1, n)
+
         outs = [
             _correlate_field_flat(
                 stack[z0 : z0 + planes].reshape(-1, n),
-                (ref[z0 : z0 + planes].reshape(-1, n)
-                 if per_voxel_ref else ref),
+                ref_slab(z0),
                 m,
                 **kwargs,
             )

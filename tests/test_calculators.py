@@ -470,6 +470,13 @@ class TestSlabFlatten:
             cc.correlate_field(jnp.asarray(stack), jnp.asarray(other),
                                "pearson"))
         np.testing.assert_allclose(slabbed_sym, direct_sym, atol=1e-6)
+        # A per-voxel ref may also arrive pre-flattened to (V, n);
+        # the slab path must slice the matching rows, not Z planes.
+        slabbed_flat = np.asarray(
+            cc.correlate_field(jnp.asarray(stack),
+                               jnp.asarray(other.reshape(-1, 20)),
+                               "pearson"))
+        np.testing.assert_allclose(slabbed_flat, direct_sym, atol=1e-6)
 
     def test_chunk_remainder_padding(self):
         # _correlate_chunked pads only the remainder chunk; a V that
