@@ -43,7 +43,7 @@ def _pad_to(v: jnp.ndarray, size: int) -> jnp.ndarray:
 def kendall(
     x: jnp.ndarray,
     y: jnp.ndarray,
-    dtype=jnp.float32,
+    dtype=None,
     *,
     chunk: int = 128,
 ) -> jnp.ndarray:
@@ -52,9 +52,12 @@ def kendall(
     Args:
       x, y: ``(..., n)`` values; leading axes broadcast (they are
         broadcast to a common shape internally).
-      dtype: accumulator dtype for the pair counts (float32 exact while
-        the double-counted sum n(n−1) < 2^24, i.e. n ≲ 4000; use
-        float64 beyond).
+      dtype: accumulator dtype for the pair counts. Default (None)
+        picks float32 while the double-counted sum n(n−1) stays below
+        2^24 (n ≲ 4000) and int32 beyond (exact to n ≤ 46340 — the
+        summands are exact signs/indicators, so integer accumulation
+        is exact until n² overflows; the final tau assembly converts
+        the exact counts to float32, a ≤6e-8 relative rounding).
       chunk: member-axis tile width of the pair sweep.
 
     Returns:
@@ -62,6 +65,16 @@ def kendall(
     """
     x, y = jnp.broadcast_arrays(x, y)
     n = x.shape[-1]
+    if dtype is None:
+        if n * (n - 1) < 2 ** 24:
+            dtype = jnp.float32
+        elif n <= 46340:
+            dtype = jnp.int32
+        else:
+            raise ValueError(
+                f"kendall: n={n} overflows int32 pair counts; pass an "
+                "explicit accumulator dtype (e.g. float64 with x64 on)"
+            )
     chunk = min(chunk, n)
     num_chunks = -(-n // chunk)
     padded = num_chunks * chunk
@@ -106,4 +119,10 @@ def kendall(
     num = num - n3
     n0 = 0.5 * n * (n - 1)
     den = jnp.sqrt(n0 - n1) * jnp.sqrt(n0 - n2)
-    return (num / den).astype(jnp.float32)
+    tau = (num / den).astype(jnp.float32)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        # Integer accumulation swallows NaNs (casting NaN signs to int
+        # is silent garbage); re-apply the float path's NaN semantics.
+        has_nan = jnp.isnan(x).any(-1) | jnp.isnan(y).any(-1)
+        tau = jnp.where(has_nan, jnp.nan, tau)
+    return tau

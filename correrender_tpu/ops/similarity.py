@@ -53,12 +53,11 @@ def field_similarity(
         # walks k-d trees instead and has no such wall).
         max_samples = min(max_samples, 16384)
     if m == CorrelationMeasure.KENDALL and "dtype" not in measure_kw:
-        # Kendall's pair counts are float32-exact only while the
-        # double-counted symmetric sum n(n-1) stays below 2^24, i.e.
-        # n ≲ 4000; beyond that the accumulators round and even
-        # tau(x, x) drifts below 1. Cap the sample unless the caller
-        # opted into wider accumulators (measure_kw dtype=float64).
-        max_samples = min(max_samples, 4000)
+        # Kendall auto-switches to int32 pair counts past n ≈ 4000
+        # (exact to n ≤ 46340, see ops/kendall.py); cap at the int32
+        # exactness boundary. The O(n²) sweep at 46k is ~1.3e10 ops —
+        # still interactive on the MXU-free VPU path.
+        max_samples = min(max_samples, 46340)
     if len(a) > max_samples:
         idx = np.random.default_rng(seed).choice(
             len(a), max_samples, replace=False

@@ -154,6 +154,33 @@ class TestKendall:
             pytest.approx(-1.0)
         )
 
+    def test_large_n_int32_accumulation(self):
+        # Past n ≈ 4000 the f32 pair counts round (tau(x, x) drifts
+        # below 1 — the bug that motivated the old 4000-sample cap);
+        # the auto int32 path stays exact to n ≤ 46340.
+        rng = np.random.default_rng(7)
+        n = 6000
+        x = rng.standard_normal(n).astype(np.float32)
+        y = (0.5 * x + rng.standard_normal(n)).astype(np.float32)
+        # Exact counts; the final f32 sqrt(a)*sqrt(a) denominator can
+        # still sit 1 ulp off a, so tau(x, x) is 1 within one ulp.
+        assert float(ops.kendall(jnp.asarray(x), jnp.asarray(x))) == (
+            pytest.approx(1.0, abs=1.2e-7)
+        )
+        got = float(ops.kendall(jnp.asarray(x), jnp.asarray(y)))
+        want = scipy.stats.kendalltau(x, y).statistic
+        assert got == pytest.approx(want, abs=2e-6)
+        # Integer accumulation must not swallow NaN semantics.
+        x_nan = x.copy()
+        x_nan[17] = np.nan
+        assert np.isnan(float(ops.kendall(jnp.asarray(x_nan),
+                                          jnp.asarray(y))))
+
+    def test_overflow_guard(self):
+        x = jnp.zeros(46341, jnp.float32)
+        with pytest.raises(ValueError, match="overflows int32"):
+            ops.kendall(x, x)
+
 
 def _mi_binned_reference(x, y, num_bins, n):
     """Direct numpy transliteration of the reference semantics
