@@ -539,7 +539,7 @@ def fast_vs_exact_ssim():
         iso_render(vol, cam, 0.55, image_size=size,
                    background=(0, 0, 0, 1))
     )
-    return {
+    rows = {
         "dvr_fast_vs_exact": round(
             ssim(dvr_fast_img[..., :3], dvr_exact_img[..., :3]), 4
         ),
@@ -547,6 +547,21 @@ def fast_vs_exact_ssim():
             ssim(iso_fast_img[..., :3], iso_exact_img[..., :3]), 4
         ),
     }
+    # Same exact-marcher XLA program re-run on the host CPU backend —
+    # a cross-DEVICE render check (the estimator audit in ROUND3.md
+    # found XLA paths bit-identical TPU vs CPU; this row watches the
+    # render path for a device-specific miscompile each round).
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        cpu_img = np.asarray(jax.jit(
+            lambda v: dvr_render(v, cam, tf, image_size=size)
+        )(jax.device_put(vol, cpu)))
+        rows["dvr_exact_tpu_vs_cpu_maxdelta"] = round(
+            float(np.abs(cpu_img - dvr_exact_img).max()), 7
+        )
+    except Exception as exc:  # noqa: BLE001 — no CPU backend is not fatal
+        rows["dvr_exact_tpu_vs_cpu_maxdelta"] = f"unavailable: {exc}"
+    return rows
 
 
 def cpu_baseline_vox_per_s():
