@@ -90,6 +90,14 @@ class ViewerApp:
         self.warm_measures = bool(warm_measures)
         self._warm_thread = None
         self._shutdown = False
+        # HEB drill-down session (reference DiagramRenderer stack):
+        # the drilldown object is only mutated under _heb_lock; the
+        # frame path reads its levels list lock-free (append/pop are
+        # atomic, a frame racing a drill shows pre- or post-state).
+        self._heb_lock = threading.Lock()
+        self._drilldown = None
+        self._drilldown_key = None
+        self._heb_epoch = 0
 
     # -- camera ------------------------------------------------------------
 
@@ -287,6 +295,35 @@ class ViewerApp:
                     if point is not None:
                         overlay_reference_point_marker_np(
                             arr, cam, point, vd.grid.shape_zyx, box)
+            dd = self._drilldown
+            if dd is not None and dd.depth > 1:
+                # Selected-region outlines in the 3D view (reference
+                # DiagramRenderer selection propagation): the last
+                # drill level's region pair, orange + cyan.
+                import jax.numpy as jnp
+
+                from correrender_tpu.render.outline import outline_render
+
+                cam = scene.views[self.view]
+                box_min, box_max = vd.grid.render_box()
+                g = vd.grid
+                dims = np.array([g.xs, g.ys, g.zs], np.float32)
+                span = np.asarray(box_max) - np.asarray(box_min)
+                img_j = jnp.asarray(arr)
+                _, pair, _ = dd.levels[-1]
+                for region, color in zip(
+                        pair, ((0.95, 0.55, 0.15, 1.0),
+                               (0.2, 0.8, 0.95, 1.0))):
+                    lo = np.array([region.x_min, region.y_min,
+                                   region.z_min], np.float32)
+                    hi = np.array([region.x_max + 1, region.y_max + 1,
+                                   region.z_max + 1], np.float32)
+                    wbox = (box_min + lo / dims * span,
+                            box_min + hi / dims * span)
+                    img_j = outline_render(
+                        cam, wbox, image_size=self.image_size,
+                        color=color, base_image=img_j)
+                arr = np.asarray(img_j)
             if self.show_legend:
                 from correrender_tpu.render.legend import (
                     color_legend_overlay,
@@ -403,7 +440,7 @@ class ViewerApp:
         params = dict(params or {})
         with self._lock:
             key = (kind, tuple(sorted(params.items())),
-                   self._frame_epoch)
+                   self._frame_epoch, self._heb_epoch)
             cached = getattr(self, "_diagram_cache", None)
             if cached is not None and cached[0] == key:
                 return cached[1]
@@ -441,6 +478,16 @@ class ViewerApp:
             vd.get_member_stack(field, scene.current_time))
 
         if kind == "heb":
+            # An active drill-down session owns the HEB view: serve
+            # its current (already computed) chart.
+            dd = self._drilldown
+            if dd is not None:
+                def job():
+                    return dd.current_chart().render_svg(
+                        size=int(params.get("size", 700)))
+
+                return job
+
             def job():
                 from correrender_tpu.diagrams.heb import HEBChart
 
@@ -539,10 +586,101 @@ class ViewerApp:
 
     def api(self, cmd: dict) -> dict:
         """Dispatch one client command; returns a JSON-able reply."""
-        with self._lock:
-            reply = self._api_locked(dict(cmd))
+        if cmd.get("op") in ("heb_chords", "heb_drill", "heb_pop",
+                             "heb_reset"):
+            # Heavy (chart builds): serialized by _heb_lock, off the
+            # app lock so frames keep serving during a drill.
+            reply = self._heb_api(dict(cmd))
+        else:
+            with self._lock:
+                reply = self._api_locked(dict(cmd))
         reply.setdefault("ok", True)
         return reply
+
+    # -- HEB drill-down (reference DiagramRenderer selection stack) ------
+
+    def _heb_api(self, cmd: dict) -> dict:
+        op = cmd.get("op")
+        with self._heb_lock:
+            if op == "heb_reset":
+                with self._lock:
+                    self._drilldown = None
+                    self._drilldown_key = None
+                    self._heb_epoch += 1
+                    self._frame_epoch += 1
+                return {"depth": 0, "chords": []}
+            if op == "heb_pop":
+                dd = self._drilldown
+                if dd is None or dd.depth <= 1:
+                    return {"ok": False, "error": "nothing to pop"}
+                dd.pop()
+                with self._lock:
+                    self._heb_epoch += 1
+                    self._frame_epoch += 1
+                return self._heb_reply(dd)
+            try:
+                dd = self._ensure_drilldown(cmd)
+            except Exception as exc:  # noqa: BLE001 — surface to client
+                return {"ok": False, "error": str(exc)}
+            if op == "heb_chords":
+                return self._heb_reply(dd)
+            if op == "heb_drill":
+                i = int(cmd.get("chord", 0))
+                chords = dd.current_chart().chords
+                if not 0 <= i < len(chords):
+                    return {"ok": False,
+                            "error": f"chord {i} out of range "
+                                     f"({len(chords)} chords)"}
+                dd.drill_into_chord(i)
+                with self._lock:
+                    self._heb_epoch += 1
+                    self._frame_epoch += 1
+                return self._heb_reply(dd)
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def _ensure_drilldown(self, params: dict):
+        """Build (or reuse) the drill-down stack for the current
+        field/measure/time. Called under _heb_lock; the chart build
+        runs off the app lock on a stack snapshot."""
+        scene, vd = self.scene, self.scene.volume_data
+        with self._lock:
+            field, measure, _ = self._diagram_field_measure(params)
+            key = (field, str(measure), scene.current_time,
+                   int(params.get("downsample", 8)),
+                   int(params.get("num_samples", 20)),
+                   str(params.get("sampling_method", "plastic")))
+            if self._drilldown is not None and self._drilldown_key == key:
+                return self._drilldown
+            stack = np.asarray(
+                vd.get_member_stack(field, scene.current_time))
+        from correrender_tpu.diagrams.drilldown import HEBDrilldown
+
+        dd = HEBDrilldown(
+            stack, downsample_factor=key[3], measure=key[1],
+            num_samples=key[4], sampling_method=key[5],
+        )
+        with self._lock:
+            self._drilldown = dd
+            self._drilldown_key = key
+            self._heb_epoch += 1
+        return dd
+
+    def _heb_reply(self, dd) -> dict:
+        chart = dd.current_chart()
+
+        def label(leaf_idx):
+            r = chart._upscale(chart.leaves[leaf_idx])
+            return (f"[{r.x_min}-{r.x_max},{r.y_min}-{r.y_max},"
+                    f"{r.z_min}-{r.z_max}]")
+
+        return {
+            "depth": dd.depth,
+            "chords": [
+                {"index": k, "value": round(float(v), 4),
+                 "a": label(i), "b": label(j)}
+                for k, (i, j, v) in enumerate(chart.chords[:24])
+            ],
+        }
 
     def _api_locked(self, cmd: dict) -> dict:
         op = cmd.get("op")
@@ -914,6 +1052,12 @@ _INDEX_HTML = """<!doctype html>
 <div id="frame" style="flex-direction:column">
   <img id="img" draggable="false" alt="volume render">
   <div id="diagdock" style="display:none;max-height:45%;overflow:auto">
+    <div id="hebui" style="display:none;font-size:12px;padding:2px 6px">
+      <button id="hebback">&#9664; back</button>
+      <span id="hebdepth"></span>
+      <div id="hebchords" style="max-height:110px;overflow:auto;
+           margin-top:3px"></div>
+    </div>
     <img id="diagimg" alt="diagram" style="max-width:100%;cursor:default">
   </div>
 </div>
@@ -1266,16 +1410,60 @@ async function init() {
                value:ev.target.value / 100});
     refreshFrame();
   };
-  document.getElementById("diagram").onchange = async ev => {
-    const kind = ev.target.value;
-    const dock = document.getElementById("diagdock");
-    if (!kind) { dock.style.display = "none"; return; }
+  function loadDiagram(kind) {
     setStatus("computing " + kind + " diagram…");
+    const dock = document.getElementById("diagdock");
     const di = document.getElementById("diagimg");
     di.src = "/diagram?kind=" + kind + "&t=" + Date.now();
     di.onload = () => { dock.style.display = ""; setStatus("");
                         di.onerror = null; };
     di.onerror = () => setStatus("diagram failed — see server log");
+  }
+  // HEB drill-down (reference DiagramRenderer stack): click a chord
+  // row to focus its region pair (outlined orange/cyan in the 3D
+  // view), back to pop a level.
+  async function refreshHebUi() {
+    const ui = document.getElementById("hebui");
+    setStatus("sampling HEB chords…");
+    const r = await api({op:"heb_chords"});
+    setStatus("");
+    if (!r.ok) { setStatus("HEB: " + r.error); return; }
+    document.getElementById("hebdepth").textContent =
+      "level " + (r.depth - 1) + " · " + r.chords.length + " chords";
+    const list = document.getElementById("hebchords");
+    list.innerHTML = "";
+    r.chords.forEach(c => {
+      const row = document.createElement("div");
+      row.textContent = c.value + "  " + c.a + " ↔ " + c.b;
+      row.style.cursor = "pointer";
+      row.onmouseenter = () => row.style.background = "#2a2e37";
+      row.onmouseleave = () => row.style.background = "";
+      row.onclick = async () => {
+        setStatus("drilling into chord " + c.index + "…");
+        const d = await api({op:"heb_drill", chord:c.index});
+        if (!d.ok) { setStatus("HEB: " + d.error); return; }
+        await refreshHebUi(); loadDiagram("heb"); refreshFrame();
+      };
+      list.appendChild(row);
+    });
+    ui.style.display = "";
+  }
+  document.getElementById("hebback").onclick = async () => {
+    const d = await api({op:"heb_pop"});
+    if (!d.ok) { setStatus("HEB: " + d.error); return; }
+    await refreshHebUi(); loadDiagram("heb"); refreshFrame();
+  };
+  document.getElementById("diagram").onchange = async ev => {
+    const kind = ev.target.value;
+    const dock = document.getElementById("diagdock");
+    const hebui = document.getElementById("hebui");
+    if (kind !== "heb" && hebui.style.display !== "none") {
+      hebui.style.display = "none";
+      await api({op:"heb_reset"}); refreshFrame();
+    }
+    if (!kind) { dock.style.display = "none"; return; }
+    loadDiagram(kind);
+    if (kind === "heb") refreshHebUi();
   };
   const absbtn = document.getElementById("absbtn");
   absbtn.classList.toggle("off", !info.absolute);

@@ -374,6 +374,34 @@ class TestViewerApp:
         cold.frame_png()
         assert cold._warm_thread is None
 
+    def test_heb_drilldown_ops(self):
+        # The reference DiagramRenderer drill-down stack, driven the
+        # way the panel does: list chords → drill → region outlines in
+        # the 3D frame → drilled chart in the diagram dock → pop/reset.
+        app = ViewerApp(make_scene(), image_size=(64, 48),
+                        warm_measures=False)
+        base_png = app.frame_png()
+        r = app.api({"op": "heb_chords", "downsample": 4,
+                     "num_samples": 6})
+        assert r["ok"] and r["depth"] == 1 and r["chords"]
+        assert {"index", "value", "a", "b"} <= set(r["chords"][0])
+        d = app.api({"op": "heb_drill", "chord": 0, "downsample": 4,
+                     "num_samples": 6})
+        assert d["ok"] and d["depth"] == 2
+        png = app.frame_png()        # outline overlay path
+        assert png[:4] == b"\x89PNG" and png != base_png
+        svg = app.diagram_svg("heb", {"downsample": 4,
+                                      "num_samples": 6})
+        assert "<svg" in svg         # served from the drill stack
+        bad = app.api({"op": "heb_drill", "chord": 9999,
+                       "downsample": 4, "num_samples": 6})
+        assert not bad["ok"]
+        p = app.api({"op": "heb_pop"})
+        assert p["ok"] and p["depth"] == 1
+        rst = app.api({"op": "heb_reset"})
+        assert rst["ok"] and rst["depth"] == 0
+        assert app.api({"op": "heb_pop"})["ok"] is False
+
     def test_heavy_diagrams_serve_off_lock(self):
         # A slow diagram serve must not freeze the frame endpoint:
         # heb/distribution snapshot the stack under the lock and
