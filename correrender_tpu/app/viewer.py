@@ -581,6 +581,8 @@ class ViewerApp:
             "camera": {"theta": self._theta, "phi": self._phi,
                        "radius": self._radius},
             "checkpoints": sorted(self.scene.camera_checkpoints),
+            "view": self.view,
+            "num_views": len(self.scene.views),
             "frame_epoch": self._frame_epoch,
         }
 
@@ -863,6 +865,21 @@ class ViewerApp:
             for r in targets:
                 r[key] = value
 
+        elif op == "set_view":
+            # Multi-view scenes (reference DataView docking): switch
+            # which scene view the canvas shows and re-derive the
+            # orbit state from that view's camera.
+            v = int(cmd["view"])
+            if not 0 <= v < len(scene.views):
+                return {"ok": False,
+                        "error": f"view {v} out of range "
+                                 f"({len(scene.views)} views)"}
+            self.view = v
+            theta, phi, radius, center = _spherical_from_camera(
+                scene.views[v])
+            self._theta, self._phi = theta, phi
+            self._radius, self._center = radius, center
+
         elif op == "set_time":
             scene.current_time = max(0, min(vd.grid.ts - 1,
                                             int(cmd["time"])))
@@ -1063,6 +1080,8 @@ _INDEX_HTML = """<!doctype html>
 </div>
 <div id="panel">
   <h1>correrender_tpu</h1>
+  <div class="row" id="viewrow" style="display:none"><label>View</label>
+    <select id="viewsel"></select></div>
   <div class="row"><label>Measure</label><select id="measure"></select></div>
   <div class="row"><label>Field</label><select id="field"></select></div>
   <div class="row"><label>Renderer</label><select id="renderer">
@@ -1325,6 +1344,15 @@ function fillSelect(id, values, current) {
 
 async function init() {
   info = await api({op:"info"});
+  if (info.num_views > 1) {
+    document.getElementById("viewrow").style.display = "";
+    fillSelect("viewsel",
+      Array.from({length: info.num_views}, (_, i) => String(i)),
+      String(info.view));
+    document.getElementById("viewsel").onchange = async ev => {
+      await api({op:"set_view", view:+ev.target.value}); refreshFrame();
+    };
+  }
   fillSelect("measure", info.measures, info.measure);
   // Derived (calculator) outputs are not valid calculator INPUTS —
   // the server rejects them; keep them out of the dropdown.

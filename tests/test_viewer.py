@@ -374,6 +374,18 @@ class TestViewerApp:
         cold.frame_png()
         assert cold._warm_thread is None
 
+    def test_set_view_multi_view(self):
+        scene = make_scene()
+        scene.views.append(Camera(position=(0.6, 0.1, 0.4)))
+        app = ViewerApp(scene, image_size=(64, 48),
+                        warm_measures=False)
+        assert app.api({"op": "info"})["num_views"] == 2
+        p0 = app.frame_png()
+        r = app.api({"op": "set_view", "view": 1})
+        assert r["ok"]
+        assert app.frame_png() != p0          # other camera renders
+        assert not app.api({"op": "set_view", "view": 5})["ok"]
+
     def test_heb_drilldown_ops(self):
         # The reference DiagramRenderer drill-down stack, driven the
         # way the panel does: list chords → drill → region outlines in
