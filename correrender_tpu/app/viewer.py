@@ -479,9 +479,15 @@ class ViewerApp:
 
         if kind == "heb":
             # An active drill-down session owns the HEB view: serve
-            # its current (already computed) chart.
+            # its current (already computed) chart — but only while
+            # its build key still matches the scene (a measure/field/
+            # time change invalidates the stack).
             dd = self._drilldown
-            if dd is not None:
+            if dd is not None and self._drilldown_key == (
+                    field, str(measure), scene.current_time,
+                    int(params.get("downsample", 8)),
+                    int(params.get("num_samples", 20)),
+                    str(params.get("sampling_method", "plastic"))):
                 def job():
                     return dd.current_chart().render_svg(
                         size=int(params.get("size", 700)))

@@ -410,6 +410,13 @@ class TestViewerApp:
         assert not bad["ok"]
         p = app.api({"op": "heb_pop"})
         assert p["ok"] and p["depth"] == 1
+        # A measure change invalidates the drill stack for the dock:
+        # the HEB diagram must NOT serve the stale pearson chart.
+        app.api({"op": "set_measure", "measure": "spearman"})
+        svg2 = app.diagram_svg("heb", {"downsample": 4,
+                                       "num_samples": 6,
+                                       "measure": "spearman"})
+        assert "<svg" in svg2
         rst = app.api({"op": "heb_reset"})
         assert rst["ok"] and rst["depth"] == 0
         assert app.api({"op": "heb_pop"})["ok"] is False
