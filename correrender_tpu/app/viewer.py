@@ -927,6 +927,60 @@ class ViewerApp:
             scene.save_state(str(cmd["path"]))
             return {"path": str(cmd["path"])}
 
+        elif op == "export_field":
+            # The reference's field-export dialog (VolumeData::
+            # saveFieldToFile): write any (derived) field by extension.
+            from correrender_tpu.io.writers import save_field
+
+            calcs = self._correlation_calcs()
+            field = cmd.get("field") or (
+                calcs[0].output_name if calcs else vd.field_names[0])
+            path = str(cmd["path"])
+            save_field(vd, field, path, scene.current_time,
+                       scene.current_member)
+            return {"path": path, "field": field}
+
+        elif op == "similarity":
+            # The reference's "Compute Field Similarity" dialog.
+            from correrender_tpu.ops.similarity import (
+                volume_field_similarity,
+            )
+
+            a = cmd.get("field_a") or vd.field_names[0]
+            value = volume_field_similarity(
+                vd, a, str(cmd["field_b"]),
+                measure=cmd.get("measure", "pearson"),
+                all_members=bool(cmd.get("all_members", False)),
+            )
+            return {"value": float(value), "field_a": a}
+
+        elif op == "tf_optimize":
+            # The reference's TF-optimization dialog: fit field_dst's
+            # transfer function so its DVR matches field_src's.
+            import jax.numpy as jnp
+
+            from correrender_tpu.optim.tf_opt import TFOptimizer
+
+            src = str(cmd["field_src"])
+            dst = str(cmd["field_dst"])
+            opt = TFOptimizer(
+                method=str(cmd.get("method", "ols")),
+                tf_size=int(cmd.get("tf_size", 64)),
+                epochs=int(cmd.get("epochs", 200)),
+            )
+            fa = jnp.asarray(vd.get_field(src, scene.current_time,
+                                          scene.current_member))
+            fb = jnp.asarray(vd.get_field(dst, scene.current_time,
+                                          scene.current_member))
+            try:
+                fitted = opt.run(fa, scene.tf_for(src), fb,
+                                 camera=scene.views[self.view])
+            except ValueError as exc:  # bad method/tf_size
+                return {"ok": False, "error": str(exc)}
+            # Assigning the scene TF is the established invalidation
+            # route (same as set_colormap/_rebuild_tfs).
+            scene.transfer_functions[dst] = fitted
+
         else:
             return {"ok": False, "error": f"unknown op {op!r}"}
 

@@ -374,6 +374,30 @@ class TestViewerApp:
         cold.frame_png()
         assert cold._warm_thread is None
 
+    def test_export_similarity_tfopt_ops(self, tmp_path):
+        # The three reference dialogs exposed as viewer ops: field
+        # export, field similarity, TF optimization.
+        app = ViewerApp(make_scene(), image_size=(64, 48),
+                        warm_measures=False)
+        app.frame_png()  # materialize the derived field
+        out = str(tmp_path / "f.nc")
+        r = app.api({"op": "export_field", "path": out})
+        assert r["ok"] and r["field"].startswith("Pearson")
+        import os
+
+        assert os.path.exists(out)
+        s = app.api({"op": "similarity", "field_a": "data",
+                     "field_b": "data"})
+        assert s["ok"] and s["value"] == pytest.approx(1.0, abs=1e-5)
+        o = app.api({"op": "tf_optimize", "field_src": "data",
+                     "field_dst": "data", "tf_size": 16})
+        assert o["ok"]
+        png = app.frame_png()
+        assert png[:4] == b"\x89PNG"
+        bad = app.api({"op": "tf_optimize", "field_src": "data",
+                       "field_dst": "data", "tf_size": 7})
+        assert not bad["ok"]
+
     def test_set_view_multi_view(self):
         scene = make_scene()
         scene.views.append(Camera(position=(0.6, 0.1, 0.4)))
