@@ -296,7 +296,11 @@ class ViewerApp:
                         overlay_reference_point_marker_np(
                             arr, cam, point, vd.grid.shape_zyx, box)
             dd = self._drilldown
-            if dd is not None and dd.depth > 1:
+            # Snapshot the levels list once: a concurrent heb_pop
+            # between a depth check and the level read would
+            # otherwise hand us the pair-less root level.
+            dd_last = dd.levels[-1] if dd is not None else None
+            if dd_last is not None and dd_last[1] is not None:
                 # Selected-region outlines in the 3D view (reference
                 # DiagramRenderer selection propagation): the last
                 # drill level's region pair, orange + cyan.
@@ -310,7 +314,7 @@ class ViewerApp:
                 dims = np.array([g.xs, g.ys, g.zs], np.float32)
                 span = np.asarray(box_max) - np.asarray(box_min)
                 img_j = jnp.asarray(arr)
-                _, pair, _ = dd.levels[-1]
+                _, pair, _ = dd_last
                 for region, color in zip(
                         pair, ((0.95, 0.55, 0.15, 1.0),
                                (0.2, 0.8, 0.95, 1.0))):
