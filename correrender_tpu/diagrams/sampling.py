@@ -69,9 +69,10 @@ def _pairs_to_series(stack, region_a, region_b, ua, ub):
 
 
 def _eval_max(sa, sb, measure, **kw):
+    absolute = kw.pop("absolute", True)
     vals = np.asarray(
         ops.correlate_jit(jnp.asarray(sa), jnp.asarray(sb), measure,
-                          absolute=True, **kw)
+                          absolute=absolute, **kw)
     )
     vals = vals[np.isfinite(vals)]
     return float(vals.max()) if len(vals) else float("nan")
