@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -639,7 +640,28 @@ def _enable_compile_cache():
 def main(argv=None):
     _enable_compile_cache()
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    # HTML logfile of every invocation + uncaught failure (the sgl
+    # Logfile role, README.md:152-157). Best-effort: a read-only
+    # config dir must not break the command itself.
+    log = None
+    try:
+        from correrender_tpu.utils.logfile import get_logfile
+
+        log = get_logfile()
+        log.write_info(
+            "correrender_tpu " + " ".join(argv or sys.argv[1:])
+        )
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        args.fn(args)
+    except Exception as exc:  # noqa: BLE001 - log, then re-raise
+        if log is not None:
+            try:
+                log.write_error(f"{type(exc).__name__}: {exc}")
+            except Exception:  # noqa: BLE001
+                pass
+        raise
 
 
 if __name__ == "__main__":

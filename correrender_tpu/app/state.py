@@ -498,7 +498,15 @@ class Scene:
             "dataset": dataset or self.dataset_info or {},
             "views": [{"camera": _camera_to_json(c)} for c in self.views],
             "calculators": [
-                {"type": c.type_id, **_jsonable(c.get_settings())}
+                {
+                    "type": c.type_id,
+                    **(
+                        {"continuous_recompute": True}
+                        if getattr(c, "continuous_recompute", False)
+                        else {}
+                    ),
+                    **_jsonable(c.get_settings()),
+                }
                 for c in self.volume_data.calculators.values()
             ],
             "renderers": _jsonable(self.renderers),

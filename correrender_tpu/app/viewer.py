@@ -265,11 +265,19 @@ class ViewerApp:
         from PIL import Image
 
         with self._lock:
+            scene, vd = self.scene, self.scene.volume_data
+            # Debug mode: force a full recompute every frame
+            # (CorrelationCalculator.cpp:185 continuousRecompute).
+            continuous = [
+                c for c in vd.calculators.values()
+                if getattr(c, "continuous_recompute", False)
+            ]
+            for calc in continuous:
+                vd.mark_dirty(calc.output_name)
             key = self._frame_state_key()
             cached = getattr(self, "_frame_cache", None)
-            if cached is not None and cached[0] == key:
+            if cached is not None and cached[0] == key and not continuous:
                 return cached[1]
-            scene, vd = self.scene, self.scene.volume_data
             job = self._fused_dvr_job()
             if job is not None:
                 img = self._render_fused(*job)
@@ -910,6 +918,12 @@ class ViewerApp:
                 w, h = (int(v) for v in value)
                 self.image_size = (max(64, min(3840, w)),
                                    max(48, min(2160, h)))
+            elif key == "continuous_recompute":
+                # Debug option: recompute calculators every frame
+                # (reference "Continuous Recompute" checkbox,
+                # CorrelationCalculator.cpp:700).
+                for calc in vd.calculators.values():
+                    calc.continuous_recompute = bool(value)
             else:
                 return {"ok": False, "error": f"unknown option {key!r}"}
 

@@ -85,7 +85,11 @@ def calculator_from_settings(type_id: str, settings: dict):
             f"unknown calculator type {type_id!r}; known: "
             f"{sorted(_TYPE_REGISTRY)}"
         )
-    return cls.from_settings(settings)
+    settings = dict(settings)
+    continuous = bool(settings.pop("continuous_recompute", False))
+    calc = cls.from_settings(settings)
+    calc.continuous_recompute = continuous
+    return calc
 
 
 class Calculator:
@@ -104,6 +108,12 @@ class Calculator:
     def __init__(self, output_name: str | None = None):
         self._output_name = output_name
         self.volume_data = None
+        # Debug option: recompute the output every frame even when
+        # nothing is dirty (reference CorrelationCalculator.hpp:123,
+        # "Continuous Recompute" checkbox at .cpp:700, consumed in the
+        # frame update at .cpp:185). The viewer's frame path honors it
+        # by marking the output dirty before each frame.
+        self.continuous_recompute = False
 
     @property
     def output_name(self) -> str:
