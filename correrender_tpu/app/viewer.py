@@ -721,7 +721,10 @@ class ViewerApp:
             self._apply_camera()
 
         elif op == "pick":
-            from correrender_tpu.render.picking import pick_voxel
+            from correrender_tpu.render.picking import (
+                pick_hit_points,
+                world_to_voxel,
+            )
 
             calcs = self._correlation_calcs()
             if not calcs:
@@ -732,15 +735,46 @@ class ViewerApp:
             # rightmost/bottom half-pixel yields px == width.
             px = max(0, min(self.image_size[0] - 1, int(cmd["px"])))
             py = max(0, min(self.image_size[1] - 1, int(cmd["py"])))
-            voxel = pick_voxel(
+            hit = pick_hit_points(
                 scene.views[self.view],
                 (px, py),
-                self.image_size, (g.zs, g.ys, g.xs),
+                self.image_size,
                 g.render_box(),
                 fixed_z_fraction=cmd.get("fixed_z_fraction"),
             )
-            if voxel is None:
+            if hit is None:
                 return {"ok": False, "error": "ray misses the volume"}
+            # Keep the hit for wheel depth-scrubbing (the reference's
+            # hasHitInformation state, PointPicker.cpp:100-106).
+            self._pick_hit = hit
+            voxel = world_to_voxel(hit["focus"], (g.zs, g.ys, g.xs),
+                                   g.render_box())
+            for calc in calcs:
+                calc.set_reference_point(*voxel)
+            self._frame_epoch += 1
+            return {"reference_point": [int(v) for v in voxel]}
+
+        elif op == "pick_scroll":
+            # Scroll-wheel depth scrub: move the focus point along the
+            # last pick ray, clamped between the volume entry and exit
+            # hits (PointPicker.cpp:128-135).
+            from correrender_tpu.render.picking import (
+                scrub_focus,
+                world_to_voxel,
+            )
+
+            calcs = self._correlation_calcs()
+            if not calcs:
+                return {"ok": False,
+                        "error": "no correlation calculator in scene"}
+            hit = getattr(self, "_pick_hit", None)
+            if hit is None:
+                return {"ok": False,
+                        "error": "no pick hit yet; pick a point first"}
+            g = vd.grid
+            scrub_focus(hit, float(cmd.get("amount", 0.0)))
+            voxel = world_to_voxel(hit["focus"], (g.zs, g.ys, g.xs),
+                                   g.render_box())
             for calc in calcs:
                 calc.set_reference_point(*voxel)
             self._frame_epoch += 1
@@ -1212,13 +1246,13 @@ _INDEX_HTML = """<!doctype html>
   <div class="row"><label>Reference point</label>
     <span id="refpt">—</span></div>
   <div class="row" id="status">drag = orbit · wheel = zoom ·
-shift+click = pick reference point</div>
+shift+click = pick reference point · shift+wheel = scrub pick depth</div>
 </div>
 <script>
 "use strict";
 const img = document.getElementById("img");
 let info = null, busy = false, wantFrame = false;
-let pend = {dtheta:0, dphi:0, zoom:1};
+let pend = {dtheta:0, dphi:0, zoom:1, scrub:0};
 let pickMode = false;
 
 async function api(cmd) {
@@ -1233,7 +1267,8 @@ async function refreshFrame() {
   wantFrame = true;
   if (busy) return;
   busy = true;
-  while (wantFrame || pend.dtheta || pend.dphi || pend.zoom !== 1) {
+  while (wantFrame || pend.dtheta || pend.dphi || pend.zoom !== 1 ||
+         pend.scrub) {
     if (pend.dtheta || pend.dphi) {
       const d = {op:"orbit", dtheta:pend.dtheta, dphi:pend.dphi};
       pend.dtheta = 0; pend.dphi = 0;
@@ -1242,6 +1277,13 @@ async function refreshFrame() {
     if (pend.zoom !== 1) {
       const f = pend.zoom; pend.zoom = 1;
       await api({op:"zoom", factor:f});
+    }
+    if (pend.scrub) {
+      const a = pend.scrub; pend.scrub = 0;
+      const reply = await api({op:"pick_scroll", amount:a});
+      if (reply.ok && reply.reference_point)
+        document.getElementById("refpt").textContent =
+          reply.reference_point.join(", ");
     }
     wantFrame = false;
     const t0 = performance.now();
@@ -1281,7 +1323,13 @@ img.addEventListener("pointerdown", ev => {
 });
 img.addEventListener("wheel", ev => {
   ev.preventDefault();
-  pend.zoom *= Math.pow(1.0015, ev.deltaY);
+  if (pickMode || ev.shiftKey) {
+    // Depth scrub: push the reference point along the last pick ray
+    // (the reference's ctrl+wheel PointPicker interaction).
+    pend.scrub += -ev.deltaY * 0.0007;
+  } else {
+    pend.zoom *= Math.pow(1.0015, ev.deltaY);
+  }
   refreshFrame();
 }, {passive:false});
 

@@ -68,11 +68,105 @@ def pick_voxel(
         t = max(float(t_near[0, 0]), 0.0)
         p = o + d * t
 
+    return world_to_voxel(p, grid_shape_zyx, box)
+
+
+def world_to_voxel(p, grid_shape_zyx, box):
+    """World point → voxel index under the cell-center convention the
+    marker/renderers use ((idx+0.5)/dims; the reference rounds to node
+    coordinates instead, PointPicker.cpp:142-151 — a half-voxel
+    convention difference applied consistently on both sides here)."""
     zs, ys, xs = grid_shape_zyx
-    tex = (p - box_min) / (box_max - box_min)
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+    tex = (np.asarray(p, np.float32) - box_min) / (box_max - box_min)
     vox = np.floor(tex * np.array([xs, ys, zs])).astype(int)
     vox = np.clip(vox, 0, np.array([xs - 1, ys - 1, zs - 1]))
     return int(vox[0]), int(vox[1]), int(vox[2])
+
+
+def pick_hit_points(
+    camera,
+    pixel_xy,
+    image_size,
+    box,
+    fixed_z_fraction: float | None = None,
+):
+    """Pick-ray hit information for depth scrubbing.
+
+    The reference keeps (firstHit, lastHit, hitLookingDirection,
+    focusPoint) from the last successful pick so the scroll wheel can
+    scrub the focus point through the volume along the pick ray
+    (PointPicker.cpp:88-135). Returns a dict with those four world-
+    space entries, or None if the ray misses.
+
+    In fixed-z-plane mode the scrub axis is the world z column through
+    the hit (firstHit at the top face, lastHit at the bottom,
+    direction -sign(camera z) — PointPicker.cpp:96-100).
+    """
+    width, height = image_size
+    origin, dirs = camera.rays(width, height)
+    px = max(0, min(width - 1, int(pixel_xy[0])))
+    py = max(0, min(height - 1, int(pixel_xy[1])))
+    d = np.asarray(dirs)[py, px].astype(np.float64)
+    o = np.asarray(origin, np.float64)
+    box_min = np.asarray(box[0], np.float32)
+    box_max = np.asarray(box[1], np.float32)
+
+    if fixed_z_fraction is not None:
+        z_plane = box_min[2] + fixed_z_fraction * (box_max[2] - box_min[2])
+        if abs(d[2]) < 1e-12:
+            return None
+        t = (z_plane - o[2]) / d[2]
+        if t <= 0:
+            return None
+        p = o + d * t
+        if not (
+            box_min[0] <= p[0] <= box_max[0]
+            and box_min[1] <= p[1] <= box_max[1]
+        ):
+            return None
+        first = np.array([p[0], p[1], box_max[2]], np.float64)
+        last = np.array([p[0], p[1], box_min[2]], np.float64)
+        direction = np.array(
+            [0.0, 0.0, -np.sign(o[2]) if o[2] != 0 else -1.0], np.float64
+        )
+        focus = p
+    else:
+        t_near, t_far, hit = ray_box_intersect(
+            jnp.asarray(o), jnp.asarray(d[None, None], jnp.float32),
+            jnp.asarray(box_min), jnp.asarray(box_max),
+        )
+        if not bool(hit[0, 0]):
+            return None
+        t0 = max(float(t_near[0, 0]), 0.0)
+        t1 = float(t_far[0, 0])
+        first = o + d * t0
+        last = o + d * t1
+        norm = np.linalg.norm(d)
+        direction = d / (norm if norm > 0 else 1.0)
+        focus = first
+    return {
+        "first": first,
+        "last": last,
+        "direction": direction,
+        "focus": focus,
+    }
+
+
+def scrub_focus(hit: dict, amount: float) -> dict:
+    """Move the focus point ``amount`` world units along the pick ray,
+    clamped between firstHit and lastHit (the reference's scroll
+    handling, PointPicker.cpp:128-134). Returns the updated hit dict
+    (same object, mutated)."""
+    first = np.asarray(hit["first"], np.float64)
+    last = np.asarray(hit["last"], np.float64)
+    direction = np.asarray(hit["direction"], np.float64)
+    new_focus = np.asarray(hit["focus"], np.float64) + amount * direction
+    t = float(np.dot(new_focus - first, direction))
+    t = min(max(t, 0.0), float(np.linalg.norm(last - first)))
+    hit["focus"] = first + t * direction
+    return hit
 
 
 def marker_screen_center(camera, reference_point_xyz, grid_shape_zyx,

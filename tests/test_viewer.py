@@ -116,6 +116,42 @@ class TestHttpSurface:
         reply = _api(base, {"op": "pick", "px": 96, "py": 72})
         assert "error" not in reply or "miss" in reply.get("error", "")
 
+    def test_pick_scroll_scrubs_depth(self, server_url):
+        # PointPicker.cpp:128-135: the wheel moves the focus point
+        # along the last pick ray, clamped between the volume entry
+        # and exit hits.
+        base, app = server_url
+        reply = _api(base, {"op": "pick", "px": 48, "py": 36})
+        assert reply["ok"], reply
+        entry = reply["reference_point"]
+
+        # Scrub deep into the volume: the reference point must move
+        # along the ray (the center pixel's ray is roughly -z).
+        reply = _api(base, {"op": "pick_scroll", "amount": 0.5})
+        assert reply["ok"], reply
+        mid = reply["reference_point"]
+        assert mid != entry
+
+        # A huge scrub clamps at the exit hit instead of leaving the
+        # volume.
+        reply = _api(base, {"op": "pick_scroll", "amount": 100.0})
+        assert reply["ok"], reply
+        far = reply["reference_point"]
+        g = app.scene.volume_data.grid
+        assert 0 <= far[0] < g.xs and 0 <= far[1] < g.ys \
+            and 0 <= far[2] < g.zs
+
+        # And scrubbing all the way back clamps at the entry hit.
+        reply = _api(base, {"op": "pick_scroll", "amount": -100.0})
+        assert reply["ok"], reply
+        assert reply["reference_point"] == entry
+
+    def test_pick_scroll_without_pick_errors(self, server_url):
+        base, _ = server_url
+        reply = _api(base, {"op": "pick_scroll", "amount": 0.5})
+        assert not reply["ok"]
+        assert "pick" in reply["error"]
+
     def test_get_api_is_read_only(self, server_url):
         base, _ = server_url
         status, _, body = _get(base + "/api?op=info")
