@@ -323,18 +323,38 @@ class ViewerApp:
                 span = np.asarray(box_max) - np.asarray(box_min)
                 img_j = jnp.asarray(arr)
                 _, pair, _ = dd_last
-                for region, color in zip(
-                        pair, ((0.95, 0.55, 0.15, 1.0),
-                               (0.2, 0.8, 0.95, 1.0))):
+                colors = ((0.95, 0.55, 0.15, 1.0),
+                          (0.2, 0.8, 0.95, 1.0))
+                wboxes = []
+                for region, color in zip(pair, colors):
                     lo = np.array([region.x_min, region.y_min,
                                    region.z_min], np.float32)
                     hi = np.array([region.x_max + 1, region.y_max + 1,
                                    region.z_max + 1], np.float32)
                     wbox = (box_min + lo / dims * span,
                             box_min + hi / dims * span)
+                    wboxes.append(wbox)
                     img_j = outline_render(
                         cam, wbox, image_size=self.image_size,
                         color=color, base_image=img_j)
+                if len(wboxes) == 2:
+                    # Connecting line between the selected regions
+                    # (reference ConnectingLineRasterPass,
+                    # DiagramRenderer.cpp:728-736) — drawn as two
+                    # halves so each end carries its region's color.
+                    from correrender_tpu.render.outline import (
+                        connecting_line_points,
+                        segments_render,
+                    )
+
+                    p0, p1 = connecting_line_points(*wboxes)
+                    mid = 0.5 * (p0 + p1)
+                    for seg, color in zip(((p0, mid), (mid, p1)),
+                                          colors):
+                        img_j = segments_render(
+                            cam, seg[0][None], seg[1][None],
+                            image_size=self.image_size, color=color,
+                            line_width=2.5, base_image=img_j)
                 arr = np.asarray(img_j)
             if self.show_legend:
                 from correrender_tpu.render.legend import (

@@ -90,6 +90,61 @@ def outline_render(
     )
 
 
+def segments_render(
+    camera,
+    p0s,
+    p1s,
+    image_size=(512, 512),
+    color=(1.0, 1.0, 1.0, 1.0),
+    line_width: float = 1.5,
+    base_image=None,
+    return_depth: bool = False,
+) -> jnp.ndarray:
+    """Draw arbitrary world-space line segments (``p0s[i]→p1s[i]``).
+
+    The reference rasterizes such connecting lines with its own pass
+    (ConnectingLineRasterPass.* — the tube linking the two selected
+    diagram regions to the 3D view, DiagramRenderer.cpp:728-736); here
+    the segments reuse the box-outline hairline core, so any number of
+    segments is still one compiled program.
+    """
+    p0s = np.atleast_2d(np.asarray(p0s, np.float32))
+    p1s = np.atleast_2d(np.asarray(p1s, np.float32))
+    width, height = image_size
+    view = camera.view_matrix()
+    proj = camera.projection_matrix(width / height)
+    pa, w0 = _project(p0s, view, proj, width, height)
+    pb, w1 = _project(p1s, view, proj, width, height)
+    eye = np.asarray(camera.position, np.float32)
+    da = np.linalg.norm(p0s - eye, axis=-1).astype(np.float32)
+    db = np.linalg.norm(p1s - eye, axis=-1).astype(np.float32)
+    valid = ((w0 > 0) & (w1 > 0)).astype(np.float32)
+    layer = base_image is None
+    if layer:
+        base_image = jnp.zeros((height, width, 4), jnp.float32)
+    return _outline_core(
+        jnp.asarray(pa, jnp.float32), jnp.asarray(pb, jnp.float32),
+        jnp.asarray(da), jnp.asarray(db), jnp.asarray(valid),
+        jnp.asarray(color, jnp.float32), jnp.float32(line_width),
+        base_image, width, height, return_depth, layer,
+    )
+
+
+def connecting_line_points(box_a, box_b):
+    """Endpoints of the region-connecting line: per axis, each endpoint
+    sits on its box's face that FACES the other region (or the face
+    midpoint when the centers align on that axis) — the reference's
+    HEBChart::getLinePositions face selection (HEBChart.cpp:944-954).
+    """
+    a_min, a_max = (np.asarray(v, np.float32) for v in box_a)
+    b_min, b_max = (np.asarray(v, np.float32) for v in box_b)
+    c0 = 0.5 * (a_min + a_max)
+    c1 = 0.5 * (b_min + b_max)
+    p0 = np.where(c0 < c1, a_max, np.where(c0 > c1, a_min, c0))
+    p1 = np.where(c1 < c0, b_max, np.where(c1 > c0, b_min, c1))
+    return p0.astype(np.float32), p1.astype(np.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "return_depth",
                               "layer")

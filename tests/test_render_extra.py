@@ -88,6 +88,53 @@ class TestOutline:
         assert img[..., 3].max() == 1.0
         assert (img[..., 3] > 0.5).mean() < 0.35  # coverage is sparse
 
+    def test_connecting_line_face_selection(self):
+        # Reference HEBChart::getLinePositions (HEBChart.cpp:944-954):
+        # per axis, each endpoint takes the face of its box FACING the
+        # other box, or the midpoint when centers align on that axis.
+        from correrender_tpu.render.outline import connecting_line_points
+
+        box_a = (np.array([0.0, 0.0, 0.0]), np.array([1.0, 1.0, 1.0]))
+        box_b = (np.array([3.0, 0.0, 0.0]), np.array([4.0, 1.0, 1.0]))
+        p0, p1 = connecting_line_points(box_a, box_b)
+        # x: a faces +x (max face), b faces -x (min face); y/z aligned
+        # → midpoints.
+        assert np.allclose(p0, [1.0, 0.5, 0.5])
+        assert np.allclose(p1, [3.0, 0.5, 0.5])
+
+        box_c = (np.array([0.0, 2.0, -3.0]), np.array([1.0, 3.0, -2.0]))
+        p0, p1 = connecting_line_points(box_a, box_c)
+        assert np.allclose(p0, [0.5, 1.0, 0.0])   # +y face, -z face
+        assert np.allclose(p1, [0.5, 2.0, -2.0])  # -y face, +z face
+
+    def test_segments_render_draws_line(self):
+        from correrender_tpu.render.outline import segments_render
+
+        cam = Camera(position=(0.0, 0.0, 1.2))
+        p0 = np.array([[-0.3, 0.0, 0.0]], np.float32)
+        p1 = np.array([[0.3, 0.0, 0.0]], np.float32)
+        img = np.asarray(
+            segments_render(cam, p0, p1, image_size=(64, 64),
+                            color=(0, 1, 0, 1))
+        )
+        assert img[..., 1].max() > 0.9  # green line present
+        assert (img[..., 3] > 0.5).mean() < 0.2
+        # Over a base image, the line composites instead of layering.
+        base = np.zeros((64, 64, 4), np.float32)
+        base[..., 3] = 1.0
+        over = np.asarray(
+            segments_render(cam, p0, p1, image_size=(64, 64),
+                            color=(0, 1, 0, 1), base_image=base)
+        )
+        assert over[..., 1].max() > 0.5
+        # An endpoint behind the camera masks the segment out.
+        p_behind = np.array([[0.0, 0.0, 5.0]], np.float32)
+        masked = np.asarray(
+            segments_render(cam, p0, p_behind, image_size=(64, 64),
+                            color=(0, 1, 0, 1))
+        )
+        assert masked[..., 3].max() == 0.0
+
 
 class TestMesh:
     def test_sphere_mesh(self):
