@@ -139,11 +139,19 @@ def cmd_heb(args):
     vd = _load(args)
     field = args.field or vd.field_names[0]
     stack = np.asarray(vd.get_member_stack(field))
+    def _pair(text):
+        return tuple(float(v) for v in text.split(",")) if text else None
+
+    factor = args.downsample
+    if args.downsample_xyz:
+        factor = tuple(int(v) for v in args.downsample_xyz.split(","))
     chart = HEBChart(
-        stack, downsample_factor=args.downsample,
+        stack, downsample_factor=factor,
         measure=args.measure or "pearson",
         sampling_method=args.sampling_method,
         num_samples=args.num_samples, max_chords=args.max_chords,
+        correlation_range=_pair(args.correlation_range),
+        cell_distance_range=_pair(args.cell_distance_range),
     )
     chart.compute_correlations()
     chart.render_svg(args.output)
@@ -474,6 +482,16 @@ def build_parser():
                              "bayesian"))
     sp.add_argument("--num-samples", type=int, default=64)
     sp.add_argument("--max-chords", type=int, default=100)
+    sp.add_argument("--downsample-xyz", default=None, metavar="FX,FY,FZ",
+                    help="per-axis downscaling factors (overrides "
+                         "--downsample; reference "
+                         "downscaling_factor_x/y/z)")
+    sp.add_argument("--correlation-range", default=None, metavar="LO,HI",
+                    help="keep chords with |corr| in [LO, HI]")
+    sp.add_argument("--cell-distance-range", default=None,
+                    metavar="LO,HI",
+                    help="keep leaf pairs whose downsampled-cell "
+                         "distance is in [LO, HI]")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_heb)
 

@@ -59,25 +59,60 @@ class HEBChart:
     def __init__(
         self,
         stack: np.ndarray,
-        downsample_factor: int = 8,
+        downsample_factor: int | tuple = 8,
         measure: str = "pearson",
         sampling_method: str = "mean",
         num_samples: int = 64,
         max_chords: int = 100,
         threshold: float = 0.0,
         octree_mode: str = "topdown",
+        correlation_range: tuple | None = None,
+        cell_distance_range: tuple | None = None,
         **measure_kw,
     ):
+        """Args beyond the basics:
+
+        downsample_factor: scalar, or per-axis ``(fx, fy, fz)`` — the
+          reference's ``downscaling_factor_x/y/z`` knobs
+          (DiagramRenderer.cpp settings; anisotropic grids like
+          250×352×20 need a flatter z factor).
+        correlation_range: ``(lo, hi)`` filter on the (absolute)
+          correlation values kept as chords (reference
+          ``correlation_range_lower/upper``); default
+          ``(threshold, +inf)``.
+        cell_distance_range: ``(lo, hi)`` Euclidean distance filter
+          between downsampled leaf centers — pairs outside the range
+          are skipped BEFORE sampling (reference ``cellDistanceRange``
+          gating, HEBChartCorrelation.cpp:532-537; used to suppress
+          trivial near-field correlations).
+        """
         self.stack = np.asarray(stack)
-        self.factor = downsample_factor
+        if isinstance(downsample_factor, (tuple, list)):
+            fx, fy, fz = (max(1, int(v)) for v in downsample_factor)
+        else:
+            fx = fy = fz = max(1, int(downsample_factor))
+        self.factors = (fx, fy, fz)
+        #: Scalar factor for callers that halve it per drill level
+        #: (drilldown.py); the max axis preserves that behavior.
+        self.factor = max(fx, fy, fz)
         self.measure = measure
         self.sampling_method = sampling_method
         self.num_samples = num_samples
         self.max_chords = max_chords
         self.threshold = threshold
+        self.correlation_range = (
+            tuple(float(v) for v in correlation_range)
+            if correlation_range is not None
+            else (float(threshold), float("inf"))
+        )
+        self.cell_distance_range = (
+            tuple(float(v) for v in cell_distance_range)
+            if cell_distance_range is not None
+            else None
+        )
         self.measure_kw = measure_kw
 
-        self.means = downsample_fields(self.stack, self.factor)
+        self.means = downsample_fields(self.stack, (fz, fy, fx))
         zs, ys, xs, _ = self.means.shape
         self.octree = Octree(xs, ys, zs, leaf_size=1, mode=octree_mode)
         self.leaves = self.octree.leaves
@@ -113,6 +148,21 @@ class HEBChart:
         (HEBChartCorrelation.cpp:405-421): mean / sampling estimators.
         """
         L = self.num_leaves
+        iu, ju = np.triu_indices(L, k=1)
+        if self.cell_distance_range is not None:
+            # Skip pairs whose downsampled-cell centers are outside
+            # the distance window BEFORE any sampling work
+            # (HEBChartCorrelation.cpp:532-537).
+            lo_d, hi_d = self.cell_distance_range
+            centers = np.array(
+                [r.center for r in self.leaves], np.float32
+            )
+            dist = np.linalg.norm(centers[iu] - centers[ju], axis=-1)
+            m = (dist >= lo_d) & (dist <= hi_d)
+            iu, ju = iu[m], ju[m]
+        if len(iu) == 0:
+            self.chords = []
+            return self.chords
         if self.sampling_method == "mean":
             series = np.stack(
                 [
@@ -133,7 +183,6 @@ class HEBChart:
                     **self.measure_kw,
                 )
             )
-            iu, ju = np.triu_indices(L, k=1)
             flat = vals[iu, ju]
         elif self.sampling_method in ("random", "halton", "plastic"):
             # One batched request-mode dispatch per chunk instead of a
@@ -143,7 +192,6 @@ class HEBChart:
                 batched_block_pairs_max,
             )
 
-            iu, ju = np.triu_indices(L, k=1)
             flat = batched_block_pairs_max(
                 self.stack,
                 [self._upscale(self.leaves[i]) for i in iu],
@@ -162,7 +210,6 @@ class HEBChart:
                 batched_bayesian_opt_max,
             )
 
-            iu, ju = np.triu_indices(L, k=1)
             num_init = min(20, self.num_samples)
             flat = batched_bayesian_opt_max(
                 self.stack,
@@ -174,7 +221,6 @@ class HEBChart:
                 **self.measure_kw,
             )
         else:
-            iu, ju = np.triu_indices(L, k=1)
             flat = np.array(
                 [
                     sample_block_pair_max(
@@ -190,7 +236,8 @@ class HEBChart:
                     for i, j in zip(iu, ju)
                 ]
             )
-        ok = np.isfinite(flat) & (flat >= self.threshold)
+        lo_c, hi_c = self.correlation_range
+        ok = np.isfinite(flat) & (flat >= lo_c) & (flat <= hi_c)
         order = np.argsort(-np.where(ok, flat, -np.inf))
         keep = order[: self.max_chords]
         self.chords = [
@@ -202,15 +249,15 @@ class HEBChart:
         """Downsampled-leaf region → full-resolution voxel region."""
         from correrender_tpu.diagrams.octree import GridRegion
 
-        f = self.factor
+        fx, fy, fz = self.factors
         zs, ys, xs = self.stack.shape[:3]
         return GridRegion(
-            region.x_min * f,
-            region.y_min * f,
-            region.z_min * f,
-            min((region.x_max + 1) * f - 1, xs - 1),
-            min((region.y_max + 1) * f - 1, ys - 1),
-            min((region.z_max + 1) * f - 1, zs - 1),
+            region.x_min * fx,
+            region.y_min * fy,
+            region.z_min * fz,
+            min((region.x_max + 1) * fx - 1, xs - 1),
+            min((region.y_max + 1) * fy - 1, ys - 1),
+            min((region.z_max + 1) * fz - 1, zs - 1),
         )
 
     # -- layout & render --------------------------------------------------
@@ -244,9 +291,20 @@ class HEBChart:
         return pos, leaf_nodes, leaf_angle
 
     def render_svg(
-        self, path: str | None = None, size: int = 800, beta: float = 0.75
+        self,
+        path: str | None = None,
+        size: int = 800,
+        beta: float = 0.75,
+        curve_thickness: float = 1.0,
+        opacity_by_value: bool = True,
     ) -> str:
-        """Draw the chart; returns the SVG text (and writes ``path``)."""
+        """Draw the chart; returns the SVG text (and writes ``path``).
+
+        ``beta`` is the bundling strength, ``curve_thickness`` a global
+        line-width multiplier, and ``opacity_by_value`` maps chord
+        opacity to correlation strength (constant when off) — the
+        reference's ``beta`` / ``curve_thickness`` /
+        ``opacity_by_value`` diagram settings (DiagramRenderer.cpp)."""
         canvas = SvgCanvas(size, size)
         center = size / 2
         radius = size * 0.38
@@ -284,7 +342,9 @@ class HEBChart:
             color = clut[int(min(value, 1.0) * 255)][:3]
             canvas.path(
                 curve, color=tuple(color),
-                width=0.5 + 2.0 * value, opacity=0.35 + 0.6 * value,
+                width=(0.5 + 2.0 * value) * curve_thickness,
+                opacity=(0.35 + 0.6 * value) if opacity_by_value
+                else 0.8,
             )
 
         # Leaf dots.

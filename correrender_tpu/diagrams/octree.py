@@ -183,23 +183,30 @@ class Octree:
         return path[::-1]
 
 
-def downsample_fields(stack: np.ndarray, factor: int) -> np.ndarray:
-    """Mean-downsample a (Z, Y, X, n) stack by ``factor`` per axis
-    (reference computeDownscaledFields, HEBChart.hpp:128), NaN-aware."""
+def downsample_fields(stack: np.ndarray, factor) -> np.ndarray:
+    """Mean-downsample a (Z, Y, X, n) stack (reference
+    computeDownscaledFields, HEBChart.hpp:128), NaN-aware.
+
+    ``factor`` is a scalar or per-axis ``(fz, fy, fx)`` — the
+    reference's separate x/y/z downscaling factors."""
+    if isinstance(factor, (tuple, list)):
+        fz, fy, fx = (max(1, int(v)) for v in factor)
+    else:
+        fz = fy = fx = max(1, int(factor))
     zs, ys, xs, n = stack.shape
-    pz = (-zs) % factor
-    py = (-ys) % factor
-    px = (-xs) % factor
+    pz = (-zs) % fz
+    py = (-ys) % fy
+    px = (-xs) % fx
     if pz or py or px:
         stack = np.pad(
             stack, ((0, pz), (0, py), (0, px), (0, 0)),
             constant_values=np.nan,
         )
     zs2, ys2, xs2 = (
-        stack.shape[0] // factor,
-        stack.shape[1] // factor,
-        stack.shape[2] // factor,
+        stack.shape[0] // fz,
+        stack.shape[1] // fy,
+        stack.shape[2] // fx,
     )
-    blocks = stack.reshape(zs2, factor, ys2, factor, xs2, factor, n)
+    blocks = stack.reshape(zs2, fz, ys2, fy, xs2, fx, n)
     with np.errstate(invalid="ignore"):
         return np.nanmean(blocks, axis=(1, 3, 5))

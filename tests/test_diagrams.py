@@ -190,6 +190,54 @@ class TestHEB:
         assert len(chords) > 0
         assert all(0 <= c[2] <= 1.0 + 1e-6 for c in chords)
 
+    def test_per_axis_downsample(self, box_stack):
+        # Reference downscaling_factor_x/y/z: the (8, 32, 32, n) stack
+        # with (8, 8, 2) collapses z fully while keeping 4×4 in x/y.
+        chart = HEBChart(box_stack, downsample_factor=(8, 8, 2),
+                         max_chords=10)
+        assert chart.means.shape[:3] == (4, 4, 4)
+        assert chart._upscale(chart.leaves[0]).z_max <= 7
+        chords = chart.compute_correlations()
+        assert len(chords) > 0
+        assert "<svg" in chart.render_svg()
+
+    def test_correlation_range_filter(self, box_stack):
+        base = HEBChart(box_stack, downsample_factor=8, max_chords=999)
+        base.compute_correlations()
+        vals = [c[2] for c in base.chords]
+        lo, hi = 0.3, 0.8
+        chart = HEBChart(box_stack, downsample_factor=8, max_chords=999,
+                         correlation_range=(lo, hi))
+        chart.compute_correlations()
+        got = [c[2] for c in chart.chords]
+        assert all(lo <= v <= hi for v in got)
+        expect = sorted((v for v in vals if lo <= v <= hi),
+                        reverse=True)
+        assert np.allclose(sorted(got, reverse=True), expect)
+
+    def test_cell_distance_range_filter(self, box_stack):
+        # Pairs with leaf centers closer than the lower bound are
+        # skipped before sampling (HEBChartCorrelation.cpp:532-537).
+        chart = HEBChart(box_stack, downsample_factor=8, max_chords=999,
+                         cell_distance_range=(2.0, 100.0))
+        chart.compute_correlations()
+        centers = np.array([r.center for r in chart.leaves], np.float32)
+        for i, j, _v in chart.chords:
+            assert np.linalg.norm(centers[i] - centers[j]) >= 2.0
+        # An impossible window yields an empty chord list, not a crash.
+        none = HEBChart(box_stack, downsample_factor=8,
+                        cell_distance_range=(1000.0, 2000.0))
+        assert none.compute_correlations() == []
+        assert "<svg" in none.render_svg()
+
+    def test_curve_style_options(self, box_stack):
+        chart = HEBChart(box_stack, downsample_factor=8, max_chords=10)
+        chart.compute_correlations()
+        thick = chart.render_svg(curve_thickness=3.0)
+        flat_op = chart.render_svg(opacity_by_value=False)
+        assert "<svg" in thick and "<svg" in flat_op
+        assert 'opacity="0.8' in flat_op
+
 
 class TestMatrix:
     def test_correlation_matrix_diag(self):
