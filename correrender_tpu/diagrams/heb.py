@@ -340,11 +340,18 @@ class HEBChart:
             ctrl = beta * pts + (1 - beta) * straight
             curve = _bspline(ctrl, samples=48)
             color = clut[int(min(value, 1.0) * 255)][:3]
+            ra, rb = (self._upscale(self.leaves[k]) for k in (i, j))
+
+            def _lbl(r):
+                return (f"[{r.x_min}-{r.x_max}, {r.y_min}-{r.y_max}, "
+                        f"{r.z_min}-{r.z_max}]")
+
             canvas.path(
                 curve, color=tuple(color),
                 width=(0.5 + 2.0 * value) * curve_thickness,
                 opacity=(0.35 + 0.6 * value) if opacity_by_value
                 else 0.8,
+                tooltip=f"{_lbl(ra)} ↔ {_lbl(rb)}: {value:.4f}",
             )
 
         # Leaf dots.

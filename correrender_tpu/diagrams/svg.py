@@ -55,13 +55,26 @@ class SvgCanvas:
         )
 
     def path(self, points, color="black", width=1.0, opacity=1.0,
-             closed=False):
-        """Polyline / bezier path from (x, y) points."""
+             closed=False, tooltip=None):
+        """Polyline / bezier path from (x, y) points.
+
+        ``tooltip`` emits an SVG ``<title>`` child — the hover tooltip
+        role of the reference's diagram tooltips (HEBChartUi)."""
         d = f"M {points[0][0]:.2f} {points[0][1]:.2f} " + " ".join(
             f"L {x:.2f} {y:.2f}" for x, y in points[1:]
         )
         if closed:
             d += " Z"
+        if tooltip is not None:
+            from xml.sax.saxutils import escape
+
+            title = f"<title>{escape(str(tooltip))}</title>"
+            self._elems.append(
+                f'<path d="{d}" fill="none" '
+                f'stroke="{_fmt_color(color)}" stroke-width="{width}" '
+                f'stroke-opacity="{opacity:.3f}">{title}</path>'
+            )
+            return
         self._elems.append(
             f'<path d="{d}" fill="none" stroke="{_fmt_color(color)}" '
             f'stroke-width="{width}" stroke-opacity="{opacity:.3f}"/>'
