@@ -35,12 +35,27 @@ class HEBDrilldown:
         downsample_factor: int = 8,
         measure: str = "pearson",
         max_chords: int = 100,
+        focus_sampling_method: str | None = None,
+        focus_num_samples: int | None = None,
         **chart_kwargs,
     ):
+        """``focus_sampling_method`` / ``focus_num_samples`` override
+        the context chart's sampling settings for the drilled (focus)
+        levels — the reference's separate focus-diagram settings
+        (``sampling_method_type_focus`` / ``num_samples_focus``,
+        DiagramRenderer.cpp settings map). Focus domains are small, so
+        the reference typically samples them denser than the context
+        sweep over all pairs."""
         self.stack = np.asarray(stack)
         self.measure = measure
         self.max_chords = max_chords
         self.chart_kwargs = chart_kwargs
+        self.focus_overrides = {}
+        if focus_sampling_method is not None:
+            self.focus_overrides["sampling_method"] = str(
+                focus_sampling_method)
+        if focus_num_samples is not None:
+            self.focus_overrides["num_samples"] = int(focus_num_samples)
         root = HEBChart(
             self.stack, downsample_factor=downsample_factor,
             measure=measure, max_chords=max_chords, **chart_kwargs,
@@ -95,7 +110,7 @@ class HEBDrilldown:
         focus_chart = HEBChart(
             sub, downsample_factor=downsample_factor,
             measure=self.measure, max_chords=self.max_chords,
-            **self.chart_kwargs,
+            **{**self.chart_kwargs, **self.focus_overrides},
         )
         focus_chart.compute_correlations()
         self.levels.append(

@@ -44,6 +44,21 @@ class TestDrilldown:
         assert dd.depth == 1
         assert dd.current_chart().chords == root_chords
 
+    def test_focus_sampling_overrides(self, box_stack):
+        # Reference sampling_method_type_focus / num_samples_focus:
+        # the drilled levels use their own sampling settings while the
+        # context chart keeps the cheap mean sweep.
+        dd = HEBDrilldown(
+            box_stack, downsample_factor=8, max_chords=20,
+            sampling_method="mean",
+            focus_sampling_method="plastic", focus_num_samples=9,
+        )
+        assert dd.current_chart().sampling_method == "mean"
+        focus = dd.drill_into_chord(0)
+        assert focus.sampling_method == "plastic"
+        assert focus.num_samples == 9
+        assert focus.chords  # still finds correlations
+
     def test_drill_without_chords_raises(self):
         rng = np.random.default_rng(0)
         noise = rng.normal(size=(8, 8, 8, 16)).astype(np.float32)
