@@ -510,16 +510,27 @@ class ViewerApp:
             vd.get_member_stack(field, scene.current_time))
 
         if kind == "heb":
+            def _pair(key):
+                v = params.get(key)
+                if not v:
+                    return None
+                return tuple(float(x) for x in str(v).split(","))
+
+            corr_range = _pair("correlation_range")
+            dist_range = _pair("cell_distance_range")
             # An active drill-down session owns the HEB view: serve
             # its current (already computed) chart — but only while
             # its build key still matches the scene (a measure/field/
-            # time change invalidates the stack).
+            # time change invalidates the stack) and the request has
+            # no chord filters (the drill stack is built unfiltered).
             dd = self._drilldown
-            if dd is not None and self._drilldown_key == (
+            if (dd is not None and corr_range is None
+                    and dist_range is None
+                    and self._drilldown_key == (
                     field, str(measure), scene.current_time,
                     int(params.get("downsample", 8)),
                     int(params.get("num_samples", 20)),
-                    str(params.get("sampling_method", "plastic"))):
+                    str(params.get("sampling_method", "plastic")))):
                 def job():
                     return dd.current_chart().render_svg(
                         size=int(params.get("size", 700)))
@@ -537,6 +548,8 @@ class ViewerApp:
                         "sampling_method", "plastic"),
                     num_samples=int(params.get("num_samples", 20)),
                     max_chords=int(params.get("max_chords", 250)),
+                    correlation_range=corr_range,
+                    cell_distance_range=dist_range,
                 )
                 chart.compute_correlations()
                 return chart.render_svg(

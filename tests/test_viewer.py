@@ -238,6 +238,18 @@ class TestHttpSurface:
         status, _, body = _get(base + "/diagram?kind=scatter")
         assert status == 200 and b"<svg" in body[:200]
 
+        # Chord filters pass through to the chart (reference
+        # correlation_range / cell_distance_range settings).
+        status, _, fbody = _get(
+            base + "/diagram?kind=heb&downsample=4&num_samples=6"
+            "&max_chords=20&correlation_range=0.99999,1"
+            "&cell_distance_range=50,60")
+        assert status == 200 and b"<svg" in fbody[:200]
+        # The impossible window drew no chords: chord paths carry
+        # tooltips; ring arcs are also <path> elements, so count
+        # tooltips instead.
+        assert b"<title>" not in fbody
+
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(base + "/diagram?kind=nope")
         assert exc.value.code == 400
