@@ -595,9 +595,47 @@ class ViewerApp:
             b = np.asarray(vd.get_field(field_b, scene.current_time,
                                         scene.current_member))
             return render_scatter_svg(a, b, labels=(field, field_b))
+        if kind == "timeseries":
+            # Region-mean time series over the time axis, pairwise
+            # correlation heat map (reference TimeSeriesCorrelation
+            # renderer for multi-timestep data).
+            from correrender_tpu.diagrams.octree import (
+                downsample_fields,
+            )
+            from correrender_tpu.diagrams.timeseries import (
+                render_heatmap_svg,
+                time_series_correlation,
+            )
+
+            g = vd.grid
+            if g.ts < 2:
+                raise ValueError(
+                    "timeseries diagram needs a multi-timestep "
+                    f"dataset (ts={g.ts})")
+            fvol = np.stack(
+                [
+                    np.asarray(vd.get_field(field, t,
+                                            scene.current_member))
+                    for t in range(g.ts)
+                ],
+                axis=-1,
+            )  # (Z, Y, X, T) — the trailing axis rides the member
+            #    slot of downsample_fields.
+            default_f = max(min(g.xs, g.ys) // 4, 1)
+            f = int(params.get("downsample", default_f))
+            series = downsample_fields(fvol, f).reshape(-1, g.ts)
+            keep = np.isfinite(series).all(axis=1)
+            series = series[keep][:128]
+            window = params.get("window")
+            m = time_series_correlation(
+                series, measure,
+                window=int(window) if window else None)
+            domain = ((-1.0, 1.0) if m.min() < 0
+                      else (0.0, max(float(m.max()), 1e-6)))
+            return render_heatmap_svg(m, domain=domain)
         raise ValueError(
             f"unknown diagram kind {kind!r}; one of "
-            "heb/matrix/distribution/scatter")
+            "heb/matrix/distribution/scatter/timeseries")
 
     # -- the JSON command surface ---------------------------------------------
 

@@ -254,6 +254,35 @@ class TestHttpSurface:
             _get(base + "/diagram?kind=nope")
         assert exc.value.code == 400
 
+        # Single-timestep scenes reject the timeseries kind cleanly.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base + "/diagram?kind=timeseries")
+        assert exc.value.code == 400
+
+    def test_timeseries_diagram_multistep(self):
+        # Region-mean pairwise correlation heat map over the time
+        # axis (reference TimeSeriesCorrelation renderer).
+        rng = np.random.default_rng(3)
+        ts = 12
+        base_sig = rng.normal(size=ts).astype(np.float32)
+        vols = []
+        for t in range(ts):
+            v = rng.normal(size=(4, 8, 8)).astype(np.float32) * 0.1
+            v[:, :4] += base_sig[t]      # correlated half-domain
+            vols.append(v)
+        vd = VolumeData(GridMetadata(xs=8, ys=8, zs=4, es=1, ts=ts))
+        vd.add_field("f", lambda t, e: vols[t])
+        scene = Scene(vd, views=[Camera(position=(0.0, 0.2, 0.8))])
+        scene.add_renderer("dvr", field="f")
+        app = ViewerApp(scene, image_size=(64, 48), warm_measures=False)
+        svg = app.diagram_svg("timeseries", {"downsample": 4})
+        assert "<svg" in svg and "rect" in svg
+        # Lag-window mode renders too.
+        svg2 = app.diagram_svg("timeseries", {"downsample": 4,
+                                              "window": 6})
+        assert "<svg" in svg2
+        app.close()
+
     def test_404(self, server_url):
         base, _ = server_url
         with pytest.raises(urllib.error.HTTPError) as exc:
