@@ -531,9 +531,16 @@ class ViewerApp:
                     int(params.get("downsample", 8)),
                     int(params.get("num_samples", 20)),
                     str(params.get("sampling_method", "plastic")))):
+                want_context = str(
+                    params.get("context", "")) in ("1", "true")
+
                 def job():
-                    return dd.current_chart().render_svg(
-                        size=int(params.get("size", 700)))
+                    size = int(params.get("size", 700))
+                    if want_context:
+                        # Parent chart with the drilled chord
+                        # highlighted (reference context diagram).
+                        return dd.render_context_svg(size=size)
+                    return dd.current_chart().render_svg(size=size)
 
                 return job
 

@@ -63,6 +63,9 @@ class HEBDrilldown:
         root.compute_correlations()
         #: (chart, region_pair or None, offset (z, y, x)) per level.
         self.levels = [(root, None, (0, 0, 0))]
+        #: Drilled chord's (leaf_i, leaf_j) per level past the root —
+        #: feeds the context chart's selection highlight.
+        self.drilled_leaf_pairs: list[tuple[int, int]] = []
 
     @property
     def depth(self) -> int:
@@ -120,13 +123,28 @@ class HEBDrilldown:
                 (focus.z_min, focus.y_min, focus.x_min),
             )
         )
+        self.drilled_leaf_pairs.append((i, j))
         return focus_chart
 
     def pop(self):
         """Return to the parent chart (the reference's back button)."""
         if len(self.levels) > 1:
             self.levels.pop()
+            self.drilled_leaf_pairs.pop()
         return self.current_chart()
+
+    def render_context_svg(self, size: int = 800, **render_kw) -> str:
+        """The PARENT chart with the drilled chord highlighted —
+        the reference's context diagram above the focus diagram
+        (selection propagation + desaturate-unselected,
+        DiagramRenderer.hpp:62-100). At the root (depth 1) this is
+        just the root chart."""
+        if self.depth < 2:
+            return self.levels[0][0].render_svg(size=size, **render_kw)
+        chart = self.levels[-2][0]
+        return chart.render_svg(
+            size=size, highlight=self.drilled_leaf_pairs[-1],
+            **render_kw)
 
     def render_svgs(self, path_prefix: str) -> list:
         """Write one SVG per stack level; returns the paths."""

@@ -297,6 +297,7 @@ class HEBChart:
         beta: float = 0.75,
         curve_thickness: float = 1.0,
         opacity_by_value: bool = True,
+        highlight: tuple | None = None,
     ) -> str:
         """Draw the chart; returns the SVG text (and writes ``path``).
 
@@ -304,7 +305,16 @@ class HEBChart:
         line-width multiplier, and ``opacity_by_value`` maps chord
         opacity to correlation strength (constant when off) — the
         reference's ``beta`` / ``curve_thickness`` /
-        ``opacity_by_value`` diagram settings (DiagramRenderer.cpp)."""
+        ``opacity_by_value`` diagram settings (DiagramRenderer.cpp).
+
+        ``highlight=(i, j)`` marks a selected leaf pair (the drilled
+        chord): every other chord and ring arc desaturates and the
+        selected leaves' dots take the selection colors — the
+        reference's focus-selection propagation on the context chart
+        (``desaturate_unselected_ring`` /
+        ``show_selected_regions_by_color``)."""
+        hl = tuple(sorted(int(v) for v in highlight)) if highlight \
+            else None
         canvas = SvgCanvas(size, size)
         center = size / 2
         radius = size * 0.38
@@ -323,6 +333,8 @@ class HEBChart:
             a1 = leaf_angle[leaf_nodes[k]] + arc * 0.45
             t = self.leaf_stddev[k] / smax
             color = lut[int(t * 255)][:3]
+            if hl is not None and k not in hl:
+                color = 0.35 * color + 0.65 * 0.82  # desaturate
             canvas.arc_ring(
                 center, center, radius * 1.04, radius * 1.10, a0, a1,
                 fill=tuple(color),
@@ -346,17 +358,31 @@ class HEBChart:
                 return (f"[{r.x_min}-{r.x_max}, {r.y_min}-{r.y_max}, "
                         f"{r.z_min}-{r.z_max}]")
 
+            width = (0.5 + 2.0 * value) * curve_thickness
+            opacity = ((0.35 + 0.6 * value) if opacity_by_value
+                       else 0.8)
+            if hl is not None:
+                if tuple(sorted((i, j))) == hl:
+                    width *= 1.6
+                    opacity = 1.0
+                else:
+                    color = 0.3 * color + 0.7 * 0.85
+                    opacity *= 0.35
             canvas.path(
                 curve, color=tuple(color),
-                width=(0.5 + 2.0 * value) * curve_thickness,
-                opacity=(0.35 + 0.6 * value) if opacity_by_value
-                else 0.8,
+                width=width, opacity=opacity,
                 tooltip=f"{_lbl(ra)} ↔ {_lbl(rb)}: {value:.4f}",
             )
 
-        # Leaf dots.
+        # Leaf dots; selection colors match the 3D region outlines.
         for k, n in enumerate(leaf_nodes):
-            canvas.circle(pos[n][0], pos[n][1], 2.2, fill=(0.2, 0.2, 0.25))
+            if hl is not None and k in hl:
+                fill = ((0.95, 0.55, 0.15) if k == hl[0]
+                        else (0.2, 0.8, 0.95))
+                canvas.circle(pos[n][0], pos[n][1], 4.0, fill=fill)
+            else:
+                canvas.circle(pos[n][0], pos[n][1], 2.2,
+                              fill=(0.2, 0.2, 0.25))
 
         if path:
             canvas.save(path)

@@ -59,6 +59,22 @@ class TestDrilldown:
         assert focus.num_samples == 9
         assert focus.chords  # still finds correlations
 
+    def test_context_chart_highlights_drilled_chord(self, box_stack):
+        dd = HEBDrilldown(box_stack, downsample_factor=8, max_chords=20)
+        # Root context (depth 1): no highlight, plain render.
+        root_svg = dd.render_context_svg(size=400)
+        assert "<svg" in root_svg
+
+        dd.drill_into_chord(0)
+        assert dd.drilled_leaf_pairs  # tracked for the highlight
+        ctx = dd.render_context_svg(size=400)
+        # Selection colors (orange/cyan leaf dots) appear only in the
+        # highlighted context render.
+        assert "rgb(242,140,38)" in ctx and "rgb(51,204,242)" in ctx
+        assert "rgb(242,140,38)" not in root_svg
+        dd.pop()
+        assert not dd.drilled_leaf_pairs
+
     def test_drill_without_chords_raises(self):
         rng = np.random.default_rng(0)
         noise = rng.normal(size=(8, 8, 8, 16)).astype(np.float32)
