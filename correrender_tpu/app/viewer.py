@@ -1261,6 +1261,8 @@ _INDEX_HTML = """<!doctype html>
   <div id="diagdock" style="display:none;max-height:45%;overflow:auto">
     <div id="hebui" style="display:none;font-size:12px;padding:2px 6px">
       <button id="hebback">&#9664; back</button>
+      <button id="hebctx" class="off" title="show the parent chart
+with the drilled chord highlighted">context</button>
       <span id="hebdepth"></span>
       <div id="hebchords" style="max-height:110px;overflow:auto;
            margin-top:3px"></div>
@@ -1313,6 +1315,7 @@ _INDEX_HTML = """<!doctype html>
       <option value="matrix">correlation matrix</option>
       <option value="distribution">distribution similarity</option>
       <option value="scatter">scatter</option>
+      <option value="timeseries">time-series correlation</option>
     </select></div>
   <div class="row"><label>Camera checkpoint</label>
     <input type="text" id="ckname" placeholder="name">
@@ -1642,15 +1645,22 @@ async function init() {
                value:ev.target.value / 100});
     refreshFrame();
   };
+  let hebContext = false;
   function loadDiagram(kind) {
     setStatus("computing " + kind + " diagram…");
     const dock = document.getElementById("diagdock");
     const di = document.getElementById("diagimg");
-    di.src = "/diagram?kind=" + kind + "&t=" + Date.now();
+    const extra = (kind === "heb" && hebContext) ? "&context=1" : "";
+    di.src = "/diagram?kind=" + kind + extra + "&t=" + Date.now();
     di.onload = () => { dock.style.display = ""; setStatus("");
                         di.onerror = null; };
     di.onerror = () => setStatus("diagram failed — see server log");
   }
+  document.getElementById("hebctx").onclick = ev => {
+    hebContext = !hebContext;
+    ev.target.classList.toggle("off", !hebContext);
+    loadDiagram("heb");
+  };
   // HEB drill-down (reference DiagramRenderer stack): click a chord
   // row to focus its region pair (outlined orange/cyan in the 3D
   // view), back to pop a level.
@@ -1694,6 +1704,11 @@ async function init() {
       await api({op:"heb_reset"}); refreshFrame();
     }
     if (!kind) { dock.style.display = "none"; return; }
+    if (kind === "timeseries" && info.grid.ts < 2) {
+      setStatus("timeseries needs a multi-timestep dataset");
+      ev.target.value = "";
+      return;
+    }
     loadDiagram(kind);
     if (kind === "heb") refreshHebUi();
   };
