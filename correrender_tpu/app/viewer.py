@@ -765,11 +765,16 @@ class ViewerApp:
 
     def _heb_reply(self, dd) -> dict:
         chart = dd.current_chart()
+        # Drilled charts analyze a CROPPED sub-stack; report absolute
+        # voxel coordinates by adding the level's crop offset (the 3D
+        # outlines already do — labels must match them).
+        oz, oy, ox = dd.levels[-1][2]
 
         def label(leaf_idx):
             r = chart._upscale(chart.leaves[leaf_idx])
-            return (f"[{r.x_min}-{r.x_max},{r.y_min}-{r.y_max},"
-                    f"{r.z_min}-{r.z_max}]")
+            return (f"[{r.x_min + ox}-{r.x_max + ox},"
+                    f"{r.y_min + oy}-{r.y_max + oy},"
+                    f"{r.z_min + oz}-{r.z_max + oz}]")
 
         return {
             "depth": dd.depth,
