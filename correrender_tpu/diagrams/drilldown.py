@@ -115,6 +115,7 @@ class HEBDrilldown:
             measure=self.measure, max_chords=self.max_chords,
             **{**self.chart_kwargs, **self.focus_overrides},
         )
+        focus_chart.offset = (focus.z_min, focus.y_min, focus.x_min)
         focus_chart.compute_correlations()
         self.levels.append(
             (

@@ -110,6 +110,10 @@ class HEBChart:
             if cell_distance_range is not None
             else None
         )
+        #: (z, y, x) crop offset of this chart's stack within the full
+        #: volume — drilled focus charts set it so tooltips/labels
+        #: report absolute voxel coordinates. Analysis is unaffected.
+        self.offset = (0, 0, 0)
         self.measure_kw = measure_kw
 
         self.means = downsample_fields(self.stack, (fz, fy, fx))
@@ -353,10 +357,12 @@ class HEBChart:
             curve = _bspline(ctrl, samples=48)
             color = clut[int(min(value, 1.0) * 255)][:3]
             ra, rb = (self._upscale(self.leaves[k]) for k in (i, j))
+            oz, oy, ox = self.offset
 
             def _lbl(r):
-                return (f"[{r.x_min}-{r.x_max}, {r.y_min}-{r.y_max}, "
-                        f"{r.z_min}-{r.z_max}]")
+                return (f"[{r.x_min + ox}-{r.x_max + ox}, "
+                        f"{r.y_min + oy}-{r.y_max + oy}, "
+                        f"{r.z_min + oz}-{r.z_max + oz}]")
 
             width = (0.5 + 2.0 * value) * curve_thickness
             opacity = ((0.35 + 0.6 * value) if opacity_by_value

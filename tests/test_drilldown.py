@@ -75,6 +75,27 @@ class TestDrilldown:
         dd.pop()
         assert not dd.drilled_leaf_pairs
 
+    def test_focus_chart_tooltips_are_absolute(self, box_stack):
+        dd = HEBDrilldown(box_stack, downsample_factor=8, max_chords=20)
+        focus = dd.drill_into_chord(0)
+        oz, oy, ox = focus.offset
+        assert focus.offset == dd.levels[-1][2]
+        if (oz, oy, ox) == (0, 0, 0):
+            # Pick a chord whose focus domain is offset; drill again
+            # if needed — synth boxes sit off-origin, so at least one
+            # top chord has a nonzero offset.
+            for k in range(1, len(dd.levels[0][0].chords)):
+                dd.pop()
+                focus = dd.drill_into_chord(k)
+                oz, oy, ox = focus.offset
+                if (oz, oy, ox) != (0, 0, 0):
+                    break
+        assert focus.offset != (0, 0, 0)
+        svg = focus.render_svg()
+        # The first leaf's tooltip must carry the crop offset.
+        r = focus._upscale(focus.leaves[0])
+        assert f"[{r.x_min + ox}-" in svg
+
     def test_drill_without_chords_raises(self):
         rng = np.random.default_rng(0)
         noise = rng.normal(size=(8, 8, 8, 16)).astype(np.float32)
