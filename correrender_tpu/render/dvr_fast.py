@@ -347,6 +347,20 @@ def dvr_shearwarp(
         )
     if prepared is not None and prepared["key"] != (a, flip):
         prepared = None  # camera crossed an axis/order boundary
+    if prepared is None and classified is None:
+        from correrender_tpu.ops.pallas.common import on_tpu
+
+        if on_tpu():
+            # Unprepared TPU path: build a one-shot prepared entry
+            # instead of the eager classify(f32) → 4D transpose →
+            # reverse chain — that chain materializes three full RGBA
+            # copies per frame and OOM'd the fused pick-drag at
+            # 250³×100 with the member stack resident (this session's
+            # finding); the prepared route is one scalar transpose +
+            # the fused classify_to_cf pass, and is bit-identical by
+            # construction (it IS the prepared path).
+            prepared = prepare_shearwarp(volume, transfer_function,
+                                         camera)
     if prepared is not None:
         cvol = prepared["cvol"]  # None on TPU (cf layout only)
         n_slices = prepared["s"]
