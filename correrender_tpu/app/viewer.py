@@ -308,6 +308,20 @@ class ViewerApp:
             # between a depth check and the level read would
             # otherwise hand us the pair-less root level.
             dd_last = dd.levels[-1] if dd is not None else None
+            # The drill stack is keyed on (field, measure, time, ...);
+            # after a field/measure/time change the diagram endpoint
+            # stops serving it (the 02af82f stale-stack guard) — the
+            # 3D outlines must go stale with it, not keep drawing the
+            # old selection over frames of the new field.
+            if dd_last is not None:
+                key = self._drilldown_key
+                calcs = self._correlation_calcs()
+                measures = ({c.measure.value for c in calcs}
+                            or {"pearson"})
+                if (key is None or key[2] != scene.current_time
+                        or key[0] not in vd.field_names
+                        or key[1] not in measures):
+                    dd_last = None
             if dd_last is not None and dd_last[1] is not None:
                 # Selected-region outlines in the 3D view (reference
                 # DiagramRenderer selection propagation): the last
@@ -322,7 +336,7 @@ class ViewerApp:
                 dims = np.array([g.xs, g.ys, g.zs], np.float32)
                 span = np.asarray(box_max) - np.asarray(box_min)
                 img_j = jnp.asarray(arr)
-                _, pair, _ = dd_last
+                pair = dd_last[1]
                 colors = ((0.95, 0.55, 0.15, 1.0),
                           (0.2, 0.8, 0.95, 1.0))
                 wboxes = []
@@ -502,10 +516,12 @@ class ViewerApp:
         Called under the lock: it snapshots the member stack (the
         only shared mutable input — the LRU cache is not
         thread-safe); the returned closure runs lock-free."""
-        if kind not in ("heb", "distribution"):
+        if kind not in ("heb", "distribution", "timeseries"):
             return None
         scene, vd = self.scene, self.scene.volume_data
         field, measure, _ = self._diagram_field_measure(params)
+        if kind == "timeseries":
+            return self._timeseries_job(vd, field, measure, params)
         stack = np.asarray(
             vd.get_member_stack(field, scene.current_time))
 
@@ -526,11 +542,8 @@ class ViewerApp:
             dd = self._drilldown
             if (dd is not None and corr_range is None
                     and dist_range is None
-                    and self._drilldown_key == (
-                    field, str(measure), scene.current_time,
-                    int(params.get("downsample", 8)),
-                    int(params.get("num_samples", 20)),
-                    str(params.get("sampling_method", "plastic")))):
+                    and self._drilldown_key == self._heb_key(
+                        params, field, measure, scene.current_time)):
                 want_context = str(
                     params.get("context", "")) in ("1", "true")
 
@@ -578,6 +591,64 @@ class ViewerApp:
 
         return job
 
+    def _timeseries_job(self, vd, field, measure, params: dict):
+        """Region-mean time series over the time axis, pairwise
+        correlation heat map (reference TimeSeriesCorrelation renderer
+        for multi-timestep data). Snapshots the per-timestep fields
+        under the app lock (the field cache is not thread-safe); the
+        returned closure correlates and renders lock-free so frames
+        keep serving during the multi-second compute."""
+        g = vd.grid
+        if g.ts < 2:
+            raise ValueError(
+                "timeseries diagram needs a multi-timestep "
+                f"dataset (ts={g.ts})")
+        member = self.scene.current_member
+        fvol = np.stack(
+            [
+                np.asarray(vd.get_field(field, t, member))
+                for t in range(g.ts)
+            ],
+            axis=-1,
+        )  # (Z, Y, X, T) — the trailing axis rides the member
+        #    slot of downsample_fields.
+        default_f = max(min(g.xs, g.ys) // 4, 1)
+        f = int(params.get("downsample", default_f))
+        window = params.get("window")
+
+        def job():
+            from correrender_tpu.diagrams.octree import (
+                downsample_fields,
+            )
+            from correrender_tpu.diagrams.timeseries import (
+                render_heatmap_svg,
+                time_series_correlation,
+            )
+
+            series = downsample_fields(fvol, f).reshape(-1, g.ts)
+            keep = np.isfinite(series).all(axis=1)
+            series = series[keep]
+            if series.shape[0] == 0:
+                raise ValueError(
+                    "timeseries diagram: no downsampled cell is "
+                    "finite across all timesteps (masked/NaN data) — "
+                    "try a larger 'downsample' factor")
+            if series.shape[0] > 128:
+                # Even-stride subsample instead of [:128]: taking the
+                # first rows would keep only the lowest-z slab (the
+                # flattened order is z-major) — a spatially biased
+                # heat map that silently pretends to cover the volume.
+                idx = np.linspace(0, series.shape[0] - 1, 128)
+                series = series[idx.round().astype(int)]
+            m = time_series_correlation(
+                series, measure,
+                window=int(window) if window else None)
+            domain = ((-1.0, 1.0) if m.min() < 0
+                      else (0.0, max(float(m.max()), 1e-6)))
+            return render_heatmap_svg(m, domain=domain)
+
+        return job
+
     def _diagram_locked(self, kind: str, params: dict) -> str:
         scene, vd = self.scene, self.scene.volume_data
         field, measure, raw = self._diagram_field_measure(params)
@@ -602,44 +673,6 @@ class ViewerApp:
             b = np.asarray(vd.get_field(field_b, scene.current_time,
                                         scene.current_member))
             return render_scatter_svg(a, b, labels=(field, field_b))
-        if kind == "timeseries":
-            # Region-mean time series over the time axis, pairwise
-            # correlation heat map (reference TimeSeriesCorrelation
-            # renderer for multi-timestep data).
-            from correrender_tpu.diagrams.octree import (
-                downsample_fields,
-            )
-            from correrender_tpu.diagrams.timeseries import (
-                render_heatmap_svg,
-                time_series_correlation,
-            )
-
-            g = vd.grid
-            if g.ts < 2:
-                raise ValueError(
-                    "timeseries diagram needs a multi-timestep "
-                    f"dataset (ts={g.ts})")
-            fvol = np.stack(
-                [
-                    np.asarray(vd.get_field(field, t,
-                                            scene.current_member))
-                    for t in range(g.ts)
-                ],
-                axis=-1,
-            )  # (Z, Y, X, T) — the trailing axis rides the member
-            #    slot of downsample_fields.
-            default_f = max(min(g.xs, g.ys) // 4, 1)
-            f = int(params.get("downsample", default_f))
-            series = downsample_fields(fvol, f).reshape(-1, g.ts)
-            keep = np.isfinite(series).all(axis=1)
-            series = series[keep][:128]
-            window = params.get("window")
-            m = time_series_correlation(
-                series, measure,
-                window=int(window) if window else None)
-            domain = ((-1.0, 1.0) if m.min() < 0
-                      else (0.0, max(float(m.max()), 1e-6)))
-            return render_heatmap_svg(m, domain=domain)
         raise ValueError(
             f"unknown diagram kind {kind!r}; one of "
             "heb/matrix/distribution/scatter/timeseries")
@@ -736,6 +769,18 @@ class ViewerApp:
                 return self._heb_reply(dd)
         return {"ok": False, "error": f"unknown op {op!r}"}
 
+    def _heb_key(self, params: dict, field, measure, time):
+        """Drill-stack identity. The defaults MUST match the plain
+        HEB diagram job's (downsample 4, max_chords 250): the chord
+        list and the displayed chart come from the two paths, and
+        mismatched defaults would make chord row k point into a chart
+        the user is not looking at."""
+        return (field, str(measure), time,
+                int(params.get("downsample", 4)),
+                int(params.get("num_samples", 20)),
+                str(params.get("sampling_method", "plastic")),
+                int(params.get("max_chords", 250)))
+
     def _ensure_drilldown(self, params: dict):
         """Build (or reuse) the drill-down stack for the current
         field/measure/time. Called under _heb_lock; the chart build
@@ -743,10 +788,8 @@ class ViewerApp:
         scene, vd = self.scene, self.scene.volume_data
         with self._lock:
             field, measure, _ = self._diagram_field_measure(params)
-            key = (field, str(measure), scene.current_time,
-                   int(params.get("downsample", 8)),
-                   int(params.get("num_samples", 20)),
-                   str(params.get("sampling_method", "plastic")))
+            key = self._heb_key(params, field, measure,
+                                scene.current_time)
             if self._drilldown is not None and self._drilldown_key == key:
                 return self._drilldown
             stack = np.asarray(
@@ -756,6 +799,7 @@ class ViewerApp:
         dd = HEBDrilldown(
             stack, downsample_factor=key[3], measure=key[1],
             num_samples=key[4], sampling_method=key[5],
+            max_chords=key[6],
         )
         with self._lock:
             self._drilldown = dd
@@ -765,22 +809,15 @@ class ViewerApp:
 
     def _heb_reply(self, dd) -> dict:
         chart = dd.current_chart()
-        # Drilled charts analyze a CROPPED sub-stack; report absolute
-        # voxel coordinates by adding the level's crop offset (the 3D
-        # outlines already do — labels must match them).
-        oz, oy, ox = dd.levels[-1][2]
-
-        def label(leaf_idx):
-            r = chart._upscale(chart.leaves[leaf_idx])
-            return (f"[{r.x_min + ox}-{r.x_max + ox},"
-                    f"{r.y_min + oy}-{r.y_max + oy},"
-                    f"{r.z_min + oz}-{r.z_max + oz}]")
-
+        # Drilled charts analyze a CROPPED sub-stack; chart.offset
+        # carries the level's crop offset, so leaf_label reports the
+        # same absolute voxel coordinates as the 3D outlines and the
+        # SVG tooltips (one formatting authority).
         return {
             "depth": dd.depth,
             "chords": [
                 {"index": k, "value": round(float(v), 4),
-                 "a": label(i), "b": label(j)}
+                 "a": chart.leaf_label(i), "b": chart.leaf_label(j)}
                 for k, (i, j, v) in enumerate(chart.chords[:24])
             ],
         }

@@ -61,11 +61,14 @@ class HEBDrilldown:
             measure=measure, max_chords=max_chords, **chart_kwargs,
         )
         root.compute_correlations()
-        #: (chart, region_pair or None, offset (z, y, x)) per level.
-        self.levels = [(root, None, (0, 0, 0))]
-        #: Drilled chord's (leaf_i, leaf_j) per level past the root —
-        #: feeds the context chart's selection highlight.
-        self.drilled_leaf_pairs: list[tuple[int, int]] = []
+        #: (chart, region_pair or None, offset (z, y, x), drilled
+        #: (leaf_i, leaf_j) in the PARENT chart or None) per level.
+        #: One tuple per level keeps every per-level fact in a single
+        #: list, so concurrent readers (the viewer serves frames and
+        #: diagrams off-lock) get a consistent view from ONE
+        #: ``self.levels`` read — there is no second list that a
+        #: racing ``pop`` could leave out of step.
+        self.levels = [(root, None, (0, 0, 0), None)]
 
     @property
     def depth(self) -> int:
@@ -79,9 +82,16 @@ class HEBDrilldown:
         3D-view outlines, mirroring the reference's selection
         propagation)."""
         out = []
-        for chart, pair, offset in self.levels[1:]:
+        for chart, pair, offset, _ in self.levels[1:]:
             out.extend(pair)
         return out
+
+    @property
+    def drilled_leaf_pairs(self) -> list:
+        """Drilled chord's (leaf_i, leaf_j) per level past the root —
+        feeds the context chart's selection highlight. Derived from
+        ``levels`` so it can never fall out of step with it."""
+        return [lvl[3] for lvl in self.levels[1:]]
 
     def drill_into_chord(self, chord_index: int = 0,
                          downsample_factor: int | None = None):
@@ -90,7 +100,7 @@ class HEBDrilldown:
         The focus chart re-analyzes the two regions' combined voxels at
         finer granularity (half the parent's downsampling by default).
         """
-        chart, _, offset = self.levels[-1]
+        chart, _, offset, _ = self.levels[-1]
         if not chart.chords:
             raise ValueError("current chart has no chords to drill into")
         i, j, _value = chart.chords[chord_index]
@@ -122,16 +132,15 @@ class HEBDrilldown:
                 focus_chart,
                 (region_a, region_b),
                 (focus.z_min, focus.y_min, focus.x_min),
+                (i, j),
             )
         )
-        self.drilled_leaf_pairs.append((i, j))
         return focus_chart
 
     def pop(self):
         """Return to the parent chart (the reference's back button)."""
         if len(self.levels) > 1:
             self.levels.pop()
-            self.drilled_leaf_pairs.pop()
         return self.current_chart()
 
     def render_context_svg(self, size: int = 800, **render_kw) -> str:
@@ -140,17 +149,19 @@ class HEBDrilldown:
         (selection propagation + desaturate-unselected,
         DiagramRenderer.hpp:62-100). At the root (depth 1) this is
         just the root chart."""
-        if self.depth < 2:
-            return self.levels[0][0].render_svg(size=size, **render_kw)
-        chart = self.levels[-2][0]
-        return chart.render_svg(
-            size=size, highlight=self.drilled_leaf_pairs[-1],
-            **render_kw)
+        # One snapshot: the viewer serves this off-lock, so a
+        # concurrent pop between a depth check and the level reads
+        # must not be able to hand us mismatched indices.
+        levels = list(self.levels)
+        if len(levels) < 2:
+            return levels[0][0].render_svg(size=size, **render_kw)
+        return levels[-2][0].render_svg(
+            size=size, highlight=levels[-1][3], **render_kw)
 
     def render_svgs(self, path_prefix: str) -> list:
         """Write one SVG per stack level; returns the paths."""
         paths = []
-        for lvl, (chart, _, _) in enumerate(self.levels):
+        for lvl, (chart, *_) in enumerate(self.levels):
             p = f"{path_prefix}_level{lvl}.svg"
             chart.render_svg(p)
             paths.append(p)

@@ -178,13 +178,14 @@ class HEBChart:
                     for r in self.leaves
                 ]
             )  # (L, n)
+            kw = dict(self.measure_kw)
             vals = np.asarray(
                 ops.correlate_jit(
                     jnp.asarray(series)[:, None, :],
                     jnp.asarray(series)[None, :, :],
                     self.measure,
-                    absolute=True,
-                    **self.measure_kw,
+                    absolute=kw.pop("absolute", True),
+                    **kw,
                 )
             )
             flat = vals[iu, ju]
@@ -263,6 +264,16 @@ class HEBChart:
             min((region.y_max + 1) * fy - 1, ys - 1),
             min((region.z_max + 1) * fz - 1, zs - 1),
         )
+
+    def leaf_label(self, leaf_idx: int) -> str:
+        """Absolute-voxel-coordinate label for a leaf region — the one
+        formatting authority shared by the viewer's chord-list rows and
+        the SVG chord tooltips (they must print identically)."""
+        r = self._upscale(self.leaves[leaf_idx])
+        oz, oy, ox = self.offset
+        return (f"[{r.x_min + ox}-{r.x_max + ox}, "
+                f"{r.y_min + oy}-{r.y_max + oy}, "
+                f"{r.z_min + oz}-{r.z_max + oz}]")
 
     # -- layout & render --------------------------------------------------
 
@@ -344,10 +355,15 @@ class HEBChart:
                 fill=tuple(color),
             )
 
-        # Chords, weakest first so the strongest draw on top.
+        # Chords, weakest first so the strongest draw on top. Signed
+        # charts (absolute=False kept by a negative correlation_range)
+        # rank/style by magnitude and map color over [-1, 1] so a
+        # strong anti-correlation neither wraps the LUT index nor
+        # emits a negative stroke width.
         cmap = TransferFunction.from_colormap("coolwarm", domain=(0, 1))
         clut = np.asarray(cmap.lut)
-        for i, j, value in sorted(self.chords, key=lambda c: c[2]):
+        signed = any(c[2] < 0.0 for c in self.chords)
+        for i, j, value in sorted(self.chords, key=lambda c: abs(c[2])):
             path_nodes = self._bundle_path(leaf_nodes[i], leaf_nodes[j])
             pts = np.array([pos[n] for n in path_nodes])
             # β-bundling: blend control points toward the straight line.
@@ -355,17 +371,11 @@ class HEBChart:
             straight = pts[0] * (1 - t) + pts[-1] * t
             ctrl = beta * pts + (1 - beta) * straight
             curve = _bspline(ctrl, samples=48)
-            color = clut[int(min(value, 1.0) * 255)][:3]
-            ra, rb = (self._upscale(self.leaves[k]) for k in (i, j))
-            oz, oy, ox = self.offset
-
-            def _lbl(r):
-                return (f"[{r.x_min + ox}-{r.x_max + ox}, "
-                        f"{r.y_min + oy}-{r.y_max + oy}, "
-                        f"{r.z_min + oz}-{r.z_max + oz}]")
-
-            width = (0.5 + 2.0 * value) * curve_thickness
-            opacity = ((0.35 + 0.6 * value) if opacity_by_value
+            cv = (value + 1.0) * 0.5 if signed else value
+            color = clut[int(np.clip(cv, 0.0, 1.0) * 255)][:3]
+            mag = min(abs(value), 1.0)
+            width = (0.5 + 2.0 * mag) * curve_thickness
+            opacity = ((0.35 + 0.6 * mag) if opacity_by_value
                        else 0.8)
             if hl is not None:
                 if tuple(sorted((i, j))) == hl:
@@ -377,7 +387,8 @@ class HEBChart:
             canvas.path(
                 curve, color=tuple(color),
                 width=width, opacity=opacity,
-                tooltip=f"{_lbl(ra)} ↔ {_lbl(rb)}: {value:.4f}",
+                tooltip=(f"{self.leaf_label(i)} ↔ "
+                         f"{self.leaf_label(j)}: {value:.4f}"),
             )
 
         # Leaf dots; selection colors match the 3D region outlines.

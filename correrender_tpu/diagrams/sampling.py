@@ -349,7 +349,7 @@ def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",
     vals = np.asarray(
         ops.correlate_jit(
             jnp.asarray(sa)[:, None, :], jnp.asarray(sb)[None, :, :],
-            measure, absolute=True, **kw,
+            measure, absolute=kw.pop("absolute", True), **kw,
         )
     )
     vals = vals[np.isfinite(vals)]

@@ -65,19 +65,15 @@ class SvgCanvas:
         )
         if closed:
             d += " Z"
+        inner = ""
         if tooltip is not None:
             from xml.sax.saxutils import escape
 
-            title = f"<title>{escape(str(tooltip))}</title>"
-            self._elems.append(
-                f'<path d="{d}" fill="none" '
-                f'stroke="{_fmt_color(color)}" stroke-width="{width}" '
-                f'stroke-opacity="{opacity:.3f}">{title}</path>'
-            )
-            return
+            inner = f"<title>{escape(str(tooltip))}</title>"
         self._elems.append(
             f'<path d="{d}" fill="none" stroke="{_fmt_color(color)}" '
-            f'stroke-width="{width}" stroke-opacity="{opacity:.3f}"/>'
+            f'stroke-width="{width}" stroke-opacity="{opacity:.3f}"'
+            + (f">{inner}</path>" if inner else "/>")
         )
 
     def bezier(self, control_points, color="black", width=1.0, opacity=1.0):

@@ -101,8 +101,9 @@ def pick_hit_points(
     space entries, or None if the ray misses.
 
     In fixed-z-plane mode the scrub axis is the world z column through
-    the hit (firstHit at the top face, lastHit at the bottom,
-    direction -sign(camera z) — PointPicker.cpp:96-100).
+    the hit (firstHit at the z face nearest the camera, lastHit at the
+    far face, direction following the pick ray's z sign —
+    PointPicker.cpp:96-100).
     """
     width, height = image_size
     origin, dirs = camera.rays(width, height)
@@ -126,11 +127,20 @@ def pick_hit_points(
             and box_min[1] <= p[1] <= box_max[1]
         ):
             return None
-        first = np.array([p[0], p[1], box_max[2]], np.float64)
-        last = np.array([p[0], p[1], box_min[2]], np.float64)
-        direction = np.array(
-            [0.0, 0.0, -np.sign(o[2]) if o[2] != 0 else -1.0], np.float64
+        # Scrub along world z following the viewing direction: first is
+        # the z face the pick ray crosses first, last the far face, so
+        # dot(last - first, direction) spans the full z extent and the
+        # scrub_focus clamp stays inside the box for cameras above OR
+        # below the volume (sign(d.z), not sign(eye.z) — an eye below
+        # z=0 would otherwise invert the clamp and pin the focus to the
+        # top face).
+        sz = 1.0 if d[2] > 0 else -1.0
+        near_z, far_z = (
+            (box_min[2], box_max[2]) if sz > 0 else (box_max[2], box_min[2])
         )
+        first = np.array([p[0], p[1], near_z], np.float64)
+        last = np.array([p[0], p[1], far_z], np.float64)
+        direction = np.array([0.0, 0.0, sz], np.float64)
         focus = p
     else:
         t_near, t_far, hit = ray_box_intersect(

@@ -506,3 +506,43 @@ class TestZOrderOctree:
                          octree_mode="zorder")
         chart.compute_correlations()
         assert chart.num_leaves > 0
+
+
+class TestHebSignedValues:
+    """absolute=False charts: negative correlations must style by
+    magnitude and map color over [-1, 1] (round-3 review: a negative
+    value wrapped the LUT index and emitted negative stroke widths)."""
+
+    def _anti_stack(self):
+        rng = np.random.default_rng(11)
+        sig = rng.normal(size=24).astype(np.float32)
+        stack = rng.normal(size=(8, 16, 16, 24)).astype(np.float32)
+        stack *= 0.05
+        stack[:, :, :8] += sig          # left half follows the signal
+        stack[:, :, 8:] -= sig          # right half anti-follows it
+        return stack
+
+    def test_mean_path_signed_kwarg_no_crash(self):
+        chart = HEBChart(
+            self._anti_stack(), downsample_factor=8,
+            sampling_method="mean", absolute=False,
+            correlation_range=(-1.0, 1.0), max_chords=40,
+        )
+        chords = chart.compute_correlations()
+        assert any(v < 0 for _, _, v in chords), \
+            "anti-correlated halves must produce negative chords"
+        svg = chart.render_svg()
+        assert "<svg" in svg
+        assert 'stroke-width="-' not in svg
+        assert 'stroke-opacity="-' not in svg
+
+    def test_exhaustive_honors_signed(self):
+        stack = self._anti_stack()
+        from correrender_tpu.diagrams.octree import GridRegion
+        ra = GridRegion(0, 0, 0, 3, 3, 3)
+        rb = GridRegion(12, 12, 4, 15, 15, 7)
+        v_abs = sampling.exhaustive_block_pair_max(stack, ra, rb)
+        v_sgn = sampling.exhaustive_block_pair_max(
+            stack, ra, rb, absolute=False)
+        assert v_abs > 0.5
+        assert v_sgn < v_abs  # signed max of anti-correlated blocks

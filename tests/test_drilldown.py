@@ -179,3 +179,37 @@ class TestFlythroughCli:
         ])
         files = sorted(os.listdir(out_dir))
         assert len(files) == 2
+
+
+class TestLevelTupleConsistency:
+    """Each drill level carries (chart, pair, offset, drilled) in ONE
+    tuple so off-lock readers (frame overlay, context SVG) get a
+    consistent snapshot — a second list racing a pop() was the round-3
+    review's IndexError (render_context_svg vs heb_pop)."""
+
+    def _dd(self):
+        from correrender_tpu.diagrams.drilldown import HEBDrilldown
+        data = fixtures.synth_box_ensemble(xs=16, ys=16, zs=8,
+                                           members=16)
+        stack = np.moveaxis(data, 0, -1)
+        return HEBDrilldown(stack, downsample_factor=8, num_samples=4,
+                            sampling_method="mean")
+
+    def test_drilled_pair_rides_the_level(self):
+        dd = self._dd()
+        assert dd.levels[0][3] is None
+        dd.drill_into_chord(0)
+        assert dd.levels[-1][3] == dd.drilled_leaf_pairs[-1]
+        assert len(dd.drilled_leaf_pairs) == dd.depth - 1
+        dd.pop()
+        assert dd.drilled_leaf_pairs == []
+
+    def test_context_svg_consistent_after_pop(self):
+        dd = self._dd()
+        dd.drill_into_chord(0)
+        svg = dd.render_context_svg(size=200)
+        assert "<svg" in svg
+        dd.pop()
+        # At depth 1 the context chart is just the root chart.
+        svg = dd.render_context_svg(size=200)
+        assert "<svg" in svg

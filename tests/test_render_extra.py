@@ -517,3 +517,42 @@ class TestColorLegend:
             sc.render_view(0, image_size=(96, 72), show_legend=True)
         )
         assert not np.array_equal(plain, with_legend)
+
+
+class TestFixedZPickScrub:
+    """Fixed-z-plane depth scrub (PointPicker.cpp:96-135): first/last
+    must follow the pick ray's z sign — a camera below the volume
+    previously got an inverted clamp that pinned the focus to the top
+    face (round-3 review)."""
+
+    BOX = ((-0.5, -0.5, -0.25), (0.5, 0.5, 0.25))
+
+    def _hit(self, cam_z):
+        from correrender_tpu.render.picking import pick_hit_points
+
+        cam = Camera(position=(0.05, 0.1, cam_z))
+        return pick_hit_points(cam, (48, 36), (96, 72), self.BOX,
+                               fixed_z_fraction=0.5)
+
+    @pytest.mark.parametrize("cam_z", [0.9, -0.9])
+    def test_scrub_spans_volume_both_sides(self, cam_z):
+        from correrender_tpu.render.picking import scrub_focus
+
+        hit = self._hit(cam_z)
+        assert hit is not None
+        first, last, d = hit["first"], hit["last"], hit["direction"]
+        # first = near z face, last = far face, along the ray's z sign.
+        assert np.sign(d[2]) == np.sign(-cam_z)
+        assert np.dot(last - first, d) > 0
+        span = abs(self.BOX[1][2] - self.BOX[0][2])
+        # Forward scrub clamps at the FAR face, backward at the near
+        # face — for both camera sides.
+        scrub_focus(hit, 100.0)
+        assert hit["focus"][2] == pytest.approx(last[2])
+        scrub_focus(hit, -100.0)
+        assert hit["focus"][2] == pytest.approx(first[2])
+        # A small scrub from the plane stays strictly inside.
+        hit = self._hit(cam_z)
+        scrub_focus(hit, span / 8)
+        lo, hi = sorted((first[2], last[2]))
+        assert lo <= hit["focus"][2] <= hi

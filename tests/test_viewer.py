@@ -551,3 +551,81 @@ class TestViewerApp:
                                       "num_samples": 8,
                                       "sampling_method": "mean"})
         assert "<svg" in svg
+
+
+class TestDrilldownConsistencyFixes:
+    """Round-3 review regressions: stale-overlay gating, default
+    alignment between the drill stack and the plain HEB diagram."""
+
+    def test_plain_diagram_defaults_serve_the_drill_stack(self):
+        # The chord list (drill stack) and the displayed chart (plain
+        # diagram job) must be built with the SAME defaults, or chord
+        # row k points into a chart the user is not looking at.
+        app = ViewerApp(make_scene(), image_size=(64, 48),
+                        warm_measures=False)
+        r = app.api({"op": "heb_chords"})
+        assert r["ok"] and r["chords"]
+        with app._lock:
+            field, measure, _ = app._diagram_field_measure({})
+            expected = app._heb_key({}, field, measure,
+                                    app.scene.current_time)
+        assert app._drilldown_key == expected
+        app.close()
+
+    def test_stale_drill_outlines_leave_the_frame(self):
+        # After a measure change the diagram endpoint stops serving
+        # the drill stack (02af82f); the 3D outlines must go stale
+        # with it instead of drawing the old selection.
+        app = ViewerApp(make_scene(), image_size=(64, 48),
+                        warm_measures=False)
+        app.api({"op": "heb_chords", "num_samples": 4,
+                 "sampling_method": "mean"})
+        d = app.api({"op": "heb_drill", "chord": 0, "num_samples": 4,
+                     "sampling_method": "mean"})
+        assert d["ok"] and d["depth"] == 2
+        with_overlay = app.frame_png()
+        app.api({"op": "set_measure", "measure": "spearman"})
+        stale = app.frame_png()       # drill stack still set, but stale
+        app.api({"op": "heb_reset"})  # now actually cleared
+        cleared = app.frame_png()
+        assert stale == cleared       # overlay already gone when stale
+        assert with_overlay != cleared
+        app.close()
+
+
+class TestTimeseriesDiagramRobustness:
+    def _multistep_scene(self, nan=False):
+        rng = np.random.default_rng(5)
+        ts = 6
+        vols = []
+        for t in range(ts):
+            v = rng.normal(size=(4, 8, 8)).astype(np.float32)
+            if nan and t == 2:
+                v[:] = np.nan  # every cell all-NaN at one timestep
+            vols.append(v)
+        vd = VolumeData(GridMetadata(xs=8, ys=8, zs=4, es=1, ts=ts))
+        vd.add_field("f", lambda t, e: vols[t])
+        scene = Scene(vd, views=[Camera(position=(0.0, 0.2, 0.8))])
+        scene.add_renderer("dvr", field="f")
+        return scene
+
+    def test_all_nan_cells_report_cleanly(self):
+        # Masked data where no downsampled cell is finite across all
+        # timesteps must raise a descriptive error, not a zero-size
+        # array crash (round-3 review).
+        app = ViewerApp(self._multistep_scene(nan=True),
+                        image_size=(64, 48), warm_measures=False)
+        with pytest.raises(ValueError, match="finite"):
+            app.diagram_svg("timeseries", {"downsample": 8})
+        app.close()
+
+    def test_runs_as_heavy_job_off_lock(self):
+        # The multi-second timeseries compute must run off the app
+        # lock like heb/distribution (round-3 review).
+        app = ViewerApp(self._multistep_scene(),
+                        image_size=(64, 48), warm_measures=False)
+        job = app._heavy_diagram_job("timeseries", {"downsample": 4})
+        assert job is not None
+        svg = job()
+        assert "<svg" in svg
+        app.close()
