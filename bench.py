@@ -587,28 +587,16 @@ def _summary(vals):
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (same policy as the CLI — see
-    app/cli.py::_enable_compile_cache for the measurement history).
-    Bench TIMINGS are unaffected: every metric syncs a warmup run
-    before its timer, so the cache only shortens bench wall time and
-    steadies the compile-heavy phases (MI-250 + equality sweep)."""
-    if os.environ.get("CORRERENDER_NO_COMPILE_CACHE"):
-        return
-    cache_dir = os.environ.get("CORRERENDER_COMPILE_CACHE") or (
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "correrender_tpu", "xla")
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update(
-            "jax_persistent_cache_min_entry_size_bytes", -1
-        )
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 0.5
-        )
-    except Exception:  # noqa: BLE001 - cache is best-effort
-        pass
+    """Persistent XLA compile cache — policy shared with the CLI via
+    correrender_tpu.utils.compile_cache (one definition; a drifting
+    copy would measure benches under a different cache policy than
+    the app). Bench TIMINGS are unaffected: every metric syncs a
+    warmup run before its timer, so the cache only shortens bench
+    wall time and steadies the compile-heavy phases (MI-250 +
+    equality sweep)."""
+    from correrender_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
 
 def _device_reachable(timeout_s: float = 300.0) -> bool:

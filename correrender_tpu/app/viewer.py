@@ -417,18 +417,24 @@ class ViewerApp:
         compile cache is thread-safe, and the device queue serializes
         any overlap with interactive frames.
         """
-        if (not self.warm_measures or self._warm_thread is not None
-                or self._shutdown):
-            return
-        job = self._fused_dvr_job()
-        if job is None:
-            return
-        calc, renderer = job
-        scene, vd = self.scene, self.scene.volume_data
-        fname = calc.field_name or vd.field_names[0]
-        # Snapshot the frame inputs briefly under the lock; the warm
-        # renders then run lock-free on the snapshot.
+        # The guard, snapshot, and thread claim all happen under ONE
+        # lock acquisition: two concurrent frame requests that both
+        # miss the cache would otherwise both see _warm_thread is None
+        # and spawn duplicate warmers (ThreadingHTTPServer runs
+        # handlers concurrently), doubling the 10-40 s compiles
+        # contending with interactive frames.
         with self._lock:
+            if (not self.warm_measures or self._warm_thread is not None
+                    or self._shutdown):
+                return
+            job = self._fused_dvr_job()
+            if job is None:
+                return
+            calc, renderer = job
+            scene, vd = self.scene, self.scene.volume_data
+            fname = calc.field_name or vd.field_names[0]
+            # Snapshot the frame inputs; the warm renders then run
+            # lock-free on the snapshot.
             snap = dict(
                 stack=vd.get_member_stack(fname, scene.current_time),
                 ref=calc.reference_point,
@@ -439,7 +445,18 @@ class ViewerApp:
                 num_bins=calc.num_bins, k=calc.k,
                 est=calc.kraskov_estimator,
                 absolute=calc.absolute,
-                current=calc.measure,
+                # .value: the measure ids in _WARM_MEASURES are plain
+                # strings; comparing against the enum's repr would
+                # never match and re-warmed the already-compiled
+                # current measure first.
+                current=calc.measure.value,
+            )
+            # Claim the slot while still holding the lock; `work` is
+            # defined below in this same scope and resolves at call
+            # time, after start().
+            self._warm_thread = threading.Thread(
+                target=lambda: work(), name="measure-warmer",
+                daemon=True,
             )
 
         def work():
@@ -451,7 +468,7 @@ class ViewerApp:
             for m in self._WARM_MEASURES:
                 if self._shutdown:
                     return
-                if str(m) == str(snap["current"]):
+                if m == snap["current"]:
                     continue
                 try:
                     out = render_correlation_fast(
@@ -468,9 +485,6 @@ class ViewerApp:
                 except Exception:  # noqa: BLE001 — warming is best-effort
                     continue
 
-        self._warm_thread = threading.Thread(
-            target=work, name="measure-warmer", daemon=True
-        )
         self._warm_thread.start()
 
     def diagram_svg(self, kind: str, params: dict | None = None) -> str:

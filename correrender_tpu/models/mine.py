@@ -109,7 +109,15 @@ class CorrelationSRN:
                 self.encoding.features_per_level,
                 self.encoding.log2_hashmap_size,
                 self.encoding.base_resolution,
-                int(round(self.encoding.per_level_scale * 1000)),
+                # float64 bit pattern, not a ×1000 quantization: the
+                # per-level table SHAPES depend on
+                # floor(base·scale^level), so a lossy scale can
+                # rebuild an encoding whose table sizes mismatch the
+                # saved params (round-3 review). Bit patterns of real
+                # scales (≥1.0) exceed 2^62, so the loader can still
+                # tell them from legacy ×1000 values.
+                int(np.float64(self.encoding.per_level_scale)
+                    .view(np.int64)),
             ]
         else:
             enc_kind = 0
@@ -139,13 +147,21 @@ class CorrelationSRN:
         activation = (cls._ACTIVATIONS[int(cfg[6])]
                       if len(cfg) > 6 else "relu")
         if len(cfg) > 7 and int(cfg[7]) == 1:
+            import numpy as np
+
+            raw = int(cfg[12])
+            if 0 < raw < 100_000:
+                # Legacy ×1000-quantized presets (pre bit-pattern).
+                scale = raw / 1000.0
+            else:
+                scale = float(np.int64(raw).view(np.float64))
             enc = HashGridEncoding(
                 dims=3,
                 num_levels=int(cfg[8]),
                 features_per_level=int(cfg[9]),
                 log2_hashmap_size=int(cfg[10]),
                 base_resolution=int(cfg[11]),
-                per_level_scale=int(cfg[12]) / 1000.0,
+                per_level_scale=scale,
             )
         else:
             enc = FrequencyEncoding(

@@ -91,7 +91,7 @@ def correlate(
     k: int = 3,
     kraskov_estimator: int = 1,
     mi_bounds=None,
-    dtype=jnp.float32,
+    dtype=None,
     absolute: bool = False,
 ) -> jnp.ndarray:
     """Unified correlation dispatch along the last axis.
@@ -111,10 +111,16 @@ def correlate(
       absolute: return |value| (the calculator's "absolute value" mode).
     """
     m = measure_from_id(measure)
+    # Kendall receives dtype=None verbatim: its auto rule switches to
+    # exact int32 pair counts past n ≈ 4000 (the similarity path's
+    # 46340-sample cap relies on this); an explicit float32 default
+    # here would silently round counts near n² and defeat it. The
+    # moment-based measures default to float32 accumulation.
+    acc = jnp.float32 if dtype is None else dtype
     if m == CorrelationMeasure.PEARSON:
-        out = pearson(x, y, dtype=dtype)
+        out = pearson(x, y, dtype=acc)
     elif m == CorrelationMeasure.SPEARMAN:
-        out = spearman(x, y, dtype=dtype)
+        out = spearman(x, y, dtype=acc)
     elif m == CorrelationMeasure.KENDALL:
         out = kendall(x, y, dtype=dtype)
     elif is_measure_binned_mi(m):
@@ -125,7 +131,7 @@ def correlate(
         else:
             xn = _normalize01(x)
             yn = _normalize01(y)
-        out = mutual_information_binned(xn, yn, num_bins=num_bins, dtype=dtype)
+        out = mutual_information_binned(xn, yn, num_bins=num_bins, dtype=acc)
         if m == CorrelationMeasure.BINNED_MI_CORRELATION_COEFFICIENT:
             out = binned_mi_correlation_coefficient(out)
     elif is_measure_kraskov_mi(m):

@@ -323,3 +323,26 @@ class TestNeuralDepth:
         # Dependent pair must score clearly above the independent one.
         assert mi[0, 1] > mi[0, 2] + 0.1
         assert np.allclose(mi, mi.T)
+
+
+def test_hash_grid_scale_bit_exact_roundtrip():
+    """per_level_scale rides the config array as a float64 bit pattern
+    — a x1000 quantization could rebuild an encoding whose per-level
+    table shapes (floor(base*scale^level)) mismatch the saved params
+    (round-3 review). Legacy x1000 presets must still decode."""
+    from correrender_tpu.models.mine import CorrelationSRN
+
+    awkward = 1.60049  # straddles a floor boundary when quantized
+    model = CorrelationSRN.create(
+        hidden=16, latent=8, encoding="hash_grid",
+        hash_levels=4, hash_log2_size=10, hash_base_res=3,
+        hash_per_level_scale=awkward,
+    )
+    cfg = model.config_array()
+    rebuilt = CorrelationSRN.from_config_array(cfg)
+    assert rebuilt.encoding.per_level_scale == awkward  # bit-exact
+    # Legacy encoding: small positive ints decode as value/1000.
+    legacy_cfg = np.array(cfg, copy=True)
+    legacy_cfg[12] = 1600
+    legacy = CorrelationSRN.from_config_array(legacy_cfg)
+    assert legacy.encoding.per_level_scale == pytest.approx(1.6)

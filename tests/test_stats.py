@@ -398,3 +398,14 @@ def test_field_similarity_kendall_exact_self():
     assert field_similarity(f, f, measure="kendall") == pytest.approx(
         1.0, abs=1e-6
     )
+
+
+def test_registry_kendall_auto_dtype_propagates():
+    # registry.correlate must hand Kendall dtype=None so the exact
+    # int32 pair-count auto-switch engages past n ~ 4000 (round-3
+    # review: an explicit float32 default silently defeated it and
+    # the similarity path's 46340 cap). Observable deterministically:
+    # n past the int32 window must raise rather than round in f32.
+    x = jnp.zeros((46341,), jnp.float32)
+    with pytest.raises(ValueError, match="int32"):
+        ops.correlate(x, x, "kendall")

@@ -51,7 +51,12 @@ def main(grid=48, members=100, steps=3000, refs=48):
 
     t0 = time.perf_counter()
     loss = calc.fit(num_reference_points=refs, seed=1)
-    # fit() is async at the tail; sync via a field pull below.
+    # fit() is async at the tail: sync BEFORE taking t1, or the queued
+    # final steps execute during the first eval and skew both numbers
+    # (block_until_ready does not block on the axon backend — sum the
+    # loss/params instead).
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(jnp.abs(a))), calc.params)
     t1 = time.perf_counter()
 
     # Held-out evaluation: 8 fresh reference points.
