@@ -1281,6 +1281,24 @@ def serve(scene, host="127.0.0.1", port=8777, **app_kwargs):
     finally:
         app.close()
         server.server_close()
+        # Any live runtime thread still inside a device call when
+        # ctrl-C lands — a handler serving a frame, or the measure
+        # warmer mid-compile (one device compile can run tens of
+        # seconds and cannot be interrupted) — aborts interpreter
+        # teardown on the TPU backend ("FATAL: exception not
+        # rethrown" + core dump on exit, observed live). Give the
+        # warmer a moment to notice the shutdown flag, then skip
+        # teardown: serve() is terminal for the process, the HTML
+        # logfile flushes per entry, and nothing buffered remains.
+        warm = app._warm_thread
+        if warm is not None:
+            warm.join(timeout=5.0)
+        import os
+        import sys as _sys
+
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        os._exit(0)
 
 
 # ---------------------------------------------------------------------------
