@@ -243,7 +243,11 @@ class HEBChart:
             )
         lo_c, hi_c = self.correlation_range
         ok = np.isfinite(flat) & (flat >= lo_c) & (flat <= hi_c)
-        order = np.argsort(-np.where(ok, flat, -np.inf))
+        # Rank by magnitude: identical to the signed value on the
+        # default absolute charts, and keeps the strongest ANTI-
+        # correlations in signed (absolute=False) charts instead of
+        # burying them below weak positives.
+        order = np.argsort(-np.where(ok, np.abs(flat), -np.inf))
         keep = order[: self.max_chords]
         self.chords = [
             (int(iu[k]), int(ju[k]), float(flat[k])) for k in keep if ok[k]

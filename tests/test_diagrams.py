@@ -546,3 +546,15 @@ class TestHebSignedValues:
             stack, ra, rb, absolute=False)
         assert v_abs > 0.5
         assert v_sgn < v_abs  # signed max of anti-correlated blocks
+
+    def test_signed_chart_keeps_strong_anticorrelations(self):
+        chart = HEBChart(
+            self._anti_stack(), downsample_factor=8,
+            sampling_method="mean", absolute=False,
+            correlation_range=(-1.0, 1.0), max_chords=3,
+        )
+        chords = chart.compute_correlations()
+        # The strongest |value| chords must include the anti-
+        # correlated left-right pairs, not only weak positives.
+        assert max(abs(v) for _, _, v in chords) > 0.5
+        assert any(v < -0.5 for _, _, v in chords)
