@@ -692,8 +692,10 @@ def main():
 
     # Insurance line: the MI/equality phases below cost many minutes
     # of tunnel compiles; if the harness kills the run mid-way, the
-    # tail still carries a complete headline record (the final full
-    # line supersedes it when the run finishes).
+    # tail still carries a complete headline record. It goes to
+    # STDERR so stdout stays exactly ONE JSON line (the driver
+    # contract) — a harness that grabs the first stdout line must
+    # never see the partial record.
     print(json.dumps({
         "metric": "pearson_field_throughput_250c_1000m",
         "value": round(med["pearson_vox_s"] / 1e9, 6),
@@ -708,7 +710,7 @@ def main():
         "mi_vs_baseline": round(
             med["mi48_vox_s"] / med["cpu_ksg_vox_s"], 2
         ),
-    }), flush=True)
+    }), flush=True, file=sys.stderr)
 
     mi_kernel_s, mi_stream = bench_mi_250_measured()
 
