@@ -24,7 +24,13 @@ def _make_kernel(res: int, tile_v: int):
         lo = domain_ref[0, 0]
         hi = domain_ref[0, 1]
         v = v_ref[0, 0, :]  # (tile_v,)
-        u = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0) * (res - 1)
+        # Degenerate-domain guard (hi == lo, constant field): map
+        # finite values to bin 0 instead of 0/0 = NaN weights — same
+        # semantics as render/classify.two_hot_weights.
+        span = hi - lo
+        safe_span = jnp.where(span > 0, span, 1.0)
+        u = jnp.clip((v - lo) / safe_span, 0.0, 1.0) * (res - 1)
+        u = jnp.where(span > 0, u, 0.0)
         u = jnp.where(jnp.isnan(v), -2.0, u)  # NaN → zero weights
         bins = jax.lax.broadcasted_iota(
             jnp.int32, (tile_v, res), 1

@@ -24,16 +24,46 @@ import jax
 import jax.numpy as jnp
 
 from correrender_tpu.optim import solvers
-from correrender_tpu.render.classify import classify
+from correrender_tpu.render.classify import classify, two_hot_weights
 from correrender_tpu.render.tf import TransferFunction
 
+#: Voxels × tf_size budget for the dense (V, R) weight intermediate —
+#: past this the normal equations are accumulated in voxel slabs
+#: (a 256³ field at R=256 would otherwise materialize a ~17 GB
+#: tensor; round-3 review).
+_DENSE_WEIGHT_ELEMS = 64 * 1024 * 1024
 
-def _two_hot(values: jnp.ndarray, domain, resolution: int) -> jnp.ndarray:
-    lo, hi = domain
-    u = jnp.clip((values - lo) / (hi - lo), 0.0, 1.0) * (resolution - 1)
-    u = jnp.where(jnp.isnan(values), -2.0, u)
-    bins = jnp.arange(resolution, dtype=jnp.float32)
-    return jnp.maximum(1.0 - jnp.abs(u[..., None] - bins), 0.0)
+
+@functools.partial(jax.jit, static_argnames=("tf_size",))
+def _normal_eq_slab(a_vals, b_vals, lut_a, domain_a, domain_b, tf_size):
+    """One slab's contribution to the normal equations:
+    (AᵀA, AᵀB) for rows two_hot(B[v]) and targets TF_A(A[v])."""
+    target = classify(a_vals, lut_a, domain_a, premultiply=False)
+    w = two_hot_weights(b_vals, domain_b, tf_size)
+    ata = jnp.einsum("vr,vs->rs", w, w,
+                     preferred_element_type=jnp.float32)
+    atb = jnp.einsum("vr,vc->rc", w, target,
+                     preferred_element_type=jnp.float32)
+    return ata, atb, jnp.sum(target * target, axis=0)
+
+
+def _normal_equations(a_vals, b_vals, tf_a, domain_b, tf_size):
+    """Accumulate (AᵀA, AᵀB, Σtarget²) over voxel slabs so the dense
+    (V, R) weight tensor never materializes past the budget."""
+    v = a_vals.shape[0]
+    slab = max(_DENSE_WEIGHT_ELEMS // max(tf_size, 1), 1)
+    domain_a = jnp.asarray(tf_a.domain, jnp.float32)
+    domain_b_arr = jnp.asarray(domain_b, jnp.float32)
+    ata = jnp.zeros((tf_size, tf_size), jnp.float32)
+    atb = jnp.zeros((tf_size, 4), jnp.float32)
+    btb = jnp.zeros((4,), jnp.float32)
+    for v0 in range(0, v, slab):
+        pa, pb, pc = _normal_eq_slab(
+            a_vals[v0 : v0 + slab], b_vals[v0 : v0 + slab],
+            tf_a.lut, domain_a, domain_b_arr, tf_size,
+        )
+        ata, atb, btb = ata + pa, atb + pb, btb + pc
+    return ata, atb, btb
 
 
 def optimize_tf_ols(
@@ -53,33 +83,45 @@ def optimize_tf_ols(
       field_b: ``(Z, Y, X)`` target field to fit a TF for.
       tf_size: LUT resolution of the fitted TF.
       solver: "cholesky" | "lu" | "qr" | "svd" | "cgls" | "lsqr".
-      nonneg: clamp to a physically-valid (≥ 0) LUT via projected NNLS.
+      nonneg: clamp to a physically-valid (≥ 0) LUT via projected NNLS
+        (dense solvers). With "cgls"/"lsqr" on a small problem the
+        unconstrained iterative solution is merely CLIPPED to [0, 1]
+        — choose a dense solver when true NNLS matters.
     """
     a_vals = field_a.reshape(-1)
     b_vals = field_b.reshape(-1)
     if domain_b is None:
         domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
-    target = classify(
-        a_vals, tf_a.lut, jnp.asarray(tf_a.domain, jnp.float32),
-        premultiply=False,
-    )  # (V, 4)
-    w = _two_hot(b_vals, domain_b, tf_size)  # (V, R)
-    if solver in ("cgls", "lsqr"):
+    small = a_vals.shape[0] * tf_size <= _DENSE_WEIGHT_ELEMS
+    if solver in ("cgls", "lsqr") and small:
         # Iterative solvers work on (w, target) directly — the (R, R)
         # normal equations are only formed for the dense/NNLS branches
         # (building them here anyway doubled the fit's dominant cost,
         # round-3 review), and the caller's iteration budget applies.
+        target = classify(
+            a_vals, tf_a.lut, jnp.asarray(tf_a.domain, jnp.float32),
+            premultiply=False,
+        )  # (V, 4)
+        w = two_hot_weights(b_vals, domain_b, tf_size)  # (V, R)
         fn = solvers.cgls if solver == "cgls" else solvers.lsqr
         x = jnp.stack(
             [fn(w, target[:, c], iters=iters) for c in range(4)],
             axis=-1,
         )
     else:
-        ata = jnp.einsum("vr,vs->rs", w, w,
-                         preferred_element_type=jnp.float32)
-        atb = jnp.einsum("vr,vc->rc", w, target,
-                         preferred_element_type=jnp.float32)
-        if nonneg:
+        ata, atb, _ = _normal_equations(
+            a_vals, b_vals, tf_a, domain_b, tf_size
+        )
+        if solver in ("cgls", "lsqr"):
+            # Past the dense-weight budget the iterative solvers run
+            # on the (R, R) normal equations instead (mathematically
+            # the same least-squares solution; R ≤ 256 keeps the
+            # squared conditioning benign).
+            x = jnp.stack(
+                [solvers.cgls(ata, atb[:, c], iters=iters)
+                 for c in range(4)], axis=-1,
+            )
+        elif nonneg:
             x = jnp.stack(
                 [solvers.solve_nonneg(ata, atb[:, c], iters=iters)
                  for c in range(4)], axis=-1,
@@ -100,48 +142,59 @@ def optimize_tf_gd(
     learning_rate: float = 0.05,
     optimizer: str = "adam",
 ) -> TransferFunction:
-    """Adam/SGD on the voxel-matching loss (reference GD/OptimizerPass)."""
+    """Adam/SGD on the voxel-matching loss (reference GD/OptimizerPass).
+
+    The MSE over voxels is a quadratic in the LUT —
+    ``(lutᵀAᵀA lut − 2 lutᵀAᵀB + BᵀB)/V`` — so the loop runs on the
+    accumulated (R, R) normal equations: the gradient is identical to
+    differentiating through the dense (V, R) weight matrix, without
+    materializing it (or paying a V-sized matmul per epoch).
+    """
+    if optimizer not in ("adam", "sgd"):
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; one of adam/sgd"
+        )
     a_vals = field_a.reshape(-1)
     b_vals = field_b.reshape(-1)
     if domain_b is None:
         domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
-    target = classify(
-        a_vals, tf_a.lut, jnp.asarray(tf_a.domain, jnp.float32),
-        premultiply=False,
+    ata, atb, _ = _normal_equations(
+        a_vals, b_vals, tf_a, domain_b, tf_size
     )
-    w = _two_hot(b_vals, domain_b, tf_size)
-
-    def loss_fn(lut):
-        pred = w @ lut
-        return jnp.mean((pred - target) ** 2)
-
     lut0 = jnp.full((tf_size, 4), 0.5, jnp.float32)
-    grad_fn = jax.grad(loss_fn)
-    use_adam = optimizer == "adam"
+    lut = _gd_run(
+        lut0, ata, atb,
+        jnp.float32(a_vals.shape[0]), jnp.float32(learning_rate),
+        n=int(epochs), use_adam=optimizer == "adam",
+    )
+    return TransferFunction(lut=lut, domain=tuple(domain_b))
 
-    # One jit around the whole epoch loop: the step counter must stay
-    # a traced value — as a Python int it re-specializes (and on TPU
-    # re-COMPILES) every epoch.
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(lut, n):
-        def body(i, carry):
-            lut, m, v = carry
-            g = grad_fn(lut)
-            if not use_adam:
-                return jnp.clip(lut - learning_rate * g, 0.0, 1.0), m, v
-            t = (i + 1).astype(jnp.float32)
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * g * g
-            mhat = m / (1 - 0.9**t)
-            vhat = v / (1 - 0.999**t)
-            lut = lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8)
-            return jnp.clip(lut, 0.0, 1.0), m, v
 
-        zeros = jnp.zeros_like(lut)
-        lut, _, _ = jax.lax.fori_loop(0, n, body, (lut, zeros, zeros))
-        return lut
+# Module-level jit (lr and the normal equations are traced): per-call
+# closures re-compiled the whole epoch loop on every interactive
+# tf_optimize command (round-3 review).
+@functools.partial(jax.jit, static_argnames=("n", "use_adam"))
+def _gd_run(lut0, ata, atb, v_count, lr, n, use_adam):
+    def grad_fn(lut):
+        # d/dlut mean((w·lut − target)²) = 2 (AᵀA lut − AᵀB) / V
+        return 2.0 * (ata @ lut - atb) / v_count
 
-    return TransferFunction(lut=run(lut0, epochs), domain=tuple(domain_b))
+    def body(i, carry):
+        lut, m, v = carry
+        g = grad_fn(lut)
+        if not use_adam:
+            return jnp.clip(lut - lr * g, 0.0, 1.0), m, v
+        t = (i + 1).astype(jnp.float32)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9**t)
+        vhat = v / (1 - 0.999**t)
+        lut = lut - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return jnp.clip(lut, 0.0, 1.0), m, v
+
+    zeros = jnp.zeros_like(lut0)
+    lut, _, _ = jax.lax.fori_loop(0, n, body, (lut0, zeros, zeros))
+    return lut
 
 
 def optimize_tf_diffdvr(
@@ -168,6 +221,8 @@ def optimize_tf_diffdvr(
     """
     from correrender_tpu.render.dvr import dvr_render
 
+    if loss not in ("l1", "l2"):
+        raise ValueError(f"unknown loss {loss!r}; one of l1/l2")
     b_vals = field_b.reshape(-1)
     if domain_b is None:
         domain_b = (float(jnp.nanmin(b_vals)), float(jnp.nanmax(b_vals)))
@@ -175,28 +230,49 @@ def optimize_tf_diffdvr(
         dvr_render(field_a, camera, tf_a, image_size=image_size,
                    attenuation=attenuation)
     )
-
-    def render_with(lut):
-        tf_b = TransferFunction(lut=lut, domain=tuple(domain_b))
-        return dvr_render(field_b, camera, tf_b, image_size=image_size,
-                          attenuation=attenuation)
-
-    def loss_fn(lut):
-        img = render_with(lut)
-        if loss == "l1":
-            data_term = jnp.mean(jnp.abs(img - target))
-        else:
-            data_term = jnp.mean((img - target) ** 2)
-        smooth = jnp.mean((lut[1:] - lut[:-1]) ** 2)
-        return data_term + smoothing_weight * smooth
-
     lut0 = jnp.full((tf_size, 4), 0.5, jnp.float32)
-    grad_fn = jax.grad(loss_fn)
+    run = _diffdvr_program(camera, tuple(image_size), loss,
+                           float(attenuation), int(epochs))
+    lut = run(
+        field_b, target, lut0,
+        jnp.asarray(domain_b, jnp.float32),
+        jnp.float32(learning_rate), jnp.float32(smoothing_weight),
+    )
+    return TransferFunction(lut=lut, domain=tuple(domain_b))
 
-    # Single jit over all epochs (one compile, one dispatch — the
-    # per-epoch Python loop costs a tunnel round-trip per op here).
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(lut, n):
+
+#: Compiled diffdvr epoch loops, keyed per static configuration (the
+#: camera rides the trace as constants) — a per-call closure
+#: re-compiled the whole renderer+adjoint graph on every interactive
+#: tf_optimize command (round-3 review). Bounded: camera sweeps evict.
+_DIFFDVR_PROGRAMS: dict = {}
+
+
+def _diffdvr_program(camera, image_size, loss, attenuation, n):
+    key = (camera.position, camera.look_at_point, camera.up,
+           camera.fovy, camera.z_near, camera.z_far,
+           image_size, loss, attenuation, n)
+    run = _DIFFDVR_PROGRAMS.get(key)
+    if run is not None:
+        return run
+    from correrender_tpu.render.dvr import dvr_render
+
+    @jax.jit
+    def run(field_b, target, lut0, domain, lr, sw):
+        def loss_fn(lut):
+            tf_b = TransferFunction(lut=lut, domain=domain)
+            img = dvr_render(field_b, camera, tf_b,
+                             image_size=image_size,
+                             attenuation=attenuation)
+            if loss == "l1":
+                data_term = jnp.mean(jnp.abs(img - target))
+            else:
+                data_term = jnp.mean((img - target) ** 2)
+            smooth = jnp.mean((lut[1:] - lut[:-1]) ** 2)
+            return data_term + sw * smooth
+
+        grad_fn = jax.grad(loss_fn)
+
         def body(i, carry):
             lut, m, v = carry
             g = grad_fn(lut)
@@ -206,16 +282,19 @@ def optimize_tf_diffdvr(
             mhat = m / (1 - 0.9**t)
             vhat = v / (1 - 0.999**t)
             lut = jnp.clip(
-                lut - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8),
+                lut - lr * mhat / (jnp.sqrt(vhat) + 1e-8),
                 0.0, 1.0,
             )
             return lut, m, v
 
-        zeros = jnp.zeros_like(lut)
-        lut, _, _ = jax.lax.fori_loop(0, n, body, (lut, zeros, zeros))
+        zeros = jnp.zeros_like(lut0)
+        lut, _, _ = jax.lax.fori_loop(0, n, body, (lut0, zeros, zeros))
         return lut
 
-    return TransferFunction(lut=run(lut0, epochs), domain=tuple(domain_b))
+    if len(_DIFFDVR_PROGRAMS) >= 8:
+        _DIFFDVR_PROGRAMS.clear()
+    _DIFFDVR_PROGRAMS[key] = run
+    return run
 
 
 @dataclasses.dataclass
@@ -272,6 +351,7 @@ class TFOptimizationWorker:
         self._requests: "queue.Queue" = queue.Queue()
         self._replies: "queue.Queue" = queue.Queue()
         self._next_id = 0
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -291,7 +371,16 @@ class TFOptimizationWorker:
                 self._requests.task_done()
 
     def queue_request(self, optimizer: "TFOptimizer", *args, **kw) -> int:
-        """Enqueue a fit; returns a request id for matching the reply."""
+        """Enqueue a fit; returns a request id for matching the reply.
+
+        Raises RuntimeError after shutdown(): the worker loop has
+        exited, so a silently-enqueued request would never be
+        processed and a blocking get_reply()/join() on it would hang.
+        """
+        if self._closed:
+            raise RuntimeError(
+                "TFOptimizationWorker.queue_request after shutdown()"
+            )
         req_id = self._next_id
         self._next_id += 1
         self._requests.put((req_id, optimizer, args, kw))
@@ -302,7 +391,9 @@ class TFOptimizationWorker:
 
         Returns ``(request_id, result)`` or ``None`` when nothing is
         ready (reference getReply semantics). A failed fit re-raises
-        its exception here, on the caller's thread.
+        its exception here, on the caller's thread, with the failing
+        request's id attached as ``exc.request_id`` so callers with
+        multiple outstanding requests can tell which one died.
         """
         import queue
 
@@ -313,6 +404,7 @@ class TFOptimizationWorker:
         except queue.Empty:
             return None
         if exc is not None:
+            exc.request_id = req_id
             raise exc
         return req_id, result
 
@@ -335,5 +427,6 @@ class TFOptimizationWorker:
             _time.sleep(0.01)
 
     def shutdown(self):
+        self._closed = True
         self._requests.put(None)
         self._thread.join(timeout=5)

@@ -19,6 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
+def two_hot_weights(
+    values: jnp.ndarray, domain, resolution: int
+) -> jnp.ndarray:
+    """Tent (two-hot) LUT-bin weights — the ONE definition of the
+    binning semantics, shared by the renderer's classification and the
+    TF-optimization normal equations (a fitted TF is only valid under
+    the exact weights the renderer applies).
+
+    Rows sum to 1 for finite inputs, 0 for NaN. A degenerate domain
+    (hi == lo, e.g. a constant field) maps every finite value to bin 0
+    instead of producing 0/0 = NaN weights.
+    """
+    lo, hi = domain[0], domain[1]
+    span = hi - lo
+    safe_span = jnp.where(span > 0, span, 1.0)
+    u = jnp.clip((values - lo) / safe_span, 0.0, 1.0) * (resolution - 1)
+    u = jnp.where(span > 0, u, 0.0)
+    u = jnp.where(jnp.isnan(values), -2.0, u)  # outside every tent
+    bins = jnp.arange(resolution, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(u[..., None] - bins), 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("premultiply",))
 def classify(
     scalars: jnp.ndarray,
@@ -38,13 +60,7 @@ def classify(
     Returns:
       ``scalars.shape + (4,)`` float32; NaN scalars map to 0.
     """
-    r = lut.shape[0]
-    lo, hi = domain[0], domain[1]
-    u = jnp.clip((scalars - lo) / (hi - lo), 0.0, 1.0) * (r - 1)
-    u = jnp.where(jnp.isnan(scalars), -2.0, u)  # outside every tent
-    bins = jnp.arange(r, dtype=jnp.float32)
-    # Two-hot tent weights: rows sum to 1 for in-range u, 0 for NaN.
-    w = jnp.maximum(1.0 - jnp.abs(u[..., None] - bins), 0.0)
+    w = two_hot_weights(scalars, domain, lut.shape[0])
     out_lut = lut
     if premultiply:
         out_lut = jnp.concatenate(

@@ -189,3 +189,69 @@ class TestWorker:
                 worker.get_reply(block=True, timeout=30)
         finally:
             worker.shutdown()
+
+
+class TestRound3ReviewFixes:
+    def test_constant_field_b_yields_finite_lut(self):
+        # Degenerate domain (hi == lo): 0/0 weights previously NaN'd
+        # the whole fitted LUT for every method.
+        a, _ = _paired_fields(8)
+        b = jnp.zeros_like(a)
+        for fit in (optimize_tf_ols, optimize_tf_gd):
+            tf_b = fit(a, _tf_a(), b, tf_size=16)
+            assert np.isfinite(np.asarray(tf_b.lut)).all(), fit.__name__
+
+    def test_slab_accumulation_matches_single_shot(self, monkeypatch):
+        # Fields past the dense-weight budget accumulate the normal
+        # equations in voxel slabs; the fit must be identical.
+        from correrender_tpu.optim import tf_opt
+
+        a, b = _paired_fields(8)
+        one = optimize_tf_ols(a, _tf_a(), b, tf_size=32, nonneg=False)
+        monkeypatch.setattr(tf_opt, "_DENSE_WEIGHT_ELEMS", 2048)
+        slabbed = optimize_tf_ols(a, _tf_a(), b, tf_size=32,
+                                  nonneg=False)
+        np.testing.assert_allclose(np.asarray(one.lut),
+                                   np.asarray(slabbed.lut), atol=2e-5)
+
+    def test_iterative_solver_past_budget_uses_normal_eqs(
+            self, monkeypatch):
+        from correrender_tpu.optim import tf_opt
+
+        a, b = _paired_fields(8)
+        monkeypatch.setattr(tf_opt, "_DENSE_WEIGHT_ELEMS", 2048)
+        tf_b = optimize_tf_ols(a, _tf_a(), b, tf_size=32,
+                               solver="cgls", nonneg=False)
+        err = _voxel_match_error(a, _tf_a(), b, tf_b)
+        assert err < 0.05
+
+    def test_unknown_optimizer_and_loss_raise(self):
+        a, b = _paired_fields(6)
+        with pytest.raises(ValueError, match="optimizer"):
+            optimize_tf_gd(a, _tf_a(), b, tf_size=8,
+                           optimizer="Adam")
+        cam = Camera(position=(0.1, 0.2, 0.9))
+        with pytest.raises(ValueError, match="loss"):
+            optimize_tf_diffdvr(a, _tf_a(), b, cam, tf_size=8,
+                                loss="L1")
+
+    def test_worker_closed_and_error_id(self):
+        from correrender_tpu.optim.tf_opt import (
+            TFOptimizationWorker,
+            TFOptimizer,
+        )
+
+        w = TFOptimizationWorker()
+        a, b = _paired_fields(4)
+        # A failing fit's exception carries the request id.
+        rid = w.queue_request(
+            TFOptimizer(method="diffdvr"), a, _tf_a(), b)  # no camera
+        with pytest.raises(ValueError) as exc:
+            while True:
+                r = w.get_reply(block=True, timeout=10)
+                if r is not None:
+                    break
+        assert exc.value.request_id == rid
+        w.shutdown()
+        with pytest.raises(RuntimeError, match="shutdown"):
+            w.queue_request(TFOptimizer(), a, _tf_a(), b)
