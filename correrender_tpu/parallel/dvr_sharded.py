@@ -12,7 +12,9 @@ intermediate.
 Cameras whose principal axis is X or Y re-shard the classified volume
 over their compositing axis with ONE all-to-all (a (slice, v, u)
 transpose under GSPMD) — (N−1)/N of the volume crosses the ICI once,
-instead of every chip holding a full copy. Only uneven shard counts
+instead of every chip holding a full copy. Non-divisible extents pad
+with inert slices (alpha 0, g = -1), keeping the 1/N per-device memory
+invariant at odd real-world sizes like 250³; only eye-inside cameras
 fall back to a gathered single-device render.
 """
 
@@ -125,8 +127,8 @@ def dvr_shearwarp_sharded(
     n_shards = mesh.shape[axis_name]
     dims_zyx = (zs, ys, xs)
     s = dims_zyx[perm[0]]
-    if s % n_shards != 0 or not shearwarp_viable(camera, box):
-        # Uneven shards along the compositing axis: exact fallback.
+    if not shearwarp_viable(camera, box):
+        # Eye-inside cameras: exact fallback.
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))
         )
@@ -135,6 +137,12 @@ def dvr_shearwarp_sharded(
             box=box, attenuation=attenuation, background=background,
             intermediate_scale=intermediate_scale,
         )
+    # Compositing extents that don't divide the shard count (e.g. 250
+    # slices on 8 shards) pad with INERT slices (alpha 0, g = -1 —
+    # both composite paths skip g ≤ 0) instead of falling back to a
+    # fully replicated render, which would break the 1/N per-device
+    # memory invariant exactly at odd real-world sizes.
+    s_pad = -(-s // n_shards) * n_shards
 
     # --- replicate the single-device setup math, parametric in `a` ----
     nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
@@ -188,25 +196,44 @@ def dvr_shearwarp_sharded(
                            if s > 1 else (box_max[a] - box_min[a]))
 
     # --- classification stays sharded (elementwise) --------------------
+    # The classify stage shards along z, so a non-divisible zs pads
+    # with WRAP rows (discarded after classification by [:zs]; wrap
+    # reproduces the dense jnp.roll boundary semantics if anything
+    # downstream ever reads them).
+    z_pad = -(-zs // n_shards) * n_shards
+    vol_in = volume
+    if z_pad != zs:
+        vol_in = jnp.pad(volume, ((0, z_pad - zs), (0, 0), (0, 0)),
+                         mode="wrap")
     vol_sharding = NamedSharding(mesh, P(axis_name, None, None))
-    volume = jax.device_put(volume, vol_sharding)
+    vol_in = jax.device_put(vol_in, vol_sharding)
     classified = classify_volume(
-        volume, transfer_function.lut,
+        vol_in, transfer_function.lut,
         jnp.asarray(transfer_function.domain, jnp.float32),
-    )  # (Z, Y, X, 4), Z-sharded
+    )[:zs]  # (Z, Y, X, 4), Z-sharded
     # Re-layout to (slice, v, u, 4) sharded along the compositing axis.
     # For non-Z-principal cameras this is ONE all-to-all over the ICI
     # ((N−1)/N of the volume moves, vs N× memory for a full gather).
+    classified = jnp.transpose(classified, perm + (3,))
+    if s_pad != s:
+        classified = jnp.pad(
+            classified,
+            ((0, s_pad - s), (0, 0), (0, 0), (0, 0)),
+        )
     classified = jax.device_put(
-        jnp.transpose(classified, perm + (3,)),
+        classified,
         NamedSharding(mesh, P(axis_name, None, None, None)),
     )
 
     # Per-shard g blocks in *unflipped global z order*; each shard flips
     # locally, and the combine order accounts for the global flip.
     g_unflipped = g[::-1] if flip else g
+    if s_pad != s:
+        g_unflipped = np.concatenate(
+            [g_unflipped, np.full(s_pad - s, -1.0, np.float32)]
+        )
     g_blocks = jnp.asarray(
-        g_unflipped.reshape(n_shards, s // n_shards)
+        g_unflipped.reshape(n_shards, s_pad // n_shards)
     )
 
     from correrender_tpu.ops.pallas.common import on_tpu

@@ -74,7 +74,7 @@ def iso_shearwarp_sharded(
     n_shards = mesh.shape[axis_name]
     dims_zyx = (zs, ys, xs)
     s = dims_zyx[perm[0]]
-    if s % n_shards != 0 or not shearwarp_viable(camera, box):
+    if not shearwarp_viable(camera, box):
         gathered = jax.device_put(
             volume, NamedSharding(mesh, P(None, None, None))
         )
@@ -86,7 +86,12 @@ def iso_shearwarp_sharded(
 
     nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
     flip = bool(forward[a] < 0)
-    s_loc = s // n_shards
+    # Non-divisible scan extents pad with inert slices (g = -1: the
+    # first-hit inside-gate rejects either pair member with g ≤ 0,
+    # which matches the dense path's no-predecessor boundary) instead
+    # of replicating the whole volume per device (see dvr_sharded).
+    s_pad = -(-s // n_shards) * n_shards
+    s_loc = s_pad // n_shards
 
     def centers(world_axis, count):
         lo, hi_ = box_min[world_axis], box_max[world_axis]
@@ -127,20 +132,36 @@ def iso_shearwarp_sharded(
                          hi_res).astype(np.float32)
 
     # Gradient on the sharded volume with plain ops — GSPMD inserts the
-    # halo exchange for the rolls automatically.
+    # halo exchange for the rolls automatically. Non-divisible zs pads
+    # with WRAP rows: the padded array's rolls then produce exactly
+    # the dense jnp.roll values at the real boundary, and the pad rows
+    # are discarded by [:zs].
+    z_pad = -(-zs // n_shards) * n_shards
+    vol_in = volume
+    if z_pad != zs:
+        vol_in = jnp.pad(volume, ((0, z_pad - zs), (0, 0), (0, 0)),
+                         mode="wrap")
     vol_sharding = NamedSharding(mesh, P(axis_name, None, None))
-    volume = jax.device_put(volume, vol_sharding)
-    grad = _gradient_volume(volume, box_min, box_max)
-    cvol = jnp.concatenate([volume[..., None], grad], axis=-1)
+    vol_in = jax.device_put(vol_in, vol_sharding)
+    grad = _gradient_volume(vol_in, box_min, box_max,
+                            n_real_z=zs if z_pad != zs else None)
+    cvol = jnp.concatenate([vol_in[..., None], grad], axis=-1)[:zs]
     # Re-layout to (slice, v, u, 4) sharded along the scan axis (one
     # all-to-all when the camera is not Z-principal).
+    cvol = jnp.transpose(cvol, perm + (3,))
+    if s_pad != s:
+        cvol = jnp.pad(cvol, ((0, s_pad - s), (0, 0), (0, 0), (0, 0)))
     cvol = jax.device_put(
-        jnp.transpose(cvol, perm + (3,)),
+        cvol,
         NamedSharding(mesh, P(axis_name, None, None, None)),
     )
 
     # Per-shard g blocks in unflipped global z order (like dvr_sharded).
     g_unflipped = g[::-1] if flip else g
+    if s_pad != s:
+        g_unflipped = np.concatenate(
+            [g_unflipped, np.full(s_pad - s, -1.0, np.float32)]
+        )
     g_blocks = jnp.asarray(g_unflipped.reshape(n_shards, s_loc))
 
     fn = _sharded_first_hit_fn(mesh, axis_name, flip, n_shards,

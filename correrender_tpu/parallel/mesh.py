@@ -26,7 +26,10 @@ def make_mesh(
     n = len(devices)
     if space is None:
         space = n // members
-    if space * members > n:
+    if space < 1 or members < 1 or space * members > n:
+        # space == 0 happens when members > device count with the
+        # auto-derived space axis; an empty 0 x members mesh would
+        # otherwise surface later as an obscure sharding error.
         raise ValueError(f"mesh {space}x{members} > {n} devices")
     arr = np.asarray(devices[: space * members]).reshape(space, members)
     return Mesh(arr, axis_names=("space", "members"))

@@ -104,41 +104,69 @@ def correlate_member_sharded(
     dominates).
     """
     m = measure_from_id(measure)
+    kwargs = dict(kwargs)
     if m == CorrelationMeasure.PEARSON:
-        return pearson_member_sharded(stack, ref, mesh)
-    if is_measure_binned_mi(m) and kwargs.get("mi_bounds") is None:
+        # The psum fast path computes signed r; apply value-mode
+        # kwargs here so the sharded result matches the dense
+        # correlate_field (which handles absolute for every measure).
+        # Any other kwarg routes through the generic gather path.
+        absolute = bool(kwargs.pop("absolute", False))
+        if not kwargs:
+            out = pearson_member_sharded(stack, ref, mesh)
+            return jnp.abs(out) if absolute else out
+        kwargs["absolute"] = absolute
+    bounds = None
+    if is_measure_binned_mi(m):
         # Binned MI normalizes by GLOBAL min/max
         # (CorrelationCalculator.cpp:820-845). Inside shard_map each
         # space shard would see only its local Z-slab (review finding:
         # seams at shard boundaries + divergence from the dense path);
-        # the bounds reduce once here, outside the shard_map.
-        kwargs = dict(kwargs)
-        kwargs["mi_bounds"] = (
-            (float(jnp.nanmin(ref)), float(jnp.nanmax(ref))),
-            (float(jnp.nanmin(stack)), float(jnp.nanmax(stack))),
-        )
-    return _gather_sharded_fn(
-        mesh, m, tuple(sorted(kwargs.items()))
-    )(stack, ref)
+        # the bounds reduce once here, outside the shard_map — as
+        # TRACED values: host floats would ride the jit cache key and
+        # force a blocking sync + full recompile per dataset.
+        given = kwargs.pop("mi_bounds", None)
+        if given is None:
+            bounds = jnp.stack([
+                jnp.stack([jnp.nanmin(ref), jnp.nanmax(ref)]),
+                jnp.stack([jnp.nanmin(stack), jnp.nanmax(stack)]),
+            ]).astype(jnp.float32)
+        else:
+            (rlo, rhi), (qlo, qhi) = given
+            bounds = jnp.asarray(
+                [[rlo, rhi], [qlo, qhi]], jnp.float32
+            )
+    fn = _gather_sharded_fn(
+        mesh, m, tuple(sorted(kwargs.items())), bounds is not None
+    )
+    if bounds is not None:
+        return fn(stack, ref, bounds)
+    return fn(stack, ref)
 
 
 @functools.lru_cache(maxsize=32)
-def _gather_sharded_fn(mesh: Mesh, m, kwargs_items):
+def _gather_sharded_fn(mesh: Mesh, m, kwargs_items, has_bounds=False):
     kwargs = dict(kwargs_items)
 
     from correrender_tpu.calculators.correlation import correlate_field
 
-    def local(stack_blk, ref_blk):
+    def local(stack_blk, ref_blk, *rest):
         full_stack = jax.lax.all_gather(
             stack_blk, "members", axis=-1, tiled=True
         )
         full_ref = jax.lax.all_gather(ref_blk, "members", axis=0, tiled=True)
-        return correlate_field(full_stack, full_ref, m, **kwargs)
+        kw = dict(kwargs)
+        if rest:
+            b = rest[0]
+            kw["mi_bounds"] = ((b[0, 0], b[0, 1]), (b[1, 0], b[1, 1]))
+        return correlate_field(full_stack, full_ref, m, **kw)
 
+    in_specs = [P("space", None, None, "members"), P("members")]
+    if has_bounds:
+        in_specs.append(P())  # replicated (2, 2) bounds
     return jax.jit(shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("space", None, None, "members"), P("members")),
+        in_specs=tuple(in_specs),
         out_specs=P("space", None, None),
         check_vma=False,
     ))

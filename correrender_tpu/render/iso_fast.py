@@ -34,19 +34,28 @@ from correrender_tpu.render import dvr_fast as df
 _EPS = 1e-6
 
 
-def _gradient_volume(volume: jnp.ndarray, box_min, box_max):
-    """Central-difference gradient in world units, (Z, Y, X, 3) xyz."""
+def _gradient_volume(volume: jnp.ndarray, box_min, box_max,
+                     n_real_z: int | None = None):
+    """Central-difference gradient in world units, (Z, Y, X, 3) xyz.
+
+    ``n_real_z``: when the z axis carries shard-divisibility padding
+    (iso_sharded), the REAL extent — spacing and the one-sided
+    boundary rows then match the dense unpadded computation exactly on
+    rows [0, n_real_z); pad-row gradients are garbage by contract
+    (the caller discards them).
+    """
     zs, ys, xs = volume.shape
+    zs_eff = zs if n_real_z is None else n_real_z
     ext = np.asarray(box_max) - np.asarray(box_min)
-    spacing = np.array([ext[0] / xs, ext[1] / ys, ext[2] / zs])
+    spacing = np.array([ext[0] / xs, ext[1] / ys, ext[2] / zs_eff])
 
     def diff(axis, h):
         upper = jnp.roll(volume, -1, axis)
         lower = jnp.roll(volume, 1, axis)
         g = (upper - lower) / (2.0 * h)
         # One-sided at the boundary slices.
-        n = volume.shape[axis]
-        idx = jnp.arange(n).reshape(
+        n = volume.shape[axis] if axis != 0 else zs_eff
+        idx = jnp.arange(volume.shape[axis]).reshape(
             [-1 if a == axis else 1 for a in range(3)]
         )
         fwd = (upper - volume) / h

@@ -163,7 +163,10 @@ class TestIsoSharded:
         )
         _assert_images_match(got, want)
 
-    def test_uneven_shards_fall_back(self, smooth_volume):
+    def test_uneven_shards_pad_inert_slices(self, smooth_volume):
+        # 28 slices on 8 shards: padded with inert (g = -1)
+        # slices and still sharded — previously a full replicated
+        # fallback (round-3 review).
         from correrender_tpu.parallel.iso_sharded import (
             iso_shearwarp_sharded,
         )
@@ -213,3 +216,40 @@ def test_eye_inside_box_falls_back(stack_mesh=None):
     )
     want = np.asarray(dvr_render(vol, cam, tf, image_size=(48, 36)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dvr_uneven_shards_pad_inert_slices(smooth_volume):
+    # z = 32 is divisible; slice axis y = 24 on 8 shards divides too,
+    # so crop z to 27 (27 % 8 != 0) to hit the padded path for a
+    # z-principal camera.
+    vol = smooth_volume[:27]
+    mesh = make_mesh(space=8, members=1)
+    cam = Camera(position=(0.05, 0.1, 0.9))
+    tf = _tf()
+    got = np.asarray(
+        dvr_shearwarp_sharded(vol, cam, tf, mesh, image_size=(96, 80),
+                              background=(0, 0, 0, 0)))
+    want = np.asarray(
+        dvr_shearwarp(vol, cam, tf, image_size=(96, 80),
+                      background=(0, 0, 0, 0)))
+    _assert_images_match(got, want)
+
+
+def test_iso_uneven_z_pads(smooth_volume):
+    # Non-divisible zs exercises BOTH pads: the classify/gradient
+    # z-pad (wrap rows + n_real_z boundary handling) and the
+    # compositing-axis inert-slice pad.
+    from correrender_tpu.parallel.iso_sharded import iso_shearwarp_sharded
+    from correrender_tpu.render.iso_fast import iso_shearwarp
+
+    vol = smooth_volume[:27]
+    mesh = make_mesh(space=8, members=1)
+    cam = Camera(position=(0.05, 0.1, 0.9))
+    iso = float(np.quantile(np.asarray(vol), 0.6))
+    got = np.asarray(
+        iso_shearwarp_sharded(vol, cam, iso, mesh, image_size=(64, 48),
+                              background=(0, 0, 0, 0)))
+    want = np.asarray(
+        iso_shearwarp(vol, cam, iso, image_size=(64, 48),
+                      background=(0, 0, 0, 0)))
+    _assert_images_match(got, want)

@@ -71,3 +71,44 @@ def test_sharded_output_layout(stack_and_ref):
     out = pearson_member_sharded(sharded, ref, mesh)
     # Output stays sharded over space (no implicit gather).
     assert len(out.sharding.device_set) == 8
+
+
+def test_mesh_members_exceed_devices_raises():
+    # space auto-derives as n // members = 0 — must raise, not build
+    # an empty 0 x members mesh (round-3 review).
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(members=16)
+
+
+def test_sharded_pearson_honors_absolute(stack_and_ref):
+    # The psum fast path returned signed r even with absolute=True,
+    # diverging from the dense calculator (round-3 review).
+    stack, ref = stack_and_ref
+    mesh = make_mesh(space=2, members=4)
+    sharded = shard_member_stack(stack, mesh)
+    got = np.asarray(correlate_member_sharded(
+        sharded, ref, mesh, "pearson", absolute=True))
+    from correrender_tpu.calculators.correlation import correlate_field
+
+    want = np.asarray(correlate_field(stack, ref, "pearson",
+                                      absolute=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert (got >= 0).all()
+
+
+def test_sharded_binned_mi_no_recompile_per_dataset(stack_and_ref):
+    # mi_bounds ride the program as TRACED arrays: host floats keyed
+    # the jit cache and forced a sync + full recompile per dataset
+    # (round-3 review).
+    from correrender_tpu.parallel import pearson_sharded as ps
+
+    stack, ref = stack_and_ref
+    mesh = make_mesh(space=2, members=4)
+    sharded = shard_member_stack(stack, mesh)
+    correlate_member_sharded(sharded, ref, mesh, "mi_binned")
+    misses0 = ps._gather_sharded_fn.cache_info().misses
+    # A different dataset (different min/max) must hit the same
+    # compiled program.
+    correlate_member_sharded(sharded * 3.0 + 1.0, ref * 2.0 - 0.5,
+                             mesh, "mi_binned")
+    assert ps._gather_sharded_fn.cache_info().misses == misses0
