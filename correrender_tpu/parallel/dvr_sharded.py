@@ -144,56 +144,23 @@ def dvr_shearwarp_sharded(
     # memory invariant exactly at odd real-world sizes.
     s_pad = -(-s // n_shards) * n_shards
 
-    # --- replicate the single-device setup math, parametric in `a` ----
+    # --- single-device setup math, shared (dvr_fast) ------------------
     nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
     flip = forward[a] < 0
+    from correrender_tpu.render.dvr_fast import shearwarp_geometry
 
-    def centers(world_axis, count):
-        lo, hi_ = box_min[world_axis], box_max[world_axis]
-        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
-
-    slice_coords = centers(a, s)
-    coords_v = centers(in_plane[1], nv)
-    coords_u = centers(in_plane[0], nu)
-    if flip:
-        slice_coords = slice_coords[::-1]
-    e_a = eye[a]
-    z_ref = slice_coords[0]
-    denom = z_ref - e_a
-    if abs(denom) < 1e-6:
-        denom = np.sign(denom or 1.0) * 1e-6
-    g = ((slice_coords - e_a) / denom).astype(np.float32)
-
-    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
-    lo_u = hi_u = lo_v = hi_v = None
-    for gk in (g.min(), g.max(), 1.0):
-        if gk <= 0:
-            continue
-        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
-        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
-        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
-        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
-        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
-        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
-
-    width, height = image_size
-    hi_res = max(int(height * intermediate_scale), 2 * nv)
-    wi_res = max(int(width * intermediate_scale), 2 * nu)
-    margin_u = 2.0 * (hi_u - lo_u) / wi_res
-    margin_v = 2.0 * (hi_v - lo_v) / hi_res
-    grid_u = np.linspace(lo_u - margin_u, hi_u + margin_u,
-                         wi_res).astype(np.float32)
-    grid_v = np.linspace(lo_v - margin_v, hi_v + margin_v,
-                         hi_res).astype(np.float32)
-    # On-device (host meshgrids cost a full-image H2D per call).
-    d_u2 = jnp.asarray(grid_u)[None, :] - e_u
-    d_v2 = jnp.asarray(grid_v)[:, None] - e_v
-    d_a = float(z_ref - e_a)
-    len_factor = jnp.sqrt(d_u2**2 + d_v2**2 + d_a**2) / max(
-        abs(d_a), 1e-9
+    geo = shearwarp_geometry(
+        camera, box_min, box_max, a, in_plane, bool(flip), s, nv, nu,
+        image_size, intermediate_scale,
     )
-    slab_thickness = float(abs(slice_coords[1] - slice_coords[0])
-                           if s > 1 else (box_max[a] - box_min[a]))
+    coords_v, coords_u = geo["coords_v"], geo["coords_u"]
+    g, z_ref, e_u, e_v = (geo["g"].astype(np.float32), geo["z_ref"],
+                          geo["e_u"], geo["e_v"])
+    grid_u, grid_v = geo["grid_u"], geo["grid_v"]
+    hi_res, wi_res = geo["hi_res"], geo["wi_res"]
+    len_factor, slab_thickness = (
+        geo["len_factor"], geo["slab_thickness"])
+    width, height = image_size
 
     # --- classification stays sharded (elementwise) --------------------
     # The classify stage shards along z, so a non-divisible zs pads

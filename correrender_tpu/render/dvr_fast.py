@@ -155,6 +155,86 @@ def shearwarp_camera_key(camera) -> tuple:
     return (a, bool(forward[a] < 0))
 
 
+def shearwarp_geometry(camera, box_min, box_max, a, in_plane, flip,
+                       s, nv, nu, image_size, intermediate_scale):
+    """Shared shear-warp slice/grid geometry — the ONE definition used
+    by the dense DVR/iso fast paths and both sharded renderers. A
+    numerical tweak applied to one copy and silently skipped in the
+    others produces shard-boundary / fast-vs-exact parity artifacts
+    (round-3 review: this block existed in four near-verbatim copies).
+
+    Returns a dict with: slice_coords (near→far), coords_v/coords_u,
+    g, z_ref, e_u/e_v, grid_u/grid_v (host f32), hi_res/wi_res,
+    len_factor (DEVICE array — host meshgrids cost a full-image H2D
+    per frame), slab_thickness.
+    """
+    eye = np.asarray(camera.position, np.float32)
+
+    # World coordinates of voxel centers along each axis. Array index
+    # ascends with world coordinate for (z,y,x) ordering.
+    def centers(world_axis, count):
+        lo, hi_ = box_min[world_axis], box_max[world_axis]
+        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
+
+    slice_coords = centers(a, s)
+    coords_v = centers(in_plane[1], nv)
+    coords_u = centers(in_plane[0], nu)
+    if flip:
+        slice_coords = slice_coords[::-1]
+    e_a = eye[a]
+    z_ref = slice_coords[0]
+    denom = z_ref - e_a
+    if abs(denom) < 1e-6:
+        denom = np.sign(denom or 1.0) * 1e-6
+    g = (slice_coords - e_a) / denom  # (S,) ≥ 1 when eye outside
+
+    # Intermediate grid: union of slice footprints projected to the
+    # reference plane through the eye (q_ref = e + (q − e)/g_k).
+    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
+    lo_u = hi_u = lo_v = hi_v = None
+    for gk in (g.min(), g.max(), 1.0):
+        if gk <= 0:
+            continue
+        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
+        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
+        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
+        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
+        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
+        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
+
+    width, height = image_size
+    hi_res = max(int(height * intermediate_scale), 2 * nv)
+    wi_res = max(int(width * intermediate_scale), 2 * nu)
+    # One-texel safety margin so box-silhouette content never touches
+    # the grid boundary (the warp's tent weights fall off over one
+    # texel; without the margin the edge convention would matter).
+    margin_u = 2.0 * (hi_u - lo_u) / wi_res
+    margin_v = 2.0 * (hi_v - lo_v) / hi_res
+    grid_u = np.linspace(
+        lo_u - margin_u, hi_u + margin_u, wi_res
+    ).astype(np.float32)
+    grid_v = np.linspace(
+        lo_v - margin_v, hi_v + margin_v, hi_res
+    ).astype(np.float32)
+
+    # Per-intermediate-pixel path-length factor |d| / |d_a| of the ray
+    # eye → reference-plane point, built ON DEVICE from the 1D grids.
+    d_u = jnp.asarray(grid_u)[None, :] - e_u
+    d_v = jnp.asarray(grid_v)[:, None] - e_v
+    d_a = float(z_ref - e_a)
+    len_factor = jnp.sqrt(d_u**2 + d_v**2 + d_a**2) / max(abs(d_a), 1e-9)
+    slab_thickness = float(
+        abs(slice_coords[1] - slice_coords[0]) if s > 1 else
+        (box_max[a] - box_min[a])
+    )
+    return dict(
+        slice_coords=slice_coords, coords_v=coords_v, coords_u=coords_u,
+        g=g, z_ref=z_ref, e_u=e_u, e_v=e_v, grid_u=grid_u,
+        grid_v=grid_v, hi_res=hi_res, wi_res=wi_res,
+        len_factor=len_factor, slab_thickness=slab_thickness,
+    )
+
+
 def shearwarp_viable(camera, box) -> bool:
     """Whether the shear-warp factorization applies for this camera.
 
@@ -381,70 +461,21 @@ def dvr_shearwarp(
         n_slices = cvol.shape[0]
         nv, nu = cvol.shape[1], cvol.shape[2]
 
-    # World coordinates of voxel centers along each axis. Array index
-    # ascends with world coordinate for (z,y,x) ordering.
-    def centers(world_axis, count):
-        lo, hi_ = box_min[world_axis], box_max[world_axis]
-        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
-
-    slice_coords = centers(a, n_slices)
-    coords_v = centers(in_plane[1], nv)
-    coords_u = centers(in_plane[0], nu)
-
     # Order slices near→far from the eye.
-    if flip:
-        if prepared is None:
-            cvol = cvol[::-1]
-        slice_coords = slice_coords[::-1]
-    e_a = eye[a]
-    z_ref = slice_coords[0]
-    denom = z_ref - e_a
-    if abs(denom) < 1e-6:
-        denom = np.sign(denom or 1.0) * 1e-6
-    g = (slice_coords - e_a) / denom  # (S,) ≥ 1 when eye outside
-
-    # Intermediate grid: union of slice footprints projected to the
-    # reference plane through the eye (q_ref = e + (q − e)/g_k).
-    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
-    lo_u = hi_u = lo_v = hi_v = None
-    for gk in (g.min(), g.max(), 1.0):
-        if gk <= 0:
-            continue
-        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
-        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
-        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
-        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
-        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
-        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
-
-    width, height = image_size
-    hi_res = max(int(height * intermediate_scale), 2 * nv)
-    wi_res = max(int(width * intermediate_scale), 2 * nu)
-    # One-texel safety margin so box-silhouette content never touches
-    # the grid boundary (the warp's tent weights fall off over one
-    # texel; without the margin the edge convention would matter).
-    margin_u = 2.0 * (hi_u - lo_u) / wi_res
-    margin_v = 2.0 * (hi_v - lo_v) / hi_res
-    grid_u = np.linspace(
-        lo_u - margin_u, hi_u + margin_u, wi_res
-    ).astype(np.float32)
-    grid_v = np.linspace(
-        lo_v - margin_v, hi_v + margin_v, hi_res
-    ).astype(np.float32)
-
-    # Per-intermediate-pixel path-length factor |d| / |d_a| of the ray
-    # eye → reference-plane point. Built ON DEVICE from the 1D grids —
-    # a host-side meshgrid costs a (hi, wi) H2D upload EVERY frame
-    # (~11 ms at this link's measured 0.18 GiB/s for a 1080p half-res
-    # intermediate).
-    d_u = jnp.asarray(grid_u)[None, :] - e_u
-    d_v = jnp.asarray(grid_v)[:, None] - e_v
-    d_a = float(z_ref - e_a)
-    len_factor = jnp.sqrt(d_u**2 + d_v**2 + d_a**2) / max(abs(d_a), 1e-9)
-    slab_thickness = float(
-        abs(slice_coords[1] - slice_coords[0]) if n_slices > 1 else
-        (box_max[a] - box_min[a])
+    if flip and prepared is None:
+        cvol = cvol[::-1]
+    geo = shearwarp_geometry(
+        camera, box_min, box_max, a, in_plane, flip, n_slices, nv, nu,
+        image_size, intermediate_scale,
     )
+    slice_coords, coords_v, coords_u = (
+        geo["slice_coords"], geo["coords_v"], geo["coords_u"])
+    g, z_ref, e_u, e_v = geo["g"], geo["z_ref"], geo["e_u"], geo["e_v"]
+    grid_u, grid_v = geo["grid_u"], geo["grid_v"]
+    hi_res, wi_res = geo["hi_res"], geo["wi_res"]
+    len_factor, slab_thickness = (
+        geo["len_factor"], geo["slab_thickness"])
+    width, height = image_size
 
     kstop = None
     if depth_limit is not None:

@@ -255,43 +255,19 @@ def iso_shearwarp(
     n_slices = cvol.shape[0]
     nv, nu = cvol.shape[1], cvol.shape[2]
 
-    def centers(world_axis, count):
-        lo, hi_ = box_min[world_axis], box_max[world_axis]
-        return lo + (np.arange(count) + 0.5) / count * (hi_ - lo)
+    from correrender_tpu.render.dvr_fast import shearwarp_geometry
 
-    slice_coords = centers(a, n_slices)
-    coords_v = centers(in_plane[1], nv)
-    coords_u = centers(in_plane[0], nu)
-    if flip:
-        slice_coords = slice_coords[::-1]  # cvol already near→far
-    e_a = eye[a]
-    z_ref = slice_coords[0]
-    denom = z_ref - e_a
-    if abs(denom) < 1e-6:
-        denom = np.sign(denom or 1.0) * 1e-6
-    g = ((slice_coords - e_a) / denom).astype(np.float32)
-
-    e_u, e_v = eye[in_plane[0]], eye[in_plane[1]]
-    lo_u = hi_u = lo_v = hi_v = None
-    for gk in (g.min(), g.max(), 1.0):
-        if gk <= 0:
-            continue
-        cu = e_u + (np.array([coords_u[0], coords_u[-1]]) - e_u) / gk
-        cv = e_v + (np.array([coords_v[0], coords_v[-1]]) - e_v) / gk
-        lo_u = cu.min() if lo_u is None else min(lo_u, cu.min())
-        hi_u = cu.max() if hi_u is None else max(hi_u, cu.max())
-        lo_v = cv.min() if lo_v is None else min(lo_v, cv.min())
-        hi_v = cv.max() if hi_v is None else max(hi_v, cv.max())
-
+    geo = shearwarp_geometry(
+        camera, box_min, box_max, a, in_plane, flip, n_slices, nv, nu,
+        image_size, intermediate_scale,
+    )
+    slice_coords = geo["slice_coords"]
+    coords_v, coords_u = geo["coords_v"], geo["coords_u"]
+    g, z_ref, e_u, e_v = geo["g"], geo["z_ref"], geo["e_u"], geo["e_v"]
+    grid_u, grid_v = geo["grid_u"], geo["grid_v"]
+    hi_res, wi_res = geo["hi_res"], geo["wi_res"]
     width, height = image_size
-    hi_res = max(int(height * intermediate_scale), 2 * nv)
-    wi_res = max(int(width * intermediate_scale), 2 * nu)
-    margin_u = 2.0 * (hi_u - lo_u) / wi_res
-    margin_v = 2.0 * (hi_v - lo_v) / hi_res
-    grid_u = np.linspace(lo_u - margin_u, hi_u + margin_u,
-                         wi_res).astype(np.float32)
-    grid_v = np.linspace(lo_v - margin_v, hi_v + margin_v,
-                         hi_res).astype(np.float32)
+    e_a = eye[a]
 
     # Note: a Pallas VMEM variant of this scan was measured 3x SLOWER
     # than the XLA formulation (the 10-plane fori carry spills; XLA's
