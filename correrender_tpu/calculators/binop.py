@@ -71,8 +71,13 @@ class BinaryOperatorCalculator(Calculator):
         return kwargs
 
     def get_settings(self):
+        # Write the reference GUI name ("Absolute Difference"), not
+        # the internal key: the reference app's enum-name lookup only
+        # recognizes GUI names, so states saved here stay loadable
+        # there (settings_to_kwargs accepts both directions).
+        gui = {v: k for k, v in BINARY_OPERATOR_NAMES.items()}
         return {
-            "operator_type": self.operator,
+            "operator_type": gui.get(self.operator, self.operator),
             "scalar_field_name_0": self.field_name_a,
             "scalar_field_name_1": self.field_name_b,
         }

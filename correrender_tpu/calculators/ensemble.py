@@ -27,6 +27,11 @@ class EnsembleMeanCalculator(Calculator):
         ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         return jnp.nanmean(stack, axis=-1)
 
+    @classmethod
+    def settings_to_kwargs(cls, s):
+        # Reference state-file key -> __init__ kwarg.
+        return {"field_name": s.get("scalar_field_name")}
+
     def get_settings(self):
         return {"scalar_field_name": self.field_name}
 
@@ -49,6 +54,11 @@ class EnsembleSpreadCalculator(Calculator):
         ).astype(jnp.float32)  # bf16-staged storage: reduce in f32
         mean = jnp.nanmean(stack, axis=-1, keepdims=True)
         return jnp.sqrt(jnp.nanmean((stack - mean) ** 2, axis=-1))
+
+    @classmethod
+    def settings_to_kwargs(cls, s):
+        # Reference state-file key -> __init__ kwarg.
+        return {"field_name": s.get("scalar_field_name")}
 
     def get_settings(self):
         return {"scalar_field_name": self.field_name}

@@ -44,6 +44,12 @@ class NeuralCorrelationCalculator(Calculator):
         self.weights_path = weights_path
         self._stencil = None  # lazy NaN stencil (valid-voxel mask)
         self._field_program = None  # jitted whole-field apply
+        #: (field_name, time) the current params were auto-fit on —
+        #: a field/time switch must retrain, not silently answer for
+        #: the old data. None for preset/imported weights (explicit
+        #: user choice; kept across switches like the reference's
+        #: fixed published networks).
+        self._fit_key = None
         if weights_path is not None:
             self.load_weights(weights_path)
 
@@ -106,9 +112,8 @@ class NeuralCorrelationCalculator(Calculator):
         (``.pt``/``.pth`` — mapped torch-free via
         models/torch_import.py; reference
         PyTorchCorrelationCalculator.cpp:261)."""
-        import numpy as _np
-
         self._field_program = None  # model is changing
+        self._fit_key = None  # preset weights: explicit user choice
         if path.endswith((".pt", ".pth", ".ts")):
             from correrender_tpu.models.torch_import import (
                 srn_from_torch_archive,
@@ -117,14 +122,14 @@ class NeuralCorrelationCalculator(Calculator):
             self.model, self.params = srn_from_torch_archive(path)
             return
 
-        with _np.load(path) as data:
+        with np.load(path) as data:
             cfg = data["config"]
         self.model = CorrelationSRN.from_config_array(cfg)
         from correrender_tpu.models.checkpoint import load_params
 
         template = {
             "config": cfg,
-            "params": self.model.init(__import__("jax").random.key(0)),
+            "params": self.model.init(jax.random.key(0)),
         }
         self.params = load_params(path, template)["params"]
 
@@ -134,11 +139,13 @@ class NeuralCorrelationCalculator(Calculator):
 
     def _nan_stencil(self, stack, time: int):
         """(Z, Y, X) bool — True where the full series is finite.
-        Cached per timestep (time-varying NaN patterns, e.g. GRIB
-        bitmaps, must not leak across steps)."""
-        if self._stencil is None or self._stencil[0] != time:
+        Cached per (field, timestep): time-varying NaN patterns (GRIB
+        bitmaps) and field switches (the viewer writes field_name
+        directly) must not leak a stale mask."""
+        key = (self.field_name, time)
+        if self._stencil is None or self._stencil[0] != key:
             self._stencil = (
-                time, jnp.all(jnp.isfinite(stack), axis=-1)
+                key, jnp.all(jnp.isfinite(stack), axis=-1)
             )
         return self._stencil[1]
 
@@ -197,10 +204,18 @@ class NeuralCorrelationCalculator(Calculator):
             jnp.concatenate(target_list),
             steps=self.train_steps,
         )
+        self._fit_key = (self.field_name, time)
         return loss
 
     def compute(self, time: int, member: int):
-        if self.params is None:
+        # Retrain when the auto-fit params no longer describe the
+        # selected data (field switch via the viewer, time scrub) —
+        # params loaded from presets/torch archives (_fit_key None
+        # after load) are the user's explicit choice and are kept.
+        if self.params is None or (
+            self._fit_key is not None
+            and self._fit_key != (self.field_name, time)
+        ):
             self.fit(time)
         vd = self.volume_data
         g = vd.grid

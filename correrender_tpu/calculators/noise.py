@@ -18,6 +18,11 @@ from correrender_tpu.calculators.base import Calculator, register_calculator_typ
 
 
 def gaussian_kernel_1d(sigma: float) -> np.ndarray:
+    if sigma <= 0.0:
+        # σ → 0 limit is the identity; the naive formula produces
+        # 0/0 = NaN at the center tap and an all-NaN blurred volume
+        # (a state file may carry standard_deviation: 0).
+        return np.ones(1, np.float32)
     radius = max(int(math.ceil(3.0 * sigma)), 1)
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)

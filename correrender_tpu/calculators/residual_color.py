@@ -44,6 +44,17 @@ class ResidualColorCalculator(Calculator):
         tf = TransferFunction.from_colormap(self.colormap, domain=(-1.0, 1.0))
         return tf(diff / bound)  # (Z, Y, X, 4) color field
 
+    @classmethod
+    def settings_to_kwargs(cls, s):
+        # Reference state-file keys -> __init__ kwargs.
+        out = {
+            "field_name_a": s.get("scalar_field_name_0"),
+            "field_name_b": s.get("scalar_field_name_1"),
+        }
+        if "colormap" in s:
+            out["colormap"] = s["colormap"]
+        return out
+
     def get_settings(self):
         return {
             "scalar_field_name_0": self.field_name_a,

@@ -62,6 +62,16 @@ class SetPredicateCalculator(Calculator):
         )
         return AGGREGATIONS[self.aggregation](mask)
 
+    @classmethod
+    def settings_to_kwargs(cls, s):
+        # Reference state-file key -> __init__ kwarg.
+        out = {"field_name": s.get("scalar_field_name")}
+        for k in ("comparison", "aggregation", "threshold",
+                  "threshold_upper"):
+            if k in s:
+                out[k] = s[k]
+        return out
+
     def get_settings(self):
         return {
             "scalar_field_name": self.field_name,

@@ -85,7 +85,12 @@ class LRUFieldCache:
         ):
             old_key, _ = self._entries.popitem(last=False)
             self.used_bytes -= self._sizes.pop(old_key)
-            self._min_max.pop(old_key, None)
+            # The min/max side cache survives eviction deliberately:
+            # eviction frees memory but does not change the data (two
+            # floats per slab), and dropping it forced a full slab
+            # reload per member on every global-min/max pass whenever
+            # the ensemble exceeds the budget (round-3 review). Only
+            # invalidate_field — a data change — clears it.
 
     def reserve_auxiliary(self, size: int) -> "AuxiliaryMemoryToken":
         """Reserve budget for calculator scratch (FieldCache.hpp:124-138)."""

@@ -239,10 +239,27 @@ class VolumeData:
         return jnp.stack(slabs, axis=-1).astype(self.member_stack_dtype)
 
     def get_time_stack(self, name: str, member: int = 0, times=None):
-        """Stack the time axis last: ``(Z, Y, X, T)`` (time-correlation mode)."""
-        times = range(self.grid.ts) if times is None else times
+        """Stack the time axis last: ``(Z, Y, X, T)`` (time-correlation
+        mode). Cached + staged to ``member_stack_dtype`` exactly like
+        :meth:`get_member_stack` — it is the identical hot input when
+        the correlation axis is time, and per-frame re-stacking would
+        dominate interactive use the same way."""
+        if times is None:
+            key = (name, member, "__tstack__")
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit
+            slabs = [
+                self.get_field(name, t, member)
+                for t in range(self.grid.ts)
+            ]
+            stack = jnp.stack(slabs, axis=-1).astype(
+                self.member_stack_dtype
+            )
+            self.cache.put(key, stack)
+            return stack
         slabs = [self.get_field(name, t, member) for t in times]
-        return jnp.stack(slabs, axis=-1)
+        return jnp.stack(slabs, axis=-1).astype(self.member_stack_dtype)
 
     def get_correlation_member_count(self, ensemble_mode: bool = True) -> int:
         """cs = ensemble size or time-step count (CorrelationCalculator.hpp:89)."""

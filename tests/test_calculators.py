@@ -493,3 +493,114 @@ class TestSlabFlatten:
             jnp.asarray(series), jnp.asarray(ref),
             cc.CorrelationMeasure.PEARSON, 80, 3, 1, False, 8, None))
         np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+
+class TestAllTypesSettingsRoundtrip:
+    """Every registered calculator type must survive
+    get_settings -> from_settings (round-3 review: five types emitted
+    reference state-file keys their __init__ did not accept, so every
+    saved state containing them crashed on load)."""
+
+    def test_every_registered_type(self):
+        from correrender_tpu.calculators import base as cal_base
+        from correrender_tpu.calculators.base import (
+            calculator_from_settings,
+        )
+
+        samples = {
+            "ensemble_mean": dict(field_name="f"),
+            "ensemble_spread": dict(field_name="f"),
+            "set_predicate": dict(field_name="f", comparison="greater",
+                                  threshold=0.4),
+            "residual_color": dict(field_name_a="f", field_name_b="g"),
+            "dkl": dict(field_name="f", estimator="knn", num_bins=40,
+                        k=5),
+            "noise_reduction": dict(field_name="f", sigma=1.5),
+        }
+        for type_id, cls in sorted(cal_base._TYPE_REGISTRY.items()):
+            kwargs = samples.get(type_id)
+            if kwargs is None:
+                try:
+                    calc = cls()
+                except TypeError:
+                    continue  # needs data-dependent args; covered
+                    # by the dedicated roundtrip tests.
+            else:
+                calc = cls(**kwargs)
+            settings = calc.get_settings()
+            rebuilt = calculator_from_settings(type_id, dict(settings))
+            assert rebuilt.get_settings() == settings, type_id
+
+
+class TestRound3CoreReviewFixes:
+    def test_min_max_survives_eviction(self):
+        # Eviction frees memory but does not change data: the two-float
+        # min/max side cache must survive it, or ensembles past the
+        # budget reload every slab per global-min/max pass (round-3
+        # review). invalidate_field (a data change) still clears it.
+        cache = LRUFieldCache(max_bytes=2 * 4 * 10)
+        cache.put(("f", 0, 0), jnp.ones(10))
+        cache.put_min_max(("f", 0, 0), (0.0, 1.0))
+        cache.put(("f", 0, 1), jnp.ones(10))
+        cache.put(("f", 0, 2), jnp.ones(10))  # evicts ("f", 0, 0)
+        assert ("f", 0, 0) not in cache
+        assert cache.get_min_max(("f", 0, 0)) == (0.0, 1.0)
+        cache.invalidate_field("f")
+        assert cache.get_min_max(("f", 0, 0)) is None
+
+    def test_time_stack_cached_and_staged(self):
+        import numpy as np
+
+        ts = 4
+        grid = GridMetadata(xs=4, ys=4, zs=2, ts=ts, es=1)
+        vd = VolumeData(grid, member_stack_dtype=jnp.bfloat16)
+        vols = [np.full((2, 4, 4), float(t), np.float32)
+                for t in range(ts)]
+        calls = []
+        vd.add_field("f", lambda t, e: (calls.append(t), vols[t])[1])
+        a = vd.get_time_stack("f")
+        b = vd.get_time_stack("f")
+        assert a.dtype == jnp.bfloat16
+        assert b is a  # cached, not re-stacked per call
+        assert calls.count(0) == 1
+
+    def test_noise_sigma_zero_is_identity(self):
+        from correrender_tpu.calculators.noise import gaussian_blur_3d
+
+        import numpy as np
+
+        vol = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 6, 6))
+            .astype(np.float32))
+        out = np.asarray(gaussian_blur_3d(vol, sigma=0.0))
+        np.testing.assert_allclose(out, np.asarray(vol))
+
+    def test_neural_stencil_and_params_rekey_on_field_change(self):
+        import numpy as np
+
+        members, xs, ys, zs = 8, 6, 6, 4
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(members, zs, ys, xs)).astype(np.float32)
+        b = rng.normal(size=(members, zs, ys, xs)).astype(np.float32)
+        b[:, 0, 0, 0] = np.nan  # field b has a NaN voxel series
+        grid = GridMetadata(xs=xs, ys=ys, zs=zs, ts=1, es=members)
+        vd = VolumeData(grid)
+        vd.add_field("a", lambda t, e: a[e])
+        vd.add_field("b", lambda t, e: b[e])
+        from correrender_tpu.calculators.neural import (
+            NeuralCorrelationCalculator,
+        )
+
+        neural = NeuralCorrelationCalculator(
+            field_name="a", train_steps=4)
+        vd.add_calculator(neural)
+        out_a = np.asarray(neural.compute(0, 0))
+        assert np.isfinite(out_a).all()
+        key_a = neural._fit_key
+        neural.field_name = "b"  # the viewer writes it directly
+        out_b = np.asarray(neural.compute(0, 0))
+        # Retrained for the new field, and the stale field-a stencil
+        # did not leak: b's NaN voxel is masked.
+        assert neural._fit_key != key_a
+        assert np.isnan(out_b[0, 0, 0])
+        assert np.isfinite(out_b[1, 1, 1])
