@@ -166,7 +166,14 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         if dataset_info is not None and dataset_info.time_steps:
             ts = dataset_info.time_steps_count
         if per_file_es > 1:
-            es = per_file_es * len(paths)  # member groups per file
+            if ts > 1 and len(paths) == ts:
+                # One file PER TIMESTEP, members inside each file —
+                # es must stay the in-file member count; multiplying
+                # by the file count inflated es and served timestep-0
+                # data for every t (round-3 review).
+                es = per_file_es
+            else:
+                es = per_file_es * len(paths)  # member groups per file
         elif per_file_ts > 1:
             es = len(paths)  # one member per file, timesteps inside
         else:
@@ -201,11 +208,17 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         def provider(t, e, _name=name):
             if len(loaders) > 1:
                 if per_file_es > 1:
-                    # Each file holds a member group: e spans files ×
-                    # in-file members (the old path indexed loaders[e]
-                    # past the list and always loaded member 0).
-                    ld = loaders[e // per_file_es]
-                    arr = ld.load_field(_name, t, e % per_file_es)
+                    if ts > 1 and len(loaders) == ts:
+                        # One file per timestep, members inside.
+                        ld = loaders[t]
+                        arr = ld.load_field(_name, 0, e)
+                    else:
+                        # Each file holds a member group: e spans
+                        # files × in-file members (the old path
+                        # indexed loaders[e] past the list and always
+                        # loaded member 0).
+                        ld = loaders[e // per_file_es]
+                        arr = ld.load_field(_name, t, e % per_file_es)
                 elif per_file_ts > 1:
                     # One file per member, timesteps inside the file.
                     ld = loaders[e]

@@ -108,6 +108,12 @@ def _unpack_bits(data: bytes, nbits: int, count: int) -> np.ndarray:
     """
     if nbits == 0:
         return np.zeros(count, np.int64)
+    if nbits > 57:
+        # Native unpack_bits_u64's contract is nbits in [0, 57]; the
+        # numpy route wraps int64 past 63. A message can advertise any
+        # octet value — raise instead of decoding garbage (same guard
+        # as the complex-packing group widths).
+        raise ValueError(f"GRIB bit width {nbits} > 57 unsupported")
     codec = _io_codec()
     if codec is not None:
         return _unpack_bits_native(
@@ -146,6 +152,10 @@ class _BitReader:
     def read(self, nbits: int, count: int) -> np.ndarray:
         if nbits == 0:
             return np.zeros(count, np.int64)
+        if nbits > 57:
+            raise ValueError(
+                f"GRIB bit width {nbits} > 57 unsupported"
+            )
         total = nbits * count
         if self._codec is not None:
             out = _unpack_bits_native(
@@ -631,8 +641,18 @@ def write_grib2(
     if levels is None:
         levels = [1000.0 - 100.0 * z for z in range(nz)]
 
+    # Unknown field names get DISTINCT local-use parameter numbers
+    # (192+i in category 254): one shared fallback code made every
+    # custom-named field decode as the same short_name, and the
+    # loader's (name, time, level) index silently kept only the last
+    # (round-3 review).
+    n_custom = 0
     for name, vol in fields.items():
-        disc, cat, num = name_to_code.get(name, (0, 254, 0))
+        code = name_to_code.get(name)
+        if code is None:
+            code = (0, 254, 192 + n_custom)
+            n_custom += 1
+        disc, cat, num = code
         for z in range(nz):
             grid = np.asarray(vol[z], np.float64)
             # NaN voxels (loader _FillValue slabs) are encoded through

@@ -44,6 +44,13 @@ def _axis_order(dim_names):
     unknown = [i for i, r in enumerate(roles) if r == "?"]
     needed = [r for r in ("e", "t", "z", "y", "x")[-len(dim_names):]
               if r not in roles]
+    # A volume NEEDS a z role, t is optional: when there are fewer
+    # unknown dims than missing roles, fill z before t, or an
+    # unrecognized vertical dim name (sigma, isobaric, ...) would be
+    # labeled 't' and the variable dropped as z-less (round-3 review).
+    if len(unknown) < len(needed) and "z" in needed:
+        needed.remove("z")
+        needed.insert(0, "z")
     # Positional fallback: unknown dims fill remaining roles in order.
     for i, r in zip(unknown, needed):
         roles[i] = r
@@ -152,7 +159,10 @@ class NetCdfLoader(VolumeLoader):
             short = name.split("/")[-1].lower()
             src = self._h5 if self._h5 is not None else self._nc.variables
             try:
-                data = np.asarray(src[name][...], np.float64)
+                # copy=True: np.asarray on an already-float64 NC3 var
+                # keeps a live VIEW into the mmap, which then blocks
+                # close() (no array may outlive the map).
+                data = np.array(src[name][...], np.float64, copy=True)
             except Exception:
                 continue
             if data.ndim != 1:
@@ -190,7 +200,14 @@ class NetCdfLoader(VolumeLoader):
     def _fill_value(self, name):
         try:
             if self._h5 is not None:
-                return self._h5[name].attrs.get("_FillValue", [None])[0]
+                fv = self._h5[name].attrs.get("_FillValue")
+                if fv is None:
+                    return None
+                # Writers store _FillValue as a 1-element array OR a
+                # scalar (h5netcdf/xarray); [0] on a scalar raised
+                # IndexError, silently disabling NaN masking via the
+                # except below (round-3 review).
+                return float(np.asarray(fv).reshape(-1)[0])
             v = self._nc.variables[name]
             return getattr(v, "_FillValue", None)
         except Exception:

@@ -26,6 +26,17 @@ _DAT_FORMATS = {
     "float32": np.float32,
     "double": np.float64,
     "uint": np.uint32,
+    # Explicit width-suffixed tokens: without them, filename sniffing
+    # longest-matched 'uint' INSIDE '_uint8'/'_uint16' and loaded the
+    # volume as uint32 (round-3 review — the 'short'-in-'ushort'
+    # substring bug class).
+    "uint8": np.uint8,
+    "uint16": np.uint16,
+    "uint32": np.uint32,
+    "int8": np.int8,
+    "int16": np.int16,
+    "int32": np.int32,
+    "float64": np.float64,
 }
 
 

@@ -88,8 +88,13 @@ class VtkXmlLoader(VolumeLoader):
         with open(path, "rb") as f:
             content = f.read()
         self._appended = b""
+        self._app_b64 = False
         app_match = re.search(rb"<AppendedData[^>]*>", content)
         if app_match:
+            # The VTK library writes base64 appended data by DEFAULT
+            # (EncodeAppendedDataOn); treating it as raw bytes read
+            # ASCII text as the size header (round-3 review).
+            self._app_b64 = b'"base64"' in app_match.group(0)
             start = content.index(b"_", app_match.end()) + 1
             end = content.rindex(b"</AppendedData>")
             self._appended = content[start:end]
@@ -164,7 +169,24 @@ class VtkXmlLoader(VolumeLoader):
         elif fmt == "appended":
             offset = int(da.get("offset", "0"))
             hsize = np.dtype(self._header_type).itemsize
-            if self._compressed:
+            if self._app_b64:
+                if self._compressed:
+                    raise ValueError(
+                        "base64-encoded compressed appended data is "
+                        "not supported; write with raw appended "
+                        "encoding or inline binary"
+                    )
+                # Offsets index the ENCODED stream; each array's
+                # [header][data] block is base64-encoded as one unit.
+                enc = bytes(self._appended[offset:])
+                head = base64.b64decode(enc[: 4 * (-(-hsize // 3))])
+                n = int(np.frombuffer(head[:hsize],
+                                      self._header_type)[0])
+                raw = base64.b64decode(
+                    enc[: 4 * (-(-(hsize + n) // 3))]
+                )
+                arr = np.frombuffer(raw[hsize : hsize + n], dtype)
+            elif self._compressed:
                 blob = self._appended[offset:]
                 nblocks = int(
                     np.frombuffer(blob[:hsize], self._header_type)[0]

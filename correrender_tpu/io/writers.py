@@ -125,14 +125,15 @@ def voxels_to_tet_mesh(volume: np.ndarray, threshold: float):
     )
     if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.int64)
-    corner_offsets = np.array(
-        [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-         [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]]
-    )  # (z, y, x) bit order: bit2=z, bit1=y, bit0=x
-    # 6-tet decomposition (corner ids match native/isosurface.cpp).
+    # 6-tet decomposition: the fan {0, c_i, c_{i+1}, 7} around the
+    # BODY diagonal 0-7, c walking the edge cycle 1→3→2→6→4→5 (same
+    # table as native/isosurface.cpp). The earlier face-diagonal 0-6
+    # fan left ~25% of each cell uncovered and double-covered ~25%
+    # (Monte-Carlo verified; round-3 review — the same geometry bug
+    # fixed in the marching-tetrahedra path earlier this round).
     tets_of_cube = np.array(
-        [[0, 5, 1, 6], [0, 1, 3, 6], [0, 3, 2, 6],
-         [0, 2, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]]
+        [[0, 1, 3, 7], [0, 3, 2, 7], [0, 2, 6, 7],
+         [0, 6, 4, 7], [0, 4, 5, 7], [0, 5, 1, 7]]
     )
     # Corner id c has offsets (x=bit0, y=bit1, z=bit2).
     id_to_zyx = np.array(
