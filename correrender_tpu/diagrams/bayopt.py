@@ -162,10 +162,9 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
             )
             ia = (pa[:, 2] * ys + pa[:, 1]) * xs + pa[:, 0]
             ib = (pb[:, 2] * ys + pb[:, 1]) * xs + pb[:, 0]
-            vals = _ops.correlate(
+            return _ops.correlate(
                 flat[ia], flat[ib], measure, absolute=True, **kw
-            )
-            return jnp.nan_to_num(vals)
+            )  # RAW (NaN probes kept: callers track finiteness)
 
         def chol_terms(x, y_c, mask, ls, var):
             """Cholesky + weights of the masked Matern GP."""
@@ -224,12 +223,19 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
         y_init = jax.vmap(
             lambda u: eval_points(jnp.broadcast_to(u, (p, 6)))
         )(u_init)  # (num_init, p)
-        y = jnp.zeros((p, cap), jnp.float32).at[:, :num_init].set(y_init.T)
+        # A pair whose probes are ALL NaN (fully masked regions) must
+        # return NaN like every other sampler — nan_to_num-ing it to
+        # 0.0 fabricated chords under the default correlation_range
+        # (round-3 review). NaN probes are zero-filled for the GP
+        # (it needs finite y) but tracked.
+        seen_finite = jnp.any(jnp.isfinite(y_init), axis=0)  # (p,)
+        y = jnp.zeros((p, cap), jnp.float32).at[:, :num_init].set(
+            jnp.nan_to_num(y_init).T)
 
         iota = jnp.arange(cap, dtype=jnp.float32)
 
         def body(it, state):
-            x, y, ls, var = state
+            x, y, ls, var, seen = state
             count = num_init + it
             mask = jnp.broadcast_to(
                 (iota[None, :] < count).astype(jnp.float32), (p, cap)
@@ -264,16 +270,19 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
             ucb = mean + ymean[:, None] + kappa * jnp.sqrt(varq)
             x_new = candidates[jnp.argmax(ucb, axis=1)]  # (p, 6)
             y_new = eval_points(x_new)
+            seen = seen | jnp.isfinite(y_new)
             x = jax.lax.dynamic_update_slice(
                 x, x_new[:, None, :], (0, count, 0)
             )
-            y = jax.lax.dynamic_update_slice(y, y_new[:, None], (0, count))
-            return x, y, ls, var
+            y = jax.lax.dynamic_update_slice(
+                y, jnp.nan_to_num(y_new)[:, None], (0, count))
+            return x, y, ls, var, seen
 
         state = (x, y, jnp.full((p,), 0.3, jnp.float32),
-                 jnp.ones((p,), jnp.float32))
-        x, y, _, _ = jax.lax.fori_loop(0, num_iters, body, state)
-        return jnp.max(y, axis=1)
+                 jnp.ones((p,), jnp.float32), seen_finite)
+        x, y, _, _, seen_finite = jax.lax.fori_loop(
+            0, num_iters, body, state)
+        return jnp.where(seen_finite, jnp.max(y, axis=1), jnp.nan)
 
     return run
 

@@ -118,8 +118,14 @@ class HEBDrilldown:
         )
         sub = _crop(self.stack, focus)
         if downsample_factor is None:
-            parent_f = chart.factor
-            downsample_factor = max(parent_f // 2, 1)
+            # Halve PER AXIS: collapsing anisotropic factors like
+            # (8, 8, 1) to scalar max//2 = 4 made the focus chart
+            # COARSER than the context on the flat axis (round-3
+            # review; anisotropic grids are the per-axis knob's whole
+            # point).
+            downsample_factor = tuple(
+                max(f // 2, 1) for f in chart.factors
+            )
         focus_chart = HEBChart(
             sub, downsample_factor=downsample_factor,
             measure=self.measure, max_chords=self.max_chords,

@@ -76,10 +76,11 @@ class HEBChart:
           reference's ``downscaling_factor_x/y/z`` knobs
           (DiagramRenderer.cpp settings; anisotropic grids like
           250×352×20 need a flatter z factor).
-        correlation_range: ``(lo, hi)`` filter on the (absolute)
+        correlation_range: ``(lo, hi)`` filter on the SIGNED
           correlation values kept as chords (reference
-          ``correlation_range_lower/upper``); default
-          ``(threshold, +inf)``.
+          ``correlation_range_lower/upper``; pass e.g. ``(-1, -0.5)``
+          to keep only strong anti-correlations on absolute=False
+          charts); default ``(threshold, +inf)``.
         cell_distance_range: ``(lo, hi)`` Euclidean distance filter
           between downsampled leaf centers — pairs outside the range
           are skipped BEFORE sampling (reference ``cellDistanceRange``
@@ -226,6 +227,16 @@ class HEBChart:
                 **self.measure_kw,
             )
         else:
+            from correrender_tpu.diagrams.sampling import (
+                SAMPLING_METHODS,
+            )
+
+            if self.sampling_method not in SAMPLING_METHODS:
+                raise ValueError(
+                    f"unknown sampling method "
+                    f"{self.sampling_method!r}; one of "
+                    f"{sorted(SAMPLING_METHODS)} or 'bayesian'"
+                )
             flat = np.array(
                 [
                     sample_block_pair_max(
@@ -338,7 +349,6 @@ class HEBChart:
         center = size / 2
         radius = size * 0.38
         pos, leaf_nodes, leaf_angle = self._node_positions(radius, center)
-        leaf_index_of_node = {n: k for k, n in enumerate(leaf_nodes)}
 
         # Std-dev outer ring.
         smax = float(np.nanmax(self.leaf_stddev))

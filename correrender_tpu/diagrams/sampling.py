@@ -75,7 +75,15 @@ def _eval_max(sa, sb, measure, **kw):
                           absolute=absolute, **kw)
     )
     vals = vals[np.isfinite(vals)]
-    return float(vals.max()) if len(vals) else float("nan")
+    if not len(vals):
+        return float("nan")
+    if absolute:
+        return float(vals.max())
+    # Signed mode: the "maximum correlation" of a block pair is the
+    # strongest RELATIONSHIP — select by |value|, return the signed
+    # value (a signed max would report one weak positive probe over a
+    # dominant anti-correlation; round-3 review).
+    return float(vals[np.abs(vals).argmax()])
 
 
 def sample_mean(stack, region_a, region_b, measure, num_samples=None,
@@ -327,7 +335,15 @@ def _pairs_max_program(measure, kw_items):
         )
         vals = vals.reshape(lo_a.shape[0], -1)
         finite = jnp.isfinite(vals)
-        best = jnp.max(jnp.where(finite, vals, -jnp.inf), axis=1)
+        if absolute:
+            best = jnp.max(jnp.where(finite, vals, -jnp.inf), axis=1)
+        else:
+            # Signed mode: strongest relationship by |value|, signed
+            # value returned (see _eval_max).
+            mag = jnp.where(finite, jnp.abs(vals), -jnp.inf)
+            best = jnp.take_along_axis(
+                vals, mag.argmax(axis=1)[:, None], axis=1
+            )[:, 0]
         return jnp.where(jnp.any(finite, axis=1), best, jnp.nan)
 
     return run
@@ -346,11 +362,16 @@ def exhaustive_block_pair_max(stack, region_a, region_b, measure="pearson",
 
     sa = region_series(region_a)
     sb = region_series(region_b)
+    absolute = kw.pop("absolute", True)
     vals = np.asarray(
         ops.correlate_jit(
             jnp.asarray(sa)[:, None, :], jnp.asarray(sb)[None, :, :],
-            measure, absolute=kw.pop("absolute", True), **kw,
+            measure, absolute=absolute, **kw,
         )
     )
     vals = vals[np.isfinite(vals)]
-    return float(vals.max())
+    if not len(vals):
+        return float("nan")  # all-NaN region pair, like _eval_max
+    if absolute:
+        return float(vals.max())
+    return float(vals[np.abs(vals).argmax()])

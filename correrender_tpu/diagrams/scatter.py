@@ -12,18 +12,27 @@ from correrender_tpu.diagrams.svg import SvgCanvas
 
 
 def scatter_points(field_a: np.ndarray, field_b: np.ndarray,
-                   max_points: int = 4096, seed: int = 0):
-    """Finite (a, b) value pairs, subsampled for plotting."""
+                   max_points: int = 4096, seed: int = 0,
+                   colors=None):
+    """Finite (a, b) value pairs, subsampled for plotting; an optional
+    per-point ``colors`` array is filtered/subsampled in lockstep.
+    The ONE filter/subsample definition (render_scatter_svg had an
+    inline near-copy; round-3 review)."""
     a = np.asarray(field_a).ravel()
     b = np.asarray(field_b).ravel()
+    colors = None if colors is None else np.asarray(colors).ravel()
     ok = np.isfinite(a) & np.isfinite(b)
     a, b = a[ok], b[ok]
+    if colors is not None:
+        colors = colors[ok]
     if len(a) > max_points:
         idx = np.random.default_rng(seed).choice(
             len(a), max_points, replace=False
         )
         a, b = a[idx], b[idx]
-    return a, b
+        if colors is not None:
+            colors = colors[idx]
+    return a, b, colors
 
 
 def render_scatter_svg(
@@ -45,22 +54,24 @@ def render_scatter_svg(
     one circle per voxel (a multi-GB SVG on a 256³ volume) and NaN
     voxels produced invalid cx="nan" coordinates (round-3 review).
     """
-    a, b = (np.asarray(field_a).ravel(), np.asarray(field_b).ravel())
-    colors = None if colors is None else np.asarray(colors).ravel()
-    ok = np.isfinite(a) & np.isfinite(b)
-    a, b = a[ok], b[ok]
-    if colors is not None:
-        colors = colors[ok]
-    if len(a) > max_points:
-        idx = np.random.default_rng(seed).choice(
-            len(a), max_points, replace=False
-        )
-        a, b = a[idx], b[idx]
-        if colors is not None:
-            colors = colors[idx]
+    a, b, colors = scatter_points(field_a, field_b,
+                                  max_points=max_points, seed=seed,
+                                  colors=colors)
     margin = 50
     span = size - 2 * margin
     canvas = SvgCanvas(size, size)
+    if len(a) == 0:
+        # Fully-masked input (all-NaN fields): an empty labeled plot
+        # beats the zero-size nanmin ValueError this raised (round-3
+        # review).
+        canvas.text(size / 2, size / 2,
+                    "no finite (A, B) value pairs", size=14)
+        canvas.text(size / 2, size - margin / 3, labels[0], size=13)
+        canvas.text(margin / 3, size / 2, labels[1], size=13,
+                    rotate=-90)
+        if path:
+            canvas.save(path)
+        return canvas.to_svg()
 
     def norm(v):
         lo, hi = np.nanmin(v), np.nanmax(v)

@@ -51,11 +51,15 @@ def load_time_series(path: str, variable: str | None = None) -> np.ndarray:
         import scipy.io
 
         nc = scipy.io.netcdf_file(path, "r", mmap=False)
-        candidates = {
-            k: v for k, v in nc.variables.items() if v.data.ndim >= 2
-        }
-        name = _pick_series_variable(candidates, variable, path)
-        arr = np.asarray(candidates[name].data, np.float32)
+        try:
+            candidates = {
+                k: v for k, v in nc.variables.items()
+                if v.data.ndim >= 2
+            }
+            name = _pick_series_variable(candidates, variable, path)
+            arr = np.asarray(candidates[name].data, np.float32)
+        finally:
+            nc.close()
     else:
         import h5py
 

@@ -558,3 +558,80 @@ class TestHebSignedValues:
         # correlated left-right pairs, not only weak positives.
         assert max(abs(v) for _, _, v in chords) > 0.5
         assert any(v < -0.5 for _, _, v in chords)
+
+
+class TestRound3DiagramReviewFixes:
+    def test_signed_samplers_pick_strongest_magnitude(self):
+        # absolute=False samplers must return the signed value of the
+        # strongest |relationship| — a signed max reported one weak
+        # positive probe over a dominant anti-correlation (round-3
+        # review).
+        rng = np.random.default_rng(3)
+        sig = rng.normal(size=32).astype(np.float32)
+        stack = rng.normal(size=(8, 8, 8, 32)).astype(np.float32) * 0.05
+        stack[:4] += sig
+        stack[4:] -= sig
+        from correrender_tpu.diagrams.octree import GridRegion
+        ra, rb = GridRegion(0, 0, 0, 7, 7, 3), GridRegion(0, 0, 4, 7, 7, 7)
+        v = sampling.sample_block_pair_max(
+            stack, ra, rb, "pearson", method="plastic",
+            num_samples=16, absolute=False)
+        assert v < -0.5
+        vb = sampling.batched_block_pairs_max(
+            stack, [ra], [rb], "pearson", method="plastic",
+            num_samples=16, absolute=False)
+        assert vb[0] < -0.5
+        ve = sampling.exhaustive_block_pair_max(
+            stack, ra, rb, "pearson", absolute=False)
+        assert ve < -0.5
+
+    def test_exhaustive_all_nan_pair_returns_nan(self):
+        stack = np.full((4, 4, 4, 8), np.nan, np.float32)
+        from correrender_tpu.diagrams.octree import GridRegion
+        r = GridRegion(0, 0, 0, 3, 3, 3)
+        assert np.isnan(
+            sampling.exhaustive_block_pair_max(stack, r, r))
+
+    def test_bayopt_all_nan_pair_returns_nan(self):
+        from correrender_tpu.diagrams.bayopt import (
+            batched_bayesian_opt_max,
+        )
+        from correrender_tpu.diagrams.octree import GridRegion
+
+        rng = np.random.default_rng(0)
+        stack = rng.normal(size=(4, 8, 8, 16)).astype(np.float32)
+        stack[:, :4] = np.nan  # masked half
+        good = GridRegion(0, 4, 0, 7, 7, 3)
+        masked = GridRegion(0, 0, 0, 7, 3, 3)
+        out = batched_bayesian_opt_max(
+            stack, [masked, good], [masked, good], "pearson",
+            num_init=6, num_iters=4)
+        assert np.isnan(out[0])       # fully-masked pair → NaN
+        assert np.isfinite(out[1])    # real pair unaffected
+
+    def test_scatter_all_nan_renders_empty_plot(self):
+        from correrender_tpu.diagrams.scatter import render_scatter_svg
+
+        svg = render_scatter_svg(np.full((4, 4), np.nan),
+                                 np.full((4, 4), np.nan))
+        assert "<svg" in svg and "no finite" in svg
+
+    def test_drilldown_halves_factors_per_axis(self):
+        from correrender_tpu.diagrams.drilldown import HEBDrilldown
+
+        rng = np.random.default_rng(1)
+        stack = rng.normal(size=(4, 32, 32, 12)).astype(np.float32)
+        dd = HEBDrilldown(stack, downsample_factor=(8, 8, 1),
+                          sampling_method="mean")
+        focus = dd.drill_into_chord(0)
+        # z stays full-res (1), x/y halve — the scalar max//2 made the
+        # focus chart COARSER than the context on the flat axis.
+        assert focus.factors == (4, 4, 1)
+
+    def test_unknown_sampling_method_raises(self):
+        rng = np.random.default_rng(0)
+        stack = rng.normal(size=(4, 16, 16, 8)).astype(np.float32)
+        chart = HEBChart(stack, downsample_factor=8,
+                         sampling_method="halto")  # typo
+        with pytest.raises(ValueError, match="sampling method"):
+            chart.compute_correlations()
