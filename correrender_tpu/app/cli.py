@@ -255,11 +255,14 @@ def cmd_state(args):
         return
     for view in range(len(scene.views)):
         img = scene.render_view(view, image_size=(w, h))
-        path = (
-            args.output
-            if len(scene.views) == 1
-            else args.output.replace(".png", f"_view{view}.png")
-        )
+        if len(scene.views) == 1:
+            path = args.output
+        else:
+            # splitext, not str.replace: an output without '.png'
+            # collapsed every view into ONE silently-overwritten file.
+            root, ext = os.path.splitext(args.output)
+            path = f"{root}_view{view}{ext or '.png'}"
+
         _save_png(img, path)
         print(f"wrote {path}")
 
@@ -290,8 +293,13 @@ def cmd_perf(args):
         if getattr(args, "fields", None) else [None]
     )
     states = default_perf_states(full=args.full, fields=fields)
-    for s in states:
-        s.num_frames = args.frames
+    if args.frames is not None:
+        # Only an EXPLICIT --frames overrides per-state frame counts:
+        # the field-cycle state computes max(2*len(fields), 8) so
+        # every field cycles twice, and the old unconditional default
+        # clobbered it (round-3 review).
+        for s in states:
+            s.num_frames = args.frames
     rows = run_perf_sweep(scene, states, csv_path=args.output)
     for row in rows:
         print(row)
@@ -556,7 +564,8 @@ def build_parser():
 
     sp = sub.add_parser("perf", help="performance state sweep (CSV)")
     add_dataset_args(sp)
-    sp.add_argument("--frames", type=int, default=8)
+    sp.add_argument("--frames", type=int, default=None,
+                    help="frames per state (default: per-state)")
     sp.add_argument("--full", action="store_true",
                     help="full resolution x renderer matrix")
     sp.add_argument("--fields",

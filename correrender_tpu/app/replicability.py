@@ -77,8 +77,20 @@ def run_replicability(output_dir: str, image_size=(800, 600),
     chart.render_svg(svg_path)
     files.append(svg_path)
 
-    # Scene state file (schema-compatible).
+    # Export the generated ensemble and reference it from the state
+    # file, so `cli state --load` can actually reload it — a
+    # {"synthetic": ...} marker satisfied neither of load_state's
+    # dataset forms (catalog/filename) and made the advertised
+    # schema-compatible artifact unloadable (round-3 review).
+    nc_path = os.path.join(output_dir, "replicability_ensemble.nc")
+    from correrender_tpu.io import writers
+
+    writers.write_netcdf(nc_path, data[:, None], name="data")
+    files.append(nc_path)
+
+    # Scene state file (schema-compatible AND loadable).
     state_path = os.path.join(output_dir, "replicability_state.json")
-    scene.save_state(state_path, dataset={"synthetic": "linear_4x4"})
+    scene.save_state(state_path, dataset={"filename": nc_path,
+                                          "name": "linear_4x4"})
     files.append(state_path)
     return files

@@ -73,9 +73,22 @@ def _ground_truth(stack, ra, rb, measure, **kw):
 
 
 def evaluate_case(stack, ra, rb, case, measure="pearson",
-                  stack_means=None, **kw):
-    """Run one test case on one block pair; returns metric dict."""
-    truth = _ground_truth(stack, ra, rb, measure, **kw)
+                  truth=None, **kw):
+    """Run one test case on one block pair; returns metric dict.
+
+    ``truth``: precomputed sorted ground-truth values for this
+    (pair, measure) — the harness computes it ONCE per pair and
+    passes it in (recomputing the exhaustive |A|x|B| sweep per CASE
+    was ~6x redundant work; round-3 review).
+    """
+    if truth is None:
+        truth = _ground_truth(stack, ra, rb, measure, **kw)
+    if len(truth) == 0:
+        raise ValueError(
+            "sampling test: every ground-truth correlation for this "
+            "block pair is non-finite (constant/masked region) — "
+            "choose different blocks or a different field"
+        )
     t_max, t_min = truth[-1], truth[0]
     found, micros = [], []
     for run in range(case.num_runs):
@@ -89,7 +102,6 @@ def evaluate_case(stack, ra, rb, case, measure="pearson",
             stack, ra, rb, measure,
             method=case.method,
             num_samples=case.num_samples,
-            stack_means=stack_means,
             seed=run,
             **extra,
             **kw,
@@ -135,16 +147,16 @@ def run_sampling_tests(
         )
         stack = np.moveaxis(data, 0, -1)
     zs, ys, xs, _ = stack.shape
-    from correrender_tpu.diagrams.octree import downsample_fields
-
-    means = downsample_fields(stack, max(block // 2, 1))
 
     pairs = []
     for _ in range(num_pairs):
         def rand_region():
-            x0 = int(rng.integers(0, max(xs - block, 1)))
-            y0 = int(rng.integers(0, max(ys - block, 1)))
-            z0 = int(rng.integers(0, max(zs - block, 1)))
+            # +1: integers() excludes the high bound, which otherwise
+            # structurally excluded block origins touching the domain
+            # max-edge from every sampled region (round-3 review).
+            x0 = int(rng.integers(0, max(xs - block + 1, 1)))
+            y0 = int(rng.integers(0, max(ys - block + 1, 1)))
+            z0 = int(rng.integers(0, max(zs - block + 1, 1)))
             return GridRegion(
                 x0, y0, z0,
                 min(x0 + block - 1, xs - 1),
@@ -154,12 +166,14 @@ def run_sampling_tests(
 
         pairs.append((rand_region(), rand_region()))
 
+    truths = [
+        _ground_truth(stack, ra, rb, measure) for ra, rb in pairs
+    ]
     rows = []
     for case in cases:
         metrics = [
-            evaluate_case(stack, ra, rb, case, measure,
-                          stack_means=means)
-            for ra, rb in pairs
+            evaluate_case(stack, ra, rb, case, measure, truth=truth)
+            for (ra, rb), truth in zip(pairs, truths)
         ]
         row = {
             "method": case.method,

@@ -158,11 +158,12 @@ class Scene:
     # -- rendering ---------------------------------------------------------
 
     def _active_render_restriction(self, box):
-        """(center, radius, metric) of the first calculator with an
+        """(center, radius, metric) of the LAST calculator with an
         active render restriction, else None. Mirrors the reference's
-        global ``VolumeData::setRenderRestriction`` state (the last
-        calculator to set it wins; VolumeData.hpp:424-430)."""
-        for calc in self.volume_data.calculators.values():
+        global ``VolumeData::setRenderRestriction`` state — the last
+        calculator to set it wins (VolumeData.hpp:424-430), so the
+        registration-order iteration runs reversed."""
+        for calc in reversed(self.volume_data.calculators.values()):
             if getattr(calc, "use_render_restriction", False):
                 from correrender_tpu.render.restriction import (
                     restriction_center,
@@ -220,7 +221,18 @@ class Scene:
                 vol = self._restrict_iso_volume(raw_vol, box, restriction)
                 iso_model_matrix = getattr(vd, "model_matrix", None)
                 iso_closed = bool(r.get("closed_surface", False))
-                if fast_dvr and iso_model_matrix is None and not iso_closed:
+                from correrender_tpu.render.dvr_fast import (
+                    shearwarp_viable,
+                )
+
+                if (fast_dvr and iso_model_matrix is None
+                        and not iso_closed
+                        # Eye-inside cameras: iso_shearwarp would
+                        # discard the prepared layout and fall back
+                        # anyway — don't pay the ~9-pass gradient
+                        # build or burn an LRU slot on a dead entry
+                        # (the DVR path gates identically).
+                        and shearwarp_viable(cam, box)):
                     from correrender_tpu.render.dvr_fast import (
                         shearwarp_camera_key,
                     )
@@ -322,6 +334,10 @@ class Scene:
                     vol, cam, r.get("iso_value", 0.5),
                     image_size=image_size, box=box,
                     background=(0, 0, 0, 0),
+                    # Same surface as iso_ray: a dataset model matrix
+                    # must not render axis-aligned in one mode and
+                    # transformed in the other (round-3 review).
+                    model_matrix=getattr(vd, "model_matrix", None),
                     return_depth=True,
                 )
                 opaque.append((img, depth))
