@@ -124,7 +124,8 @@ def _matern52_from_sq(sq, length_scale, variance):
 
 @functools.lru_cache(maxsize=32)
 def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
-                            num_candidates, kappa, refit_every, noise):
+                            num_candidates, kappa, refit_every, noise,
+                            signed=False):
     """Whole-BayOpt-as-one-XLA-program, vmapped over P block pairs.
 
     TPU-native redesign of the per-pair limbo loop
@@ -162,8 +163,11 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
             )
             ia = (pa[:, 2] * ys + pa[:, 1]) * xs + pa[:, 0]
             ib = (pb[:, 2] * ys + pb[:, 1]) * xs + pb[:, 0]
+            # SIGNED evaluation; the GP models |corr| (the sampler
+            # estimates the max-MAGNITUDE correlation in both modes),
+            # and signed charts report the sign at the winning probe.
             return _ops.correlate(
-                flat[ia], flat[ib], measure, absolute=True, **kw
+                flat[ia], flat[ib], measure, absolute=False, **kw
             )  # RAW (NaN probes kept: callers track finiteness)
 
         def chol_terms(x, y_c, mask, ls, var):
@@ -229,13 +233,18 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
         # (round-3 review). NaN probes are zero-filled for the GP
         # (it needs finite y) but tracked.
         seen_finite = jnp.any(jnp.isfinite(y_init), axis=0)  # (p,)
+        # y: |corr| (what the GP optimizes); ysgn: the signed value at
+        # the same probe (reported on absolute=False charts — the GP
+        # itself always maximizes magnitude).
         y = jnp.zeros((p, cap), jnp.float32).at[:, :num_init].set(
+            jnp.abs(jnp.nan_to_num(y_init)).T)
+        ysgn = jnp.zeros((p, cap), jnp.float32).at[:, :num_init].set(
             jnp.nan_to_num(y_init).T)
 
         iota = jnp.arange(cap, dtype=jnp.float32)
 
         def body(it, state):
-            x, y, ls, var, seen = state
+            x, y, ysgn, ls, var, seen = state
             count = num_init + it
             mask = jnp.broadcast_to(
                 (iota[None, :] < count).astype(jnp.float32), (p, cap)
@@ -275,14 +284,21 @@ def _batched_bayopt_program(measure, kw_items, num_init, num_iters,
                 x, x_new[:, None, :], (0, count, 0)
             )
             y = jax.lax.dynamic_update_slice(
-                y, jnp.nan_to_num(y_new)[:, None], (0, count))
-            return x, y, ls, var, seen
+                y, jnp.abs(jnp.nan_to_num(y_new))[:, None], (0, count))
+            ysgn = jax.lax.dynamic_update_slice(
+                ysgn, jnp.nan_to_num(y_new)[:, None], (0, count))
+            return x, y, ysgn, ls, var, seen
 
-        state = (x, y, jnp.full((p,), 0.3, jnp.float32),
+        state = (x, y, ysgn, jnp.full((p,), 0.3, jnp.float32),
                  jnp.ones((p,), jnp.float32), seen_finite)
-        x, y, _, _, seen_finite = jax.lax.fori_loop(
+        x, y, ysgn, _, _, seen_finite = jax.lax.fori_loop(
             0, num_iters, body, state)
-        return jnp.where(seen_finite, jnp.max(y, axis=1), jnp.nan)
+        if signed:
+            idx = jnp.argmax(y, axis=1)
+            best = jnp.take_along_axis(ysgn, idx[:, None], axis=1)[:, 0]
+        else:
+            best = jnp.max(y, axis=1)
+        return jnp.where(seen_finite, best, jnp.nan)
 
     return run
 
@@ -314,7 +330,12 @@ def batched_bayesian_opt_max(
     )
 
     m = measure_from_id(measure)
-    measure_kw.pop("absolute", None)  # the sampler is |corr| by definition
+    # The GP always optimizes |corr| (max-magnitude estimation); the
+    # flag only selects whether the REPORTED value keeps its sign —
+    # signed (absolute=False) HEB charts filter on signed values, and
+    # an always-|corr| bayesian sampler silently emptied their
+    # negative correlation_range (round-3 review).
+    absolute = bool(measure_kw.pop("absolute", True))
     key = hashable_kwargs(measure_kw)
     if key is None:
         raise ValueError(
@@ -329,11 +350,12 @@ def batched_bayesian_opt_max(
 
         return batched_block_pairs_max(
             stack, regions_a, regions_b, measure, method="plastic",
-            num_samples=max(num_init, 1), **measure_kw,
+            num_samples=max(num_init, 1), absolute=absolute,
+            **measure_kw,
         )
     prog = _batched_bayopt_program(
         m, key, num_init, num_iters, num_candidates, float(kappa),
-        int(refit_every), 1e-4,
+        int(refit_every), 1e-4, signed=not absolute,
     )
     stack_dev = jax.device_put(jnp.asarray(stack))
     u_init = jnp.asarray(plastic_sequence(num_init, 6), jnp.float32)
@@ -388,9 +410,14 @@ def bayesian_opt_max(
     refit_every: int = 10,
     **measure_kw,
 ) -> float:
-    """Max |corr| over A×B via GP-UCB on the 6D pair-position space."""
+    """Max |corr| over A×B via GP-UCB on the 6D pair-position space.
+
+    With ``absolute=False`` in ``measure_kw`` the GP still maximizes
+    |corr| but the return value keeps the sign at the winning probe
+    (matching the batched path and the other samplers).
+    """
     stack = np.asarray(stack)
-    measure_kw.pop("absolute", None)  # the sampler is |corr| by definition
+    absolute = bool(measure_kw.pop("absolute", True))
 
     def evaluate(u6: np.ndarray) -> np.ndarray:
         pa = _region_points(region_a, u6[:, :3])
@@ -400,7 +427,7 @@ def bayesian_opt_max(
         vals = np.asarray(
             ops.correlate_jit(
                 jnp.asarray(sa), jnp.asarray(sb), measure,
-                absolute=True, **measure_kw,
+                absolute=False, **measure_kw,
             )
         )
         return np.nan_to_num(vals, nan=0.0)
@@ -409,9 +436,11 @@ def bayesian_opt_max(
     # shape, so the jitted posterior/refit compile exactly once.
     cap = num_init + num_iters
     x = np.zeros((cap, 6), np.float32)
-    y = np.zeros(cap, np.float32)
+    y = np.zeros(cap, np.float32)  # |corr| — the GP's objective
+    ysgn = np.zeros(cap, np.float32)  # signed value at the same probe
     x[:num_init] = plastic_sequence(num_init, 6)
-    y[:num_init] = evaluate(x[:num_init])
+    ysgn[:num_init] = evaluate(x[:num_init])
+    y[:num_init] = np.abs(ysgn[:num_init])
     count = num_init
 
     rng = np.random.default_rng(seed)
@@ -436,7 +465,10 @@ def bayesian_opt_max(
         best = np.argmax(ucb)
         x_new = candidates[best : best + 1].astype(np.float32)
         x[count] = x_new[0]
-        y[count] = evaluate(x_new)[0]
+        ysgn[count] = evaluate(x_new)[0]
+        y[count] = abs(ysgn[count])
         count += 1
 
-    return float(y[:count].max())
+    if absolute:
+        return float(y[:count].max())
+    return float(ysgn[:count][int(np.argmax(y[:count]))])

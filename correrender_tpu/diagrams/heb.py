@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from correrender_tpu import ops
 from correrender_tpu.diagrams.octree import Octree, downsample_fields
-from correrender_tpu.diagrams.sampling import sample_block_pair_max
 from correrender_tpu.diagrams.svg import SvgCanvas
 from correrender_tpu.render.tf import TransferFunction
 
@@ -227,30 +226,17 @@ class HEBChart:
                 **self.measure_kw,
             )
         else:
+            # Every member of SAMPLING_METHODS is consumed by an
+            # explicit branch above, so anything landing here is
+            # unknown by construction (a per-pair fallback loop that
+            # lived here was provably dead; round-3 review).
             from correrender_tpu.diagrams.sampling import (
                 SAMPLING_METHODS,
             )
 
-            if self.sampling_method not in SAMPLING_METHODS:
-                raise ValueError(
-                    f"unknown sampling method "
-                    f"{self.sampling_method!r}; one of "
-                    f"{sorted(SAMPLING_METHODS)} or 'bayesian'"
-                )
-            flat = np.array(
-                [
-                    sample_block_pair_max(
-                        self.stack,
-                        self._upscale(self.leaves[i]),
-                        self._upscale(self.leaves[j]),
-                        self.measure,
-                        method=self.sampling_method,
-                        num_samples=self.num_samples,
-                        stack_means=self.means,
-                        **self.measure_kw,
-                    )
-                    for i, j in zip(iu, ju)
-                ]
+            raise ValueError(
+                f"unknown sampling method {self.sampling_method!r}; "
+                f"one of {sorted(SAMPLING_METHODS)}"
             )
         lo_c, hi_c = self.correlation_range
         ok = np.isfinite(flat) & (flat >= lo_c) & (flat <= hi_c)

@@ -166,11 +166,16 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         if dataset_info is not None and dataset_info.time_steps:
             ts = dataset_info.time_steps_count
         if per_file_es > 1:
-            if ts > 1 and len(paths) == ts:
+            if ts > 1 and len(paths) == ts and per_file_ts == 1:
                 # One file PER TIMESTEP, members inside each file —
                 # es must stay the in-file member count; multiplying
                 # by the file count inflated es and served timestep-0
-                # data for every t (round-3 review).
+                # data for every t (round-3 review). per_file_ts == 1
+                # gates the heuristic: when the files THEMSELVES hold
+                # the timesteps, a file count that merely equals the
+                # timestep count is still a member-group series, and
+                # this branch silently dropped those members
+                # (round-3 review of the review).
                 es = per_file_es
             else:
                 es = per_file_es * len(paths)  # member groups per file
@@ -208,7 +213,7 @@ def load_volume(paths, dataset_info=None, cache_bytes=None):
         def provider(t, e, _name=name):
             if len(loaders) > 1:
                 if per_file_es > 1:
-                    if ts > 1 and len(loaders) == ts:
+                    if ts > 1 and len(loaders) == ts and per_file_ts == 1:
                         # One file per timestep, members inside.
                         ld = loaders[t]
                         arr = ld.load_field(_name, 0, e)

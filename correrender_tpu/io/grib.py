@@ -650,7 +650,18 @@ def write_grib2(
     for name, vol in fields.items():
         code = name_to_code.get(name)
         if code is None:
-            code = (0, 254, 192 + n_custom)
+            # The local-use parameter range is ONE octet, 192..254 —
+            # 63 slots. Unbounded 192+i hit 255 (the GRIB2 "missing"
+            # sentinel) at the 64th custom field and overflowed the
+            # octet past that (struct.error mid-file); spill into
+            # additional local-use categories instead (round-3
+            # review). 63 categories × 63 numbers = 3969 fields.
+            if n_custom >= 63 * 63:
+                raise ValueError(
+                    "write_grib2: more than 3969 custom-named fields "
+                    "— out of GRIB2 local-use parameter codes"
+                )
+            code = (0, 254 - n_custom // 63, 192 + n_custom % 63)
             n_custom += 1
         disc, cat, num = code
         for z in range(nz):

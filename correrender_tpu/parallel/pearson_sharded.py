@@ -131,7 +131,13 @@ def correlate_member_sharded(
                 jnp.stack([jnp.nanmin(stack), jnp.nanmax(stack)]),
             ]).astype(jnp.float32)
         else:
-            (rlo, rhi), (qlo, qhi) = given
+            from correrender_tpu.ops.registry import _split_bounds
+
+            # Accept BOTH forms the dense path does — flat (min, max)
+            # applying to each axis and ((rmin,rmax), (qmin,qmax)) —
+            # via the registry's own splitter (a flat tuple crashed
+            # the unpack here; round-3 review).
+            (rlo, rhi), (qlo, qhi) = _split_bounds(given)
             bounds = jnp.asarray(
                 [[rlo, rhi], [qlo, qhi]], jnp.float32
             )

@@ -635,3 +635,75 @@ class TestRound3DiagramReviewFixes:
                          sampling_method="halto")  # typo
         with pytest.raises(ValueError, match="sampling method"):
             chart.compute_correlations()
+
+
+class TestBayesianSignedValues:
+    """The bayesian sampler must honor absolute=False like every other
+    sampler: the GP still maximizes |corr| but the reported value keeps
+    the sign at the winning probe (round-3 review: signed
+    correlation_range silently yielded empty bayesian charts)."""
+
+    def _anti_blocks(self):
+        rng = np.random.default_rng(5)
+        sig = rng.normal(size=48).astype(np.float32)
+        stack = 0.05 * rng.normal(size=(8, 16, 16, 48)).astype(np.float32)
+        stack[:, :, :8] += sig
+        stack[:, :, 8:] -= sig
+        return stack
+
+    def test_batched_bayopt_signed(self):
+        from correrender_tpu.diagrams.bayopt import (
+            batched_bayesian_opt_max,
+        )
+        from correrender_tpu.diagrams.octree import GridRegion
+
+        stack = self._anti_blocks()
+        ra = [GridRegion(0, 0, 0, 7, 15, 7)]
+        rb = [GridRegion(8, 0, 0, 15, 15, 7)]
+        sgn = batched_bayesian_opt_max(
+            stack, ra, rb, "pearson", num_init=12, num_iters=12,
+            seed=0, absolute=False,
+        )
+        ab = batched_bayesian_opt_max(
+            stack, ra, rb, "pearson", num_init=12, num_iters=12,
+            seed=0,
+        )
+        assert sgn[0] < -0.5  # anti-correlated halves, sign kept
+        np.testing.assert_allclose(abs(sgn[0]), ab[0], atol=1e-6)
+
+    def test_per_pair_bayopt_signed(self):
+        from correrender_tpu.diagrams.bayopt import bayesian_opt_max
+        from correrender_tpu.diagrams.octree import GridRegion
+
+        stack = self._anti_blocks()
+        ra = GridRegion(0, 0, 0, 7, 15, 7)
+        rb = GridRegion(8, 0, 0, 15, 15, 7)
+        v = bayesian_opt_max(stack, ra, rb, "pearson", num_init=10,
+                             num_iters=8, seed=0, absolute=False)
+        assert v < -0.5
+
+    def test_signed_bayesian_heb_chart_keeps_anticorrelations(self):
+        chart = HEBChart(
+            self._anti_blocks(), downsample_factor=8,
+            sampling_method="bayesian", num_samples=24,
+            absolute=False, correlation_range=(-1.0, -0.3),
+            max_chords=8,
+        )
+        chords = chart.compute_correlations()
+        assert chords, "negative correlation_range must keep chords"
+        assert all(v < -0.3 for _, _, v in chords)
+
+    def test_batched_bayopt_zero_iters_honors_signed(self):
+        from correrender_tpu.diagrams.bayopt import (
+            batched_bayesian_opt_max,
+        )
+        from correrender_tpu.diagrams.octree import GridRegion
+
+        stack = self._anti_blocks()
+        ra = [GridRegion(0, 0, 0, 7, 15, 7)]
+        rb = [GridRegion(8, 0, 0, 15, 15, 7)]
+        est = batched_bayesian_opt_max(
+            stack, ra, rb, "pearson", num_init=16, num_iters=0,
+            absolute=False,
+        )
+        assert est[0] < -0.5

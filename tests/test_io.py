@@ -947,3 +947,80 @@ class TestRound3IoReviewFixes:
         ld.open(path)
         assert "q" in ld.field_names  # previously dropped as z-less
         assert ld.es == 3 and ld.zs == 2
+
+
+class TestMemberGroupTimestepDisambiguation:
+    def test_member_groups_not_hijacked_by_timestep_count(self, tmp_path):
+        # 3 files, each holding (e=4, t=3) member groups: the file
+        # count EQUALS the timestep count, but the timesteps live
+        # inside the files — the one-file-per-timestep heuristic
+        # collapsed es 12 → 4 and served timestep-0 data for every t
+        # (round-3 review). per_file_ts == 1 now gates the heuristic.
+        from correrender_tpu.io import writers
+        from correrender_tpu.io.base import load_volume
+        from correrender_tpu.io.catalog import DataSetInformation
+
+        rng = np.random.default_rng(3)
+        paths = []
+        for m in range(3):
+            p = str(tmp_path / f"g{m}.nc")
+            data = (
+                0.1 * rng.normal(size=(4, 3, 2, 8, 8))
+                + 100.0 * m
+                + np.arange(3)[None, :, None, None, None]
+            ).astype(np.float32)
+            writers.write_netcdf(p, data, name="v")
+            paths.append(p)
+        info = DataSetInformation(name="groups", filenames=paths)
+        info.time_steps = [0, 1, 2]
+        vd = load_volume(paths, dataset_info=info)
+        assert (vd.grid.ts, vd.grid.es) == (3, 12)
+        # Member 5 = file 1's in-file member 1; timestep 2 adds +2.
+        a = np.asarray(vd.get_field("v", 2, 5))
+        assert 101.5 < a.mean() < 102.5
+
+    def test_one_file_per_timestep_still_detected(self, tmp_path):
+        # The fixed heuristic must still serve the layout it was built
+        # for: one single-timestep file per t, members inside.
+        from correrender_tpu.io import writers
+        from correrender_tpu.io.base import load_volume
+        from correrender_tpu.io.catalog import DataSetInformation
+
+        rng = np.random.default_rng(4)
+        paths = []
+        for t in range(3):
+            p = str(tmp_path / f"t{t}.nc")
+            data = (
+                0.1 * rng.normal(size=(4, 1, 2, 8, 8)) + 10.0 * t
+            ).astype(np.float32)
+            writers.write_netcdf(p, data, name="v")
+            paths.append(p)
+        info = DataSetInformation(name="perts", filenames=paths)
+        info.time_steps = [0, 1, 2]
+        vd = load_volume(paths, dataset_info=info)
+        assert (vd.grid.ts, vd.grid.es) == (3, 4)
+        a = np.asarray(vd.get_field("v", 2, 1))
+        assert 19.5 < a.mean() < 20.5
+
+
+class TestGribCustomParamCodes:
+    def test_many_custom_fields_roundtrip_distinct(self, tmp_path):
+        # 70 custom-named fields: 192+i overflowed the local-use
+        # octet at the 64th field (255 = GRIB2 "missing", then
+        # struct.error) — codes now spill into further local-use
+        # categories (round-3 review).
+        from correrender_tpu.io.grib import GribLoader, write_grib2
+
+        rng = np.random.default_rng(7)
+        fields = {
+            f"zz_custom_{i}": rng.normal(size=(1, 4, 6)).astype(
+                np.float32
+            )
+            for i in range(70)
+        }
+        path = str(tmp_path / "many.grb2")
+        write_grib2(path, fields)
+        ld = GribLoader().open(path)
+        assert len(ld.field_names) == 70  # all distinct, none merged
+        for name in ld.field_names[:3]:
+            assert np.isfinite(ld.load_field(name)).all()

@@ -112,3 +112,23 @@ def test_sharded_binned_mi_no_recompile_per_dataset(stack_and_ref):
     correlate_member_sharded(sharded * 3.0 + 1.0, ref * 2.0 - 0.5,
                              mesh, "mi_binned")
     assert ps._gather_sharded_fn.cache_info().misses == misses0
+
+
+def test_sharded_binned_mi_flat_bounds_form(stack_and_ref):
+    # The dense path accepts BOTH mi_bounds forms — flat (min, max)
+    # for both axes and ((rmin,rmax), (qmin,qmax)); the sharded
+    # wrapper crashed unpacking the flat form (round-3 review).
+    from correrender_tpu.calculators.correlation import correlate_field
+
+    stack, ref = stack_and_ref
+    mesh = make_mesh(space=2, members=4)
+    sharded = shard_member_stack(stack, mesh)
+    lo = float(min(stack.min(), ref.min()))
+    hi = float(max(stack.max(), ref.max()))
+    got = np.asarray(correlate_member_sharded(
+        sharded, ref, mesh, "mi_binned", mi_bounds=(lo, hi)
+    ))
+    want = np.asarray(correlate_field(
+        stack, ref, "mi_binned", mi_bounds=(lo, hi)
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-4)
