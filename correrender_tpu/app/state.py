@@ -277,10 +277,24 @@ class Scene:
             elif r["type"] == "slice":
                 vol = vd.get_field(field, self.current_time,
                                    self.current_member)
+                # Oblique planes carry the reference's settings keys
+                # (SliceRenderer.cpp:360-368): normal_x/y/z +
+                # plane_dist, plus lighting_factor / nan_handling /
+                # fix_on_ground. Axis-aligned "axis"+"position" stays
+                # the compact form.
+                normal = r.get("normal")
+                if normal is None and "normal_x" in r:
+                    normal = (r["normal_x"], r.get("normal_y", 0.0),
+                              r.get("normal_z", 0.0))
                 img, depth = slice_render_3d(
                     vol, cam, self.tf_for(field),
                     axis=r.get("axis", "z"),
                     position=r.get("position", 0.5),
+                    normal=normal,
+                    plane_dist=r.get("plane_dist"),
+                    lighting_factor=r.get("lighting_factor", 0.0),
+                    nan_handling=r.get("nan_handling", "ignore"),
+                    fix_on_ground=bool(r.get("fix_on_ground", False)),
                     image_size=image_size, box=box,
                     background=(0, 0, 0, 0),
                     return_depth=True,

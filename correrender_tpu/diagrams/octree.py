@@ -208,5 +208,14 @@ def downsample_fields(stack: np.ndarray, factor) -> np.ndarray:
         stack.shape[2] // fx,
     )
     blocks = stack.reshape(zs2, fz, ys2, fy, xs2, fx, n)
-    with np.errstate(invalid="ignore"):
+    # All-NaN blocks (masked ocean cells, padding) mean-reduce to NaN
+    # by design; numpy announces that with a "Mean of empty slice"
+    # RuntimeWarning (warnings module, not errstate) — silence it for
+    # exactly this call.
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", "Mean of empty slice", RuntimeWarning
+        )
         return np.nanmean(blocks, axis=(1, 3, 5))

@@ -556,3 +556,146 @@ class TestFixedZPickScrub:
         scrub_focus(hit, span / 8)
         lo, hi = sorted((first[2], last[2]))
         assert lo <= hit["focus"][2] <= hi
+
+
+class TestObliqueSlice:
+    """Oblique plane + lighting/NaN/ground parity
+    (SliceRenderer.cpp:360-412, Slice.glsl)."""
+
+    def _tf(self):
+        return TransferFunction.constant_opacity("gray", alpha=1.0)
+
+    def test_axis_normal_matches_axis_path(self):
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.random((8, 8, 8)), jnp.float32)
+        cam = Camera(position=(0.3, 0.4, 0.9))
+        kw = dict(image_size=(32, 32), background=(0, 0, 0, 0))
+        a = np.asarray(slice_render_3d(
+            vol, cam, self._tf(), axis="z", position=0.4, **kw))
+        b = np.asarray(slice_render_3d(
+            vol, cam, self._tf(), normal=(0, 0, 1), position=0.4, **kw))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_diagonal_plane_renders(self):
+        vol = jnp.ones((8, 8, 8)) * 0.8
+        cam = Camera(position=(0.3, 0.4, 0.9))
+        img, depth = slice_render_3d(
+            vol, cam, self._tf(), normal=(1, 1, 1), position=0.5,
+            image_size=(32, 32), background=(0, 0, 0, 0),
+            return_depth=True,
+        )
+        img, depth = np.asarray(img), np.asarray(depth)
+        assert img[..., 3].max() == 1.0  # plane visible
+        assert np.isfinite(depth).any()
+        # plane_dist form must agree with the position form.
+        n = np.ones(3) / np.sqrt(3.0)
+        from correrender_tpu.render.camera import default_render_box
+
+        bmin, bmax = default_render_box((8, 8, 8))
+        corners = np.array([[x, y, z]
+                            for x in (bmin[0], bmax[0])
+                            for y in (bmin[1], bmax[1])
+                            for z in (bmin[2], bmax[2])])
+        proj = corners @ n
+        d = proj.min() + 0.5 * (proj.max() - proj.min())
+        img2 = np.asarray(slice_render_3d(
+            vol, cam, self._tf(), normal=(1, 1, 1), plane_dist=d,
+            image_size=(32, 32), background=(0, 0, 0, 0),
+        ))
+        np.testing.assert_allclose(img, img2, atol=1e-6)
+
+    def test_lighting_factor_blends(self):
+        vol = jnp.ones((8, 8, 8)) * 0.8
+        cam = Camera(position=(0.3, 0.4, 0.9))
+        kw = dict(normal=(1, 0, 1), position=0.5,
+                  image_size=(32, 32), background=(0, 0, 0, 0))
+        flat = np.asarray(slice_render_3d(
+            vol, cam, self._tf(), lighting_factor=0.0, **kw))
+        lit = np.asarray(slice_render_3d(
+            vol, cam, self._tf(), lighting_factor=1.0, **kw))
+        hits = flat[..., 3] > 0
+        assert hits.any()
+        assert np.abs(flat[..., :3][hits] - lit[..., :3][hits]).max() \
+            > 0.01  # shading changes color ...
+        np.testing.assert_allclose(flat[..., 3], lit[..., 3])  # not alpha
+
+    def test_nan_yellow(self):
+        vol = np.full((8, 8, 8), np.nan, np.float32)
+        cam = Camera(position=(0.0, 0.0, 0.9))
+        img = np.asarray(slice_render_3d(
+            jnp.asarray(vol), cam, self._tf(), axis="z", position=0.5,
+            nan_handling="yellow", image_size=(24, 24),
+            background=(0, 0, 0, 0),
+        ))
+        hits = img[..., 3] > 0
+        assert hits.any()
+        np.testing.assert_allclose(img[..., 0][hits], 1.0, atol=1e-5)
+        np.testing.assert_allclose(img[..., 1][hits], 1.0, atol=1e-5)
+        np.testing.assert_allclose(img[..., 2][hits], 0.0, atol=1e-5)
+        ign = np.asarray(slice_render_3d(
+            jnp.asarray(vol), cam, self._tf(), axis="z", position=0.5,
+            image_size=(24, 24), background=(0, 0, 0, 0),
+        ))
+        assert (ign[..., 3] == 0).all()  # ignore: fully transparent
+
+    def test_fix_on_ground_samples_true_plane(self):
+        # Volume bright only in the TOP z-slab; the grounded plane at
+        # position≈1 must show that content (sampled at the true
+        # plane) while its geometry depth matches a floor plane.
+        vol = np.zeros((8, 8, 8), np.float32)
+        vol[7] = 1.0
+        tf = self._tf()
+        cam = Camera(position=(0.2, 0.3, 0.9))
+        kw = dict(image_size=(32, 32), background=(0, 0, 0, 0),
+                  return_depth=True)
+        g_img, g_depth = map(np.asarray, slice_render_3d(
+            jnp.asarray(vol), cam, tf, axis="z", position=15.5 / 16,
+            fix_on_ground=True, **kw))
+        f_img, f_depth = map(np.asarray, slice_render_3d(
+            jnp.asarray(vol), cam, tf, axis="z", position=0.0,
+            **kw))
+        hits = g_img[..., 3] > 0
+        assert hits.any()
+        assert g_img[..., 0][hits].mean() > 0.9  # top-slab content
+        # Geometry sits at the floor: same depth footprint as a real
+        # bottom slice where both are visible.
+        both = hits & (f_img[..., 3] > 0)
+        assert both.any()
+        np.testing.assert_allclose(
+            g_depth[both], f_depth[both], atol=1e-4)
+
+    def test_vertical_plane_fix_on_ground_raises(self):
+        vol = jnp.zeros((4, 4, 4))
+        cam = Camera(position=(0.0, 0.0, 0.9))
+        import pytest
+
+        with pytest.raises(ValueError, match="z component"):
+            slice_render_3d(vol, cam, self._tf(), normal=(1, 0, 0),
+                            fix_on_ground=True)
+
+    def test_scene_reference_settings_keys_roundtrip(self, tmp_path):
+        from correrender_tpu.app.state import Scene
+        from correrender_tpu.core.fields import VolumeData, GridMetadata
+
+        rng = np.random.default_rng(2)
+        data = rng.random((1, 1, 8, 8, 8)).astype(np.float32)
+
+        def make_vd():
+            grid = GridMetadata(xs=8, ys=8, zs=8, ts=1, es=1)
+            vd = VolumeData(grid)
+            vd.add_field("data", lambda t, e: data[e, t])
+            return vd
+
+        scene = Scene(make_vd())
+        scene.add_renderer(
+            "slice", field="data", normal_x=1.0, normal_y=0.0,
+            normal_z=1.0, plane_dist=0.05, lighting_factor=0.5,
+            nan_handling="ignore", fix_on_ground=False,
+        )
+        before = np.asarray(scene.render_view(0, image_size=(32, 24)))
+        path = str(tmp_path / "s.json")
+        scene.save_state(path)
+        scene2 = Scene.load_state(path, volume_data=make_vd())
+        after = np.asarray(scene2.render_view(0, image_size=(32, 24)))
+        np.testing.assert_array_equal(before, after)
+        assert before[..., 3].max() > 0

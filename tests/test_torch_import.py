@@ -10,6 +10,14 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# The FIXTURES use torch.jit.script to fabricate TorchScript archives;
+# torch deprecates it in favor of torch.compile/export, but the
+# archive format is exactly what the torch-free loader must parse —
+# the warning is about the fixture generator, not the code under test.
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:.*torch\\.jit\\.script.*:DeprecationWarning"
+)
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
