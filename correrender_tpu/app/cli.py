@@ -245,7 +245,13 @@ def cmd_diagram(args):
 def cmd_state(args):
     from correrender_tpu.app.state import Scene
 
-    scene = Scene.load_state(args.load)
+    # load_state auto-detects reference-app state files (state_ref.py);
+    # --catalog resolves their dataset-by-name references.
+    scene = Scene.load_state(args.load,
+                             catalog=getattr(args, "catalog", None))
+    if getattr(args, "save_reference", None):
+        scene.save_state(args.save_reference, reference_format=True)
+        print(f"wrote {args.save_reference} (reference format)")
     w, h = (int(v) for v in args.size.split("x"))
     if args.dock:
         # One canvas, all views arranged per the persisted dock
@@ -543,12 +549,19 @@ def build_parser():
     sp.add_argument("--member", type=int, default=0)
     sp.set_defaults(fn=cmd_similarity)
 
-    sp = sub.add_parser("state", help="render a saved scene state")
+    sp = sub.add_parser("state", help="render a saved scene state "
+                        "(native or reference-app format, auto-detected)")
     sp.add_argument("--load", required=True)
     sp.add_argument("--size", default="800x600")
     sp.add_argument("--output", required=True)
     sp.add_argument("--dock", action="store_true",
                     help="one canvas, views arranged per dock_layout")
+    sp.add_argument("--catalog", default=None,
+                    help="datasets.json path for reference state files "
+                         "that name their dataset by catalog entry")
+    sp.add_argument("--save-reference", default=None, metavar="PATH",
+                    help="additionally re-save the scene as a "
+                         "reference-app-loadable state file")
     sp.set_defaults(fn=cmd_state)
 
     sp = sub.add_parser("sampling", help="sampling-method eval (CSV)")

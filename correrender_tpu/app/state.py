@@ -227,6 +227,11 @@ class Scene:
 
                 if (fast_dvr and iso_model_matrix is None
                         and not iso_closed
+                        # An explicitly chosen intersection solver
+                        # (imported reference states) runs the exact
+                        # ray-caster that implements it.
+                        and r.get("intersection_mode",
+                                  "bisection") == "bisection"
                         # Eye-inside cameras: iso_shearwarp would
                         # discard the prepared layout and fall back
                         # anyway — don't pay the ~9-pass gradient
@@ -271,6 +276,8 @@ class Scene:
                         background=(0, 0, 0, 0),
                         model_matrix=iso_model_matrix,
                         closed_surface=iso_closed,
+                        intersection_mode=r.get("intersection_mode",
+                                                "bisection"),
                         return_depth=True,
                     )
                 opaque.append((img, depth))
@@ -372,6 +379,10 @@ class Scene:
                 attenuation=r.get("attenuation", 100.0),
                 background=(0, 0, 0, 0),
             )
+            # Reference DvrRenderer step_size (voxel-relative, default
+            # 0.1) — honored by the exact marcher; the shear-warp fast
+            # path has its own slice-per-voxel structure.
+            step_size = float(r.get("step_size", 0.1))
             model_matrix = getattr(vd, "model_matrix", None)
             nan_mode = r.get("nan_mode", "ignore")
             # Opaque geometry present → the march clips against the
@@ -388,6 +399,10 @@ class Scene:
             # volume.
             use_fast = (fast_dvr and model_matrix is None
                         and nan_mode == "ignore"
+                        # Non-default step sizes need the exact
+                        # marcher; the shear-warp path composites one
+                        # slice per voxel plane by construction.
+                        and step_size == 0.1
                         and shearwarp_viable(cam, box))
             if use_fast:
                 from correrender_tpu.render.dvr_fast import (
@@ -459,6 +474,7 @@ class Scene:
                                  restriction=restriction,
                                  model_matrix=model_matrix,
                                  nan_mode=nan_mode,
+                                 voxel_step=step_size,
                                  depth_limit=scene_depth, **kwargs)
             image = _composite(image, img)
         if image is None:
@@ -522,7 +538,24 @@ class Scene:
 
     # -- persistence --------------------------------------------------------
 
-    def save_state(self, path: str, dataset: Optional[dict] = None):
+    def save_state(self, path: str, dataset: Optional[dict] = None,
+                   reference_format: bool = False):
+        """Persist the scene as JSON.
+
+        With ``reference_format=True`` the document uses the reference
+        app's schema (MainAppState.cpp:106-205 — sgl cameras,
+        ``{type, state}`` SettingsMap nodes, TF-widget XML), so the
+        file loads in the reference app directly.
+        """
+        if reference_format:
+            from correrender_tpu.app.state_ref import (
+                reference_state_from_scene,
+            )
+
+            doc = reference_state_from_scene(self, dataset=dataset)
+            with open(path, "w") as f:
+                json.dump(doc, f, indent=4)
+            return
         doc = {
             "version": 1,
             "dataset": dataset or self.dataset_info or {},
@@ -560,9 +593,52 @@ class Scene:
             json.dump(doc, f, indent=2)
 
     @classmethod
-    def load_state(cls, path: str, volume_data=None):
+    def load_state(cls, path: str, volume_data=None,
+                   catalog: Optional[str] = None):
+        """Load a scene state file — this framework's schema or a
+        state file saved by the reference app (auto-detected and
+        converted via app/state_ref.py; ``catalog`` resolves the
+        reference's dataset-by-name reference when no ``volume_data``
+        is passed)."""
         with open(path) as f:
             doc = json.load(f)
+
+        from correrender_tpu.app.state_ref import (
+            convert_reference_state,
+            is_reference_state,
+        )
+
+        if is_reference_state(doc):
+            if volume_data is None:
+                vol = doc.get("volume_data", {}) or {}
+                if "filename" in vol:
+                    from correrender_tpu.io import load_volume
+
+                    volume_data = load_volume(vol["filename"])
+                elif "name" in vol and catalog:
+                    from correrender_tpu.io import load_catalog
+                    from correrender_tpu.io.catalog import open_dataset
+
+                    entries = load_catalog(catalog)
+                    match = [e for e in entries if e.name == vol["name"]]
+                    if not match:
+                        raise ValueError(
+                            f"dataset {vol['name']!r} not in catalog "
+                            f"{catalog!r}"
+                        )
+                    volume_data = open_dataset(match[0])
+                else:
+                    raise ValueError(
+                        "reference state file names its dataset by "
+                        "catalog entry; pass volume_data= or catalog="
+                    )
+            doc, warnings = convert_reference_state(
+                doc, volume_data.field_names)
+            for message in warnings:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "state import: %s", message)
         if volume_data is None:
             ds = doc.get("dataset", {})
             if "catalog" in ds:
@@ -593,7 +669,13 @@ class Scene:
         for node in doc.get("calculators", []):
             node = dict(node)
             type_id = node.pop("type")
-            scene.add_calculator(calculator_from_settings(type_id, node))
+            ref_extra = node.pop("_ref_extra", None)
+            calc = calculator_from_settings(type_id, node)
+            if ref_extra:
+                # Reference-only settings (GPU plumbing, picking GUI
+                # state) kept for lossless reference-format re-export.
+                calc._ref_extra = ref_extra
+            scene.add_calculator(calc)
         for node in doc.get("renderers", []):
             node = dict(node)
             scene.add_renderer(node.pop("type"), **node)

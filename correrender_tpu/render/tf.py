@@ -77,6 +77,15 @@ class TransferFunction:
     uid: int = dataclasses.field(
         default_factory=lambda: next(_TF_UID), compare=False
     )
+    #: Source control points when built from them (kept so state files
+    #: can be exported in the reference's XML control-point form
+    #: losslessly; ``None`` for LUT-only transfer functions).
+    color_points: list | None = dataclasses.field(
+        default=None, compare=False
+    )
+    opacity_points: list | None = dataclasses.field(
+        default=None, compare=False
+    )
 
     @classmethod
     def from_colormap(
@@ -92,7 +101,12 @@ class TransferFunction:
             [(x, (a,)) for x, a in opacity_points], resolution
         )
         lut = np.concatenate([rgb, alpha], axis=-1).astype(np.float32)
-        return cls(lut=jnp.asarray(lut), domain=tuple(domain))
+        tf = cls(lut=jnp.asarray(lut), domain=tuple(domain))
+        tf.color_points = [(float(x), tuple(float(v) for v in c))
+                           for x, c in _COLORMAPS[name]]
+        tf.opacity_points = [(float(x), float(a))
+                             for x, a in opacity_points]
+        return tf
 
     @classmethod
     def constant_opacity(cls, name="coolwarm", domain=(0.0, 1.0), alpha=0.5,
@@ -108,21 +122,40 @@ class TransferFunction:
         opacity_points,
         domain=(0.0, 1.0),
         resolution: int = 256,
+        interpolate_linear_rgb: bool = False,
     ) -> "TransferFunction":
         """Build from explicit piecewise-linear control points — the
         serialized form of the reference's TF-widget state (sgl stores
         position+color and position+opacity point lists).
 
         Args:
-          color_points: sequence of ``(pos, (r, g, b))`` with pos∈[0,1].
+          color_points: sequence of ``(pos, (r, g, b))`` with pos∈[0,1],
+            sRGB-encoded components.
           opacity_points: sequence of ``(pos, alpha)``.
+          interpolate_linear_rgb: interpolate colors in linear RGB
+            (the reference TF widget's default
+            ``interpolation_colorspace="Linear RGB"``) instead of
+            directly in sRGB. The LUT stays sRGB-encoded either way.
         """
-        rgb = _sample_control_points(list(color_points), resolution)
+        color_points = list(color_points)
+        opacity_points = list(opacity_points)
+        if interpolate_linear_rgb:
+            lin_pts = [(x, tuple(_srgb_to_linear(np.asarray(c, np.float32))))
+                       for x, c in color_points]
+            rgb = _linear_to_srgb(_sample_control_points(
+                lin_pts, resolution))
+        else:
+            rgb = _sample_control_points(color_points, resolution)
         alpha = _sample_control_points(
             [(x, (a,)) for x, a in opacity_points], resolution
         )
         lut = np.concatenate([rgb, alpha], axis=-1).astype(np.float32)
-        return cls(lut=jnp.asarray(lut), domain=tuple(domain))
+        tf = cls(lut=jnp.asarray(lut), domain=tuple(domain))
+        tf.color_points = [(float(x), tuple(float(v) for v in c))
+                           for x, c in color_points]
+        tf.opacity_points = [(float(x), float(a))
+                             for x, a in opacity_points]
+        return tf
 
     def to_dict(self) -> dict:
         """JSON-serializable state (full LUT — lossless round-trip)."""
@@ -159,3 +192,137 @@ class TransferFunction:
         rgba = self.lut[i0] * (1.0 - frac) + self.lut[i0 + 1] * frac
         nan_mask = jnp.isnan(scalar)[..., None]
         return jnp.where(nan_mask, jnp.zeros_like(rgba), rgba)
+
+
+# -- sgl TF-widget XML interchange ---------------------------------------
+#
+# The reference persists per-field transfer functions as sgl's XML
+# control-point serialization inside app-state JSON files
+# (MainAppState.cpp:171 serializeXmlString / :379 deserializeXmlString;
+# the format is visible verbatim in ReplicabilityState.hpp:187):
+#
+#   <TransferFunction colorspace="sRGB"
+#                     interpolation_colorspace="Linear RGB">
+#       <OpacityPoints><OpacityPoint position="0" opacity="1"/>...
+#       <ColorPoints color_data="ushort">
+#           <ColorPoint position="0" r="15163" g="19532" b="49344"/>...
+#   </TransferFunction>
+#
+# Color components are sRGB-encoded, scaled by the color_data type
+# (ushort 0..65535, ubyte 0..255, float 0..1); interpolation between
+# points happens in the declared interpolation colorspace.
+
+
+def _srgb_to_linear(c):
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92,
+                    ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def _linear_to_srgb(c):
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.0031308, c * 12.92,
+                    1.055 * np.maximum(c, 0.0) ** (1.0 / 2.4)
+                    - 0.055).astype(np.float32)
+
+
+_COLOR_DATA_SCALE = {"ushort": 65535.0, "ubyte": 255.0, "float": 1.0}
+
+
+def tf_from_xml_string(
+    xml_str: str, domain=(0.0, 1.0), resolution: int = 256
+) -> TransferFunction:
+    """Parse an sgl TF-widget XML string into a :class:`TransferFunction`.
+
+    Honors the ``color_data`` scaling attribute and the
+    ``interpolation_colorspace`` attribute ("Linear RGB" interpolates
+    the decoded sRGB control colors in linear space, exactly like the
+    reference widget; "sRGB" interpolates the stored values directly).
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_str.replace("\x00", "").strip())
+    if root.tag != "TransferFunction":
+        raise ValueError(f"not a TransferFunction XML (root {root.tag!r})")
+    interp = root.get("interpolation_colorspace", "Linear RGB")
+
+    opacity_points = []
+    for node in root.iter("OpacityPoint"):
+        opacity_points.append(
+            (float(node.get("position")), float(node.get("opacity")))
+        )
+    color_points = []
+    scale = 65535.0
+    colors_node = root.find("ColorPoints")
+    if colors_node is not None:
+        data_kind = colors_node.get("color_data", "ushort")
+        if data_kind not in _COLOR_DATA_SCALE:
+            raise ValueError(f"unsupported color_data {data_kind!r}")
+        scale = _COLOR_DATA_SCALE[data_kind]
+    for node in root.iter("ColorPoint"):
+        color_points.append((
+            float(node.get("position")),
+            (float(node.get("r")) / scale,
+             float(node.get("g")) / scale,
+             float(node.get("b")) / scale),
+        ))
+    if not opacity_points:
+        opacity_points = [(0.0, 0.0), (1.0, 1.0)]
+    if not color_points:
+        color_points = _COLORMAPS["coolwarm"]
+    return TransferFunction.from_control_points(
+        sorted(color_points),
+        sorted(opacity_points),
+        domain=tuple(domain),
+        resolution=resolution,
+        interpolate_linear_rgb=(interp == "Linear RGB"),
+    )
+
+
+def _fmt(x: float) -> str:
+    """Float → shortest exact decimal (jsoncpp-style round-trip)."""
+    return repr(float(x))
+
+
+def tf_to_xml_string(tf: TransferFunction, num_points: int = 17) -> str:
+    """Serialize a :class:`TransferFunction` as sgl TF-widget XML.
+
+    Uses the TF's stored control points when present (lossless); a
+    LUT-only TF is sampled at ``num_points`` uniform positions.
+    Colors are written ushort-scaled like the reference widget, with
+    ``interpolation_colorspace`` matching how the points should be
+    re-interpolated on load.
+    """
+    lut = np.asarray(tf.lut, np.float32)
+    if tf.color_points is not None and tf.opacity_points is not None:
+        color_points = tf.color_points
+        opacity_points = tf.opacity_points
+    else:
+        pos = np.linspace(0.0, 1.0, num_points)
+        idx = np.clip((pos * (lut.shape[0] - 1)).round().astype(int),
+                      0, lut.shape[0] - 1)
+        color_points = [(float(p), tuple(float(v) for v in lut[i, :3]))
+                        for p, i in zip(pos, idx)]
+        opacity_points = [(float(p), float(lut[i, 3]))
+                          for p, i in zip(pos, idx)]
+
+    lines = ['<TransferFunction colorspace="sRGB" '
+             'interpolation_colorspace="Linear RGB">']
+    lines.append("    <OpacityPoints>")
+    for p, a in opacity_points:
+        lines.append(
+            f'        <OpacityPoint position="{_fmt(p)}" '
+            f'opacity="{_fmt(a)}"/>'
+        )
+    lines.append("    </OpacityPoints>")
+    lines.append('    <ColorPoints color_data="ushort">')
+    for p, rgb in color_points:
+        r, g, b = (int(round(min(max(float(v), 0.0), 1.0) * 65535))
+                   for v in rgb)
+        lines.append(
+            f'        <ColorPoint position="{_fmt(p)}" '
+            f'r="{r}" g="{g}" b="{b}"/>'
+        )
+    lines.append("    </ColorPoints>")
+    lines.append("</TransferFunction>")
+    return "\n".join(lines) + "\n"
