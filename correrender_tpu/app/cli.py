@@ -271,6 +271,21 @@ def cmd_state(args):
 
         _save_png(img, path)
         print(f"wrote {path}")
+    # Diagram-family renderer nodes (reference DiagramRenderer &
+    # friends draw as view overlays) render to SVGs alongside.
+    diagrams = [r for r in scene.renderers
+                if r["type"] in scene.DIAGRAM_TYPES]
+    for i, node in enumerate(diagrams):
+        root, _ = os.path.splitext(args.output)
+        path = f"{root}_{node['type']}{i if len(diagrams) > 1 else ''}.svg"
+        try:
+            svg = scene.render_diagram(node)
+        except ValueError as exc:
+            print(f"skipping {node['type']} renderer: {exc}")
+            continue
+        with open(path, "w") as f:
+            f.write(svg)
+        print(f"wrote {path}")
 
 
 def cmd_sampling(args):

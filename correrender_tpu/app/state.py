@@ -536,6 +536,133 @@ class Scene:
                 canvas[y0:y0 + row_h, x0:x0 + col_w] = img
         return jnp.asarray(canvas)
 
+    # -- diagram-family renderers -------------------------------------------
+
+    DIAGRAM_TYPES = ("diagram", "scatter_plot", "correlation_matrix",
+                     "time_series_correlation", "distribution_similarity")
+
+    def render_diagram(self, node: dict, size: int = 700) -> str:
+        """Render one diagram-family renderer node to SVG text.
+
+        The reference draws these as view overlays (DiagramRenderer and
+        friends); headlessly each node renders to its own vector
+        graphic, honoring the node's settings — including everything a
+        reference state file carries through ``load_state`` (measure,
+        per-axis downscaling, sampling method, chord filters, ...).
+        """
+        vd = self.volume_data
+        kind = node["type"]
+        field = node.get("field", vd.field_names[0])
+        time = self.current_time
+        member = self.current_member
+        if kind == "diagram":
+            from correrender_tpu.diagrams.heb import HEBChart
+
+            factor = node.get("downsample_xyz",
+                              node.get("downsample", 4))
+            measure_kw = {}
+            if "mi_bins" in node:
+                measure_kw["num_bins"] = int(node["mi_bins"])
+            if "kmi_neighbors" in node:
+                measure_kw["k"] = int(node["kmi_neighbors"])
+            if "absolute" in node:
+                measure_kw["absolute"] = bool(node["absolute"])
+            chart = HEBChart(
+                np.asarray(vd.get_member_stack(field, time)),
+                downsample_factor=factor,
+                measure=node.get("measure", "pearson"),
+                sampling_method=node.get("sampling_method", "mean"),
+                num_samples=int(node.get("num_samples", 64)),
+                max_chords=int(node.get("max_chords", 100)),
+                octree_mode=node.get("octree_method", "topdown"),
+                correlation_range=node.get("correlation_range"),
+                cell_distance_range=node.get("cell_distance_range"),
+                **measure_kw,
+            )
+            chart.compute_correlations()
+            return chart.render_svg(
+                size=size,
+                beta=float(node.get("beta", 0.75)),
+                curve_thickness=float(node.get("curve_thickness", 1.0)),
+                opacity_by_value=bool(node.get("opacity_by_value",
+                                               True)),
+            )
+        if kind == "scatter_plot":
+            from correrender_tpu.diagrams.scatter import (
+                render_scatter_svg,
+            )
+
+            field_b = node.get("field_b", field)
+            a = np.asarray(vd.get_field(field, time, member))
+            b = np.asarray(vd.get_field(field_b, time, member))
+            return render_scatter_svg(
+                a, b, labels=(field, field_b), size=size,
+                point_radius=float(node.get("point_size", 2.0)),
+            )
+        if kind == "correlation_matrix":
+            from correrender_tpu.diagrams.matrix import (
+                field_correlation_matrix,
+                render_matrix_svg,
+            )
+
+            m, names = field_correlation_matrix(
+                vd, vd.field_names,
+                measure=node.get("correlation_measure_type",
+                                 node.get("measure", "pearson")),
+            )
+            return render_matrix_svg(m, labels=names, size=size)
+        if kind == "distribution_similarity":
+            from correrender_tpu.diagrams.distribution_similarity import (
+                distribution_similarity,
+            )
+            from correrender_tpu.diagrams.scatter import (
+                render_scatter_svg,
+            )
+
+            emb, labels, _ = distribution_similarity(
+                np.asarray(vd.get_member_stack(field, time)),
+                mode=node.get("mode", "cell_member_values"),
+                max_points=int(node.get("max_points", 400)),
+            )
+            return render_scatter_svg(
+                emb[:, 0], emb[:, 1], labels=("t-SNE 1", "t-SNE 2"),
+                colors=labels, size=size,
+            )
+        if kind == "time_series_correlation":
+            from correrender_tpu.diagrams.timeseries import (
+                load_time_series,
+                render_heatmap_svg,
+                time_series_correlation,
+            )
+
+            measure = node.get("measure", "pearson")
+            window = node.get("window")
+            if node.get("path"):
+                series = load_time_series(node["path"])
+            else:
+                # Region-mean series over the dataset's time axis (the
+                # viewer dock's multi-timestep mode).
+                g = vd.grid
+                if g.ts < 2:
+                    raise ValueError(
+                        "time_series_correlation needs a time-series "
+                        "file ('path') or a multi-timestep dataset")
+                from correrender_tpu.diagrams.octree import (
+                    downsample_fields,
+                )
+
+                fvol = np.stack(
+                    [np.asarray(vd.get_field(field, t, member))
+                     for t in range(g.ts)], axis=-1)
+                f = max(min(g.xs, g.ys) // 4, 1)
+                series = downsample_fields(fvol, f).reshape(-1, g.ts)
+                series = series[np.isfinite(series).all(axis=1)]
+            m = time_series_correlation(
+                series, measure,
+                window=int(window) if window else None)
+            return render_heatmap_svg(m, size=size)
+        raise ValueError(f"not a diagram-family renderer: {kind!r}")
+
     # -- persistence --------------------------------------------------------
 
     def save_state(self, path: str, dataset: Optional[dict] = None,

@@ -506,3 +506,55 @@ class TestSetPredicateParity:
         assert calc2.comparison == "equal"
         assert calc2.threshold == 0.5
         assert calc2.aggregation == "count_range"
+
+
+class TestDiagramNodes:
+    def test_render_diagram_from_reference_state(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {
+            "renderers": [
+                {"type": "diagram", "state": {
+                    "correlation_measure_type": "pearson",
+                    "downscaling_factor_x": "4",
+                    "downscaling_factor_y": "4",
+                    "downscaling_factor_z": "2",
+                    "sampling_method_type": "Quasirandom Plastic",
+                    "num_samples": "8",
+                    "beta": "0.8",
+                    "curve_thickness": "1.5",
+                    "use_absolute_correlation_measure": "1",
+                    "correlation_range_lower": "0.2",
+                    "correlation_range_upper": "1",
+                }},
+                {"type": "scatter_plot", "state": {
+                    "field0": "0", "field1": "0", "point_size": "3",
+                }},
+                {"type": "correlation_matrix", "state": {
+                    "correlation_measure_type": "spearman",
+                }},
+            ],
+        }
+        path = tmp_path / "diag_state.json"
+        path.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        diagrams = [r for r in scene.renderers
+                    if r["type"] in scene.DIAGRAM_TYPES]
+        assert len(diagrams) == 3
+        heb_node = next(r for r in diagrams if r["type"] == "diagram")
+        assert heb_node["downsample_xyz"] == (4, 4, 2)
+        assert heb_node["sampling_method"] == "plastic"
+        assert heb_node["absolute"] is True
+        svg = scene.render_diagram(heb_node, size=300)
+        assert svg.startswith("<svg") or "<svg" in svg
+        scatter_svg = scene.render_diagram(
+            next(r for r in diagrams if r["type"] == "scatter_plot"))
+        assert "<svg" in scatter_svg
+        matrix_svg = scene.render_diagram(
+            next(r for r in diagrams if r["type"] == "correlation_matrix"))
+        assert "<svg" in matrix_svg
+
+    def test_timeseries_node_needs_source(self):
+        vd, _ = make_volume()
+        scene = Scene(vd)
+        with pytest.raises(ValueError, match="time-series"):
+            scene.render_diagram({"type": "time_series_correlation"})
