@@ -106,7 +106,17 @@ def cmd_render(args):
 def cmd_view(args):
     from correrender_tpu.app.viewer import serve
 
-    scene = _build_render_scene(args)
+    if getattr(args, "state", None):
+        from correrender_tpu.app.state import Scene
+
+        scene = Scene.load_state(args.state, catalog=args.catalog)
+        if not scene.renderers:
+            scene.add_renderer(
+                "dvr", field=scene.volume_data.field_names[-1])
+    elif not args.dataset:
+        raise SystemExit("view needs --dataset or --state")
+    else:
+        scene = _build_render_scene(args)
     w, h = (int(v) for v in args.size.split("x"))
     serve(scene, host=args.host, port=args.port, image_size=(w, h),
           fast_dvr=not args.exact_dvr)
@@ -433,8 +443,8 @@ def build_parser():
     )
     sub = p.add_subparsers(dest="command", required=True)
 
-    def add_dataset_args(sp):
-        sp.add_argument("--dataset", required=True,
+    def add_dataset_args(sp, required=True):
+        sp.add_argument("--dataset", required=required,
                         help="volume file path or catalog entry name")
         sp.add_argument("--catalog", default=None,
                         help="datasets.json path (then --dataset is a name)")
@@ -444,8 +454,8 @@ def build_parser():
     add_dataset_args(sp)
     sp.set_defaults(fn=cmd_info)
 
-    def add_scene_args(sp):
-        add_dataset_args(sp)
+    def add_scene_args(sp, dataset_required=True):
+        add_dataset_args(sp, required=dataset_required)
         sp.add_argument("--measure", default=None,
                         help="correlation measure id "
                              "(omit: render raw field)")
@@ -479,7 +489,11 @@ def build_parser():
         help="interactive browser viewer (the reference GUI analogue: "
              "drag = orbit, wheel = zoom, shift+click = pick reference "
              "point, property panel for measure/field/TF/time/member)")
-    add_scene_args(sp)
+    add_scene_args(sp, dataset_required=False)
+    sp.add_argument("--state", default=None,
+                    help="open a saved scene state instead of building "
+                         "one (native or reference-app format; "
+                         "--catalog resolves dataset-by-name entries)")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8777)
     sp.set_defaults(fn=cmd_view)

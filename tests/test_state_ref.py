@@ -558,3 +558,44 @@ class TestDiagramNodes:
         scene = Scene(vd)
         with pytest.raises(ValueError, match="time-series"):
             scene.render_diagram({"type": "time_series_correlation"})
+
+
+class TestViewStateFlag:
+    def test_view_accepts_state_file(self, tmp_path, monkeypatch):
+        """`cli view --state ref.json` builds the scene from the state
+        file (no --dataset needed) and hands it to serve()."""
+        from correrender_tpu.io import writers
+        from correrender_tpu.app import cli
+
+        data = fixtures.synth_box_ensemble(xs=8, ys=8, zs=4, members=6)
+        nc = str(tmp_path / "ens.nc")
+        writers.write_netcdf(nc, data[:, None])
+        doc = {
+            "renderers": [{"type": "dvr",
+                           "state": {"selected_field_idx": "0"}}],
+            "volume_data": {"filename": nc},
+        }
+        state = tmp_path / "state.json"
+        state.write_text(json.dumps(doc))
+
+        served = {}
+
+        def fake_serve(scene, **kw):
+            served["scene"] = scene
+
+        import correrender_tpu.app.viewer as viewer
+
+        monkeypatch.setattr(viewer, "serve", fake_serve)
+        monkeypatch.setattr(
+            "sys.argv",
+            ["cli", "view", "--state", str(state), "--size", "64x48"],
+        )
+        cli.main()
+        assert served["scene"].renderers[0]["type"] == "dvr"
+
+    def test_view_without_dataset_or_state_errors(self, monkeypatch):
+        from correrender_tpu.app import cli
+
+        monkeypatch.setattr("sys.argv", ["cli", "view"])
+        with pytest.raises(SystemExit, match="--dataset or --state"):
+            cli.main()
