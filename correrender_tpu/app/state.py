@@ -623,6 +623,12 @@ class Scene:
                 np.asarray(vd.get_member_stack(field, time)),
                 mode=node.get("mode", "cell_member_values"),
                 max_points=int(node.get("max_points", 400)),
+                perplexity=float(node.get("perplexity", 30.0)),
+                num_iters=int(node.get("tsne_num_iters", 500)),
+                seed=int(node.get("tsne_seed", 0)),
+                eps=(float(node["dbscan_eps"])
+                     if node.get("dbscan_eps") else None),
+                min_samples=int(node.get("dbscan_min_pts", 8)),
             )
             return render_scatter_svg(
                 emb[:, 0], emb[:, 1], labels=("t-SNE 1", "t-SNE 2"),

@@ -218,6 +218,14 @@ _SILENT_KEYS = frozenset({
     "use_correlation_computation_gpu_focus",
     "use_field_accuracy_double", "align_with_parent_window",
     "network_implementation", "export_file_path",
+    # Interactive picking GUI state (PointPicker options — picking is
+    # call-site-parameterized here, render/picking.py).
+    "fix_picking_z", "fixed_z_plane_percentage",
+    # NaN stencil is always applied by the JAX neural calculator.
+    "use_data_nan_stencil",
+    # Barnes-Hut/momentum schedule internals of the vendored bhtsne;
+    # the exact t-SNE here has no approximation theta or lying phase.
+    "tsne_theta", "tsne_mom_switch_iter", "tsne_stop_lying_iter",
 })
 
 
@@ -510,6 +518,8 @@ def _convert_renderer(type_id: str, state: dict, names: list,
                 ("dbscan_minpts", "dbscan_min_pts"),
                 ("num_sampled_points", "max_points"),
                 ("tsne_perplexity", "perplexity"),
+                ("tsne_max_iter", "tsne_num_iters"),
+                ("tsne_random_seed", "tsne_seed"),
                 ("neighborhood_radius", "neighborhood_radius"),
                 ("mi_bins", "mi_bins"),
                 ("kmi_neighbors", "kmi_neighbors")):
@@ -538,13 +548,17 @@ def _convert_renderer(type_id: str, state: dict, names: list,
         out.update(s)
         s = {}
 
+    # Diagram-family charts draw in their configured dock view.
+    if "diagram_view" in s:
+        view_indices = [int(s.pop("diagram_view"))]
+
     for k, v in s.items():
         extra[k] = v
         if k not in _SILENT_KEYS:
             warnings.append(f"{type_id}: unmapped setting {k!r} "
                             "preserved in _ref_extra")
     if extra:
-        out["_ref_extra"] = extra
+        out.setdefault("_ref_extra", {}).update(extra)
 
     nodes = []
     for v in view_indices:

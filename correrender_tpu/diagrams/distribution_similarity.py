@@ -113,6 +113,7 @@ def distribution_similarity(
     eps: float | None = None,
     min_samples: int = 8,
     seed: int = 0,
+    num_iters: int = 500,
 ):
     """Full pipeline: features → t-SNE 2D embedding → DBSCAN labels.
 
@@ -120,7 +121,8 @@ def distribution_similarity(
     sampled cell coords (or member indices for member mode).
     """
     feats, ids = build_features(stack, mode, max_points)
-    emb = tsne(feats, perplexity=perplexity, seed=seed)
+    emb = tsne(feats, perplexity=perplexity, seed=seed,
+               num_iters=num_iters)
     if eps is None:
         span = emb.max(axis=0) - emb.min(axis=0)
         eps = 0.05 * float(np.linalg.norm(span))
