@@ -262,7 +262,12 @@ def cmd_state(args):
     if getattr(args, "save_reference", None):
         scene.save_state(args.save_reference, reference_format=True)
         print(f"wrote {args.save_reference} (reference format)")
-    w, h = (int(v) for v in args.size.split("x"))
+    if args.size:
+        w, h = (int(v) for v in args.size.split("x"))
+    else:
+        # No explicit size: honor the state's window size (reference
+        # files persist it), else the old default.
+        w, h = getattr(scene, "window_size", None) or (800, 600)
     if args.dock:
         # One canvas, all views arranged per the persisted dock
         # layout (ViewManager role).
@@ -581,7 +586,9 @@ def build_parser():
     sp = sub.add_parser("state", help="render a saved scene state "
                         "(native or reference-app format, auto-detected)")
     sp.add_argument("--load", required=True)
-    sp.add_argument("--size", default="800x600")
+    sp.add_argument("--size", default=None,
+                    help="WxH (default: the state's window size, "
+                         "else 800x600)")
     sp.add_argument("--output", required=True)
     sp.add_argument("--dock", action="store_true",
                     help="one canvas, views arranged per dock_layout")

@@ -820,6 +820,11 @@ class Scene:
             scene.dock_layout = [
                 [int(i) for i in row] for row in doc["dock_layout"]
             ]
+        if "window_size" in doc:
+            # Reference window size → default render size for headless
+            # drivers that don't pass one (cli state without --size).
+            scene.window_size = tuple(
+                int(v) for v in doc["window_size"])
         for name, node in doc.get("camera_checkpoints", {}).items():
             scene.camera_checkpoints[name] = _camera_from_json(node)
         return scene

@@ -599,3 +599,14 @@ class TestViewStateFlag:
         monkeypatch.setattr("sys.argv", ["cli", "view"])
         with pytest.raises(SystemExit, match="--dataset or --state"):
             cli.main()
+
+
+class TestWindowSize:
+    def test_window_size_honored(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {"window_size": {"x": 640, "y": 360},
+               "renderers": [{"type": "domain_outline", "state": {}}]}
+        path = tmp_path / "state.json"
+        path.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        assert scene.window_size == (640, 360)
