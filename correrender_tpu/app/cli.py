@@ -143,6 +143,43 @@ def cmd_export(args):
     print(f"wrote {args.output}")
 
 
+def cmd_mesh(args):
+    """Isosurface mesh export (the reference's IsoSurfaceRasterizer
+    export hooks + Export/WriteMesh.cpp obj/stl writers)."""
+    from correrender_tpu.io.writers import (
+        write_obj,
+        write_stl,
+        write_tet_mesh,
+        voxels_to_tet_mesh,
+    )
+    from correrender_tpu.render.mesh import (
+        extract_isosurface,
+        vertex_normals,
+    )
+
+    vd = _load(args)
+    field = args.field or vd.field_names[0]
+    vol = np.asarray(vd.get_field(field, args.time, args.member))
+    ext = os.path.splitext(args.output)[1].lower()
+    if ext == ".tet":
+        verts, tets = voxels_to_tet_mesh(vol, args.iso_value)
+        write_tet_mesh(args.output, verts, tets)
+        print(f"wrote {args.output} ({len(verts)} verts, "
+              f"{len(tets)} tets)")
+        return
+    gamma = args.gamma if args.technique == "snapmc" else 0.0
+    verts, tris = extract_isosurface(vol, args.iso_value,
+                                     snap_gamma=gamma)
+    if ext == ".stl":
+        write_stl(args.output, verts, tris)
+    else:
+        write_obj(args.output, verts, tris,
+                  normals=vertex_normals(verts, tris)
+                  if len(verts) else None)
+    print(f"wrote {args.output} ({len(verts)} verts, "
+          f"{len(tris)} triangles)")
+
+
 def cmd_heb(args):
     from correrender_tpu.diagrams.heb import HEBChart
 
@@ -502,6 +539,24 @@ def build_parser():
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8777)
     sp.set_defaults(fn=cmd_view)
+
+    sp = sub.add_parser(
+        "mesh",
+        help="extract + export an isosurface mesh (.obj/.stl/.tet — "
+             "IsoSurfaceRasterizer export / WriteMesh parity)")
+    add_dataset_args(sp)
+    sp.add_argument("--iso-value", type=float, default=0.5)
+    sp.add_argument("--technique", default="mc",
+                    choices=["mc", "snapmc"],
+                    help="marching (tetrahedra) or SnapMC-style "
+                         "vertex snapping")
+    sp.add_argument("--gamma", type=float, default=0.3,
+                    help="SnapMC snap threshold in [0, 0.5)")
+    sp.add_argument("--time", type=int, default=0)
+    sp.add_argument("--member", type=int, default=0)
+    sp.add_argument("--output", required=True,
+                    help=".obj, .stl, or .tet")
+    sp.set_defaults(fn=cmd_mesh)
 
     sp = sub.add_parser("export", help="export a (derived) field")
     add_dataset_args(sp)

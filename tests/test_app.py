@@ -148,6 +148,28 @@ class TestCli:
         writers.write_netcdf(path, data[:, None], name="temp")
         return path
 
+    def test_mesh_export(self, dataset, tmp_path, capsys):
+        """cli mesh: obj with normals, stl, snapmc variant, tet."""
+        obj = str(tmp_path / "m.obj")
+        cli.main(["mesh", "--dataset", dataset, "--iso-value", "0.5",
+                  "--output", obj])
+        text = open(obj).read()
+        assert "v " in text and "f " in text and "vn " in text
+        snap = str(tmp_path / "s.obj")
+        cli.main(["mesh", "--dataset", dataset, "--iso-value", "0.5",
+                  "--technique", "snapmc", "--gamma", "0.3",
+                  "--output", snap])
+        # SnapMC merges near-vertex intersections -> fewer vertices.
+        assert open(snap).read().count("\nv ") <= text.count("\nv ")
+        stl = str(tmp_path / "m.stl")
+        cli.main(["mesh", "--dataset", dataset, "--output", stl])
+        import os
+        assert os.path.getsize(stl) > 84
+        tet = str(tmp_path / "m.tet")
+        cli.main(["mesh", "--dataset", dataset, "--iso-value", "0.5",
+                  "--output", tet])
+        assert os.path.getsize(tet) > 0
+
     def test_info(self, dataset, capsys):
         cli.main(["info", "--dataset", dataset])
         out = capsys.readouterr().out
