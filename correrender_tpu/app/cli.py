@@ -326,7 +326,8 @@ def cmd_state(args):
     # Diagram-family renderer nodes (reference DiagramRenderer &
     # friends draw as view overlays) render to SVGs alongside.
     diagrams = [r for r in scene.renderers
-                if r["type"] in scene.DIAGRAM_TYPES]
+                if r["type"] in scene.DIAGRAM_TYPES
+                and not r.get("hidden")]
     for i, node in enumerate(diagrams):
         root, _ = os.path.splitext(args.output)
         path = f"{root}_{node['type']}{i if len(diagrams) > 1 else ''}.svg"

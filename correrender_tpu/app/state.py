@@ -210,7 +210,7 @@ class Scene:
         opaque = []         # [(rgba, depth)] — z-merged below
         dvr_jobs = []       # deferred: they need the merged depth
         for r in self.renderers:
-            if r["view"] != view:
+            if r["view"] != view or r.get("hidden"):
                 continue
             field = r.get("field", vd.field_names[0])
             if r["type"] == "dvr":
@@ -499,8 +499,8 @@ class Scene:
             from correrender_tpu.render.legend import color_legend_overlay
 
             for r in self.renderers:
-                if r["view"] != view or r["type"] not in (
-                        "dvr", "slice", "iso_ray"):
+                if (r["view"] != view or r.get("hidden")
+                        or r["type"] not in ("dvr", "slice", "iso_ray")):
                     continue
                 field = r.get("field", vd.field_names[0])
                 image = jnp.asarray(color_legend_overlay(

@@ -72,8 +72,14 @@ def _coerce(v):
     return s
 
 
+#: Keys whose values are bitmask STRINGS ("0101" selects fields/views)
+#: — numeric coercion would corrupt them ("01" is not the number 1).
+_BITMASK_KEYS = frozenset({"view_visibility", "scalar_field_selection"})
+
+
 def _coerce_map(state: dict) -> dict:
-    return {k: _coerce(v) for k, v in (state or {}).items()}
+    return {k: (v if k in _BITMASK_KEYS else _coerce(v))
+            for k, v in (state or {}).items()}
 
 
 def _stringify(v) -> str:
@@ -209,6 +215,16 @@ _EXTRACTION_FROM_REF = {
     "SnapMC": "snapmc",
 }
 _EXTRACTION_TO_REF = {v: k for k, v in _EXTRACTION_FROM_REF.items()}
+
+#: DistributionSimilarityRenderer.hpp:61-65 feature modes →
+#: diagrams/distribution_similarity.py mode ids.
+_ANALYSIS_MODE_FROM_REF = {
+    "Grid Cell Neighborhood Correlation Vector":
+        "cell_neighborhood_correlations",
+    "Grid Cell Member Value Vector": "cell_member_values",
+    "Member Grid Cell Value Vector": "member_cell_values",
+}
+_ANALYSIS_MODE_TO_REF = {v: k for k, v in _ANALYSIS_MODE_FROM_REF.items()}
 
 #: Keys that configure the reference's GPU plumbing — meaningless here
 #: (XLA owns placement/layout); preserved via _ref_extra, not warned.
@@ -367,10 +383,9 @@ def _convert_calculator(type_id: str, state: dict, names: list,
                 out[f"scalar_field_name_{i}"] = _field_name(
                     names, s.pop(k), warnings, type_id)
     else:
-        warnings.append(f"unknown calculator type {type_id!r} kept "
-                        "with raw settings")
-        out.update(s)
-        s = {}
+        # convert_reference_state filters by the registry first; a raw
+        # call with an unknown type is a programming error.
+        raise ValueError(f"unknown calculator type {type_id!r}")
 
     for k, v in s.items():
         extra[k] = v
@@ -394,9 +409,17 @@ def _convert_renderer(type_id: str, state: dict, names: list,
     # The visibility bitmask must stay a string ("01" is views, not
     # the number 1) — pull it out before numeric coercion.
     vis = str(state.pop("view_visibility", "1"))
-    view_indices = [i for i, c in enumerate(vis) if c == "1"] or [0]
+    view_indices = [i for i, c in enumerate(vis) if c == "1"]
+    hidden = not view_indices
+    if hidden:
+        # Configured but visible in no view: keep the node (the
+        # reference keeps it in the renderer list) but mark it so the
+        # render paths skip it and re-export restores the zero mask.
+        view_indices = [0]
     s = _coerce_map(state)
     out = {"type": type_id}
+    if hidden:
+        out["hidden"] = True
     extra = {}
 
     def field_from_idx():
@@ -527,15 +550,8 @@ def _convert_renderer(type_id: str, state: dict, names: list,
                 out[our_key] = s.pop(ref_key)
         mode = s.pop("distribution_analysis_mode", None)
         if mode is not None:
-            # DistributionSimilarityRenderer.hpp:56-66 feature modes →
-            # diagrams/distribution_similarity.py mode ids.
-            m = str(mode).lower()
-            if "neighborhood" in m or "correlation" in m:
-                out["mode"] = "cell_neighborhood_correlations"
-            elif m.startswith("member") or "grid cell value" in m:
-                out["mode"] = "member_cell_values"
-            else:
-                out["mode"] = "cell_member_values"
+            out["mode"] = _ANALYSIS_MODE_FROM_REF.get(
+                str(mode), "cell_member_values")
         pattern = s.pop("sampling_pattern", None)
         if pattern is not None:
             out["sampling_pattern"] = ("plastic" if "plastic"
@@ -543,10 +559,8 @@ def _convert_renderer(type_id: str, state: dict, names: list,
         if "use_dbscan_clustering" in s:
             out["use_dbscan"] = bool(s.pop("use_dbscan_clustering"))
     else:
-        warnings.append(f"unknown renderer type {type_id!r} kept with "
-                        "raw settings")
-        out.update(s)
-        s = {}
+        # convert_reference_state filters by RENDERING_MODE_IDS first.
+        raise ValueError(f"unknown renderer type {type_id!r}")
 
     # Diagram-family charts draw in their configured dock view.
     if "diagram_view" in s:
@@ -698,10 +712,22 @@ def convert_reference_state(doc: dict, dataset_field_names: list,
     ]
 
     # Calculators grow the field-name list for index resolution.
+    from correrender_tpu.app.state import RENDERING_MODE_IDS
+    from correrender_tpu.calculators.base import known_calculator_types
+
     names = list(dataset_field_names)
     calculators = []
+    known_calcs = known_calculator_types()
     for node in doc.get("calculators", []) or []:
         type_id = node.get("type", "correlation")
+        if type_id not in known_calcs:
+            # Dropping the node must NOT shift later field indices:
+            # the reference's field list would have contained this
+            # calculator's output, so a placeholder keeps positions.
+            warnings.append(f"unknown calculator type {type_id!r} "
+                            "skipped (placeholder keeps field indices)")
+            names.append(f"{type_id} Output")
+            continue
         converted = _convert_calculator(
             type_id, node.get("state", {}), names, warnings)
         calculators.append(converted)
@@ -719,9 +745,12 @@ def convert_reference_state(doc: dict, dataset_field_names: list,
 
     renderers = []
     for node in doc.get("renderers", []) or []:
+        type_id = node.get("type", "dvr")
+        if type_id not in RENDERING_MODE_IDS:
+            warnings.append(f"unknown renderer type {type_id!r} skipped")
+            continue
         renderers.extend(_convert_renderer(
-            node.get("type", "dvr"), node.get("state", {}), names,
-            warnings))
+            type_id, node.get("state", {}), names, warnings))
     out["renderers"] = renderers
 
     # Transfer functions: a list ordered like the final field list.
@@ -745,9 +774,7 @@ def convert_reference_state(doc: dict, dataset_field_names: list,
             warnings.append(f"transfer function {i}: XML parse failed "
                             f"({exc}); skipped")
             continue
-        entry = tf.to_dict()
-        entry["color_points"] = [[p, *rgb] for p, rgb in tf.color_points]
-        entry["opacity_points"] = [[p, a] for p, a in tf.opacity_points]
+        entry = tf.to_dict()   # carries lut + source control points
         if not tf_node.get("is_selected_range_fixed", True):
             entry["range_fixed"] = False
         tfs[names[i]] = entry
@@ -777,7 +804,7 @@ def _camera_node_to_ours(cam_node: dict) -> dict:
 
 
 def reference_state_from_scene(scene, dataset: dict | None = None,
-                               window_size=(1920, 1080)) -> dict:
+                               window_size=None) -> dict:
     """Build a reference-app state document from a live scene.
 
     The inverse of :func:`convert_reference_state`: cameras in sgl
@@ -791,6 +818,9 @@ def reference_state_from_scene(scene, dataset: dict | None = None,
     names = vd.field_names
     name_to_idx = {n: i for i, n in enumerate(names)}
 
+    if window_size is None:
+        # An imported reference state carries its window size through.
+        window_size = getattr(scene, "window_size", None) or (1920, 1080)
     doc: dict = {
         "window_size": {"x": int(window_size[0]),
                         "y": int(window_size[1])},
@@ -819,11 +849,17 @@ def reference_state_from_scene(scene, dataset: dict | None = None,
                 state[key] = _stringify(value)
         for key, value in extra.items():
             state.setdefault(key, _stringify(value))
-        if state.get("correlation_field_mode") == "Single":
+        if state.get("correlation_field_mode", "Single") == "Single":
             # The reference writes the ref/query indices only for
             # Separate modes (CorrelationCalculator.cpp:536-541).
             state.pop("scalar_field_idx_ref", None)
             state.pop("scalar_field_idx_query", None)
+        elif "correlation_field_mode" in state:
+            # Separate modes read scalar_field_idx_query/_ref, not
+            # scalar_field_idx (CorrelationCalculator.cpp:430-443).
+            if "scalar_field_idx" in state:
+                state["scalar_field_idx_query"] = state.pop(
+                    "scalar_field_idx")
         calculators.append({"type": calc.type_id, "state": state})
     doc["calculators"] = calculators
 
@@ -859,21 +895,26 @@ def reference_state_from_scene(scene, dataset: dict | None = None,
     return doc
 
 
+def _measure_id(value) -> str:
+    """Display name or id → CORRELATION_MEASURE_TYPE_IDS id string."""
+    from correrender_tpu.ops.registry import (
+        MEASURE_NAMES,
+        measure_from_id,
+    )
+
+    name_to_measure = {v: k for k, v in MEASURE_NAMES.items()}
+    measure = name_to_measure.get(value)
+    if measure is None:
+        measure = measure_from_id(value)
+    return measure.value
+
+
 def _settings_key_to_reference(key: str, value, name_to_idx: dict):
     """Our get_settings key/value → reference SettingsMap key/value."""
     if key == "correlation_measure_type":
         # Our get_settings writes the GUI display name; the reference
         # persists CORRELATION_MEASURE_TYPE_IDS ("pearson", ...).
-        from correrender_tpu.ops.registry import (
-            MEASURE_NAMES,
-            measure_from_id,
-        )
-
-        name_to_measure = {v: k for k, v in MEASURE_NAMES.items()}
-        measure = name_to_measure.get(value)
-        if measure is None:
-            measure = measure_from_id(value)
-        return key, measure.value
+        return key, _measure_id(value)
     if key == "scalar_field_name":
         return "scalar_field_idx", name_to_idx.get(value, 0)
     if key in ("scalar_field_name_0", "scalar_field_name_1"):
@@ -912,7 +953,8 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
     extra = node.pop("_ref_extra", {}) or {}
     state: dict = {}
     vis = ["0"] * max(num_views, view + 1)
-    vis[view] = "1"
+    if not node.pop("hidden", False):
+        vis[view] = "1"
     state["view_visibility"] = "".join(vis)
 
     def put(ref_key, value):
@@ -952,10 +994,33 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
             put("octree_method", _OCTREE_TO_REF.get(
                 value, "Top Down (ceil)"))
         elif key == "absolute":
-            put("use_absolute_correlation_measure", value)
-        elif key == "measure" and type_id in (
-                "time_series_correlation", "distribution_similarity"):
-            put("correlation_measure_type", value)
+            # The DiagramRenderer persists this flag under its own
+            # name; the other diagram renderers share the calculator
+            # key (DiagramRenderer.cpp:1861 vs
+            # TimeSeriesCorrelationRenderer/DistributionSimilarity).
+            put("use_absolute_correlation_measure"
+                if type_id == "diagram" else "calculate_absolute_value",
+                value)
+        elif key == "measure":
+            put("correlation_measure_type", _measure_id(value))
+        elif key == "mode" and type_id == "distribution_similarity":
+            put("distribution_analysis_mode", _ANALYSIS_MODE_TO_REF.get(
+                value, "Grid Cell Member Value Vector"))
+        elif key == "sampling_pattern":
+            put("sampling_pattern", "Quasirandom Plastic"
+                if value == "plastic" else "All")
+        elif key == "use_dbscan":
+            put("use_dbscan_clustering", value)
+        elif key == "perplexity":
+            put("tsne_perplexity", value)
+        elif key == "tsne_num_iters":
+            put("tsne_max_iter", value)
+        elif key == "tsne_seed":
+            put("tsne_random_seed", value)
+        elif key == "model_path" and type_id == "time_series_correlation":
+            put("model_file_path", value)
+        elif key == "estimator" and type_id == "time_series_correlation":
+            pass  # implied by model_file_path presence
         elif key == "downsample_xyz":
             for ax, v in zip("xyz", value):
                 put(f"downscaling_factor_{ax}", int(v))

@@ -66,6 +66,17 @@ def register_calculator_type(type_id: str):
     return wrap
 
 
+#: Legacy neural type ids that alias onto the unified JAX calculator
+#: (see calculator_from_settings).
+_NEURAL_ALIASES = ("correlation_torch", "correlation_tiny_cuda_nn",
+                   "correlation_quick_mlp", "correlation_vmlp")
+
+
+def known_calculator_types() -> frozenset:
+    """Every type id :func:`calculator_from_settings` accepts."""
+    return frozenset(_TYPE_REGISTRY) | frozenset(_NEURAL_ALIASES)
+
+
 def calculator_from_settings(type_id: str, settings: dict):
     """Instantiate a calculator from a state-file settings map.
 

@@ -158,19 +158,39 @@ class TransferFunction:
         return tf
 
     def to_dict(self) -> dict:
-        """JSON-serializable state (full LUT — lossless round-trip)."""
-        return {
+        """JSON-serializable state (full LUT — lossless round-trip;
+        control points ride along when known so reference-format
+        export can write the original widget points)."""
+        out = {
             "domain": list(self.domain),
             "lut": np.asarray(self.lut).tolist(),
         }
+        if self.color_points is not None:
+            out["color_points"] = [[p, *rgb]
+                                   for p, rgb in self.color_points]
+        if self.opacity_points is not None:
+            out["opacity_points"] = [[p, a]
+                                     for p, a in self.opacity_points]
+        return out
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransferFunction":
         if "lut" in d:
-            return cls(
+            tf = cls(
                 lut=jnp.asarray(np.asarray(d["lut"], np.float32)),
                 domain=tuple(d.get("domain", (0.0, 1.0))),
             )
+            # Keep control points riding alongside a LUT (imported
+            # reference TFs store both) so reference-format re-export
+            # stays lossless instead of resampling the LUT.
+            if "color_points" in d and "opacity_points" in d:
+                tf.color_points = [
+                    (float(p[0]), tuple(float(v) for v in p[1:4]))
+                    for p in d["color_points"]
+                ]
+                tf.opacity_points = [(float(p[0]), float(p[1]))
+                                     for p in d["opacity_points"]]
+            return tf
         return cls.from_control_points(
             [(p[0], tuple(p[1:4])) for p in d["color_points"]],
             [(p[0], p[1]) for p in d["opacity_points"]],

@@ -610,3 +610,157 @@ class TestWindowSize:
         path.write_text(json.dumps(doc))
         scene = Scene.load_state(str(path), volume_data=vd)
         assert scene.window_size == (640, 360)
+
+
+class TestReviewFindings:
+    """Regressions for the round-3 interchange review pass."""
+
+    def test_unknown_types_skip_without_crash(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {
+            "calculators": [
+                {"type": "frobnicator", "state": {"x": "1"}},
+                {"type": "correlation", "state": {
+                    # Index 2 = data(0) + frobnicator placeholder(1)
+                    # + ... wait: this node's own output isn't built
+                    # yet, so 0=data, 1=frobnicator output.
+                    "scalar_field_idx": "0",
+                    "correlation_measure_type": "pearson"}},
+            ],
+            "renderers": [
+                {"type": "hologram", "state": {}},
+                # Index 2 = pearson output (data, frobnicator, pearson).
+                {"type": "dvr", "state": {"selected_field_idx": "2"}},
+            ],
+        }
+        path = tmp_path / "s.json"
+        path.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        # Unknown nodes dropped; field indexing preserved through the
+        # placeholder.
+        assert len(scene.volume_data.calculators) == 1
+        dvr = next(r for r in scene.renderers if r["type"] == "dvr")
+        assert dvr["field"] == "Pearson Correlation"
+
+    def test_bitmask_scalar_field_selection_survives(self):
+        doc = {"renderers": [{"type": "correlation_matrix", "state": {
+            "scalar_field_selection": "0101",
+        }}]}
+        ours, _ = convert_reference_state(doc, ["a", "b", "c", "d"])
+        node = ours["renderers"][0]
+        assert node["_ref_extra"]["scalar_field_selection"] == "0101"
+        ref = reference_state_from_scene.__module__  # module sanity
+        assert ref == "correrender_tpu.app.state_ref"
+
+    def test_hidden_renderer_round_trip(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {"renderers": [
+            {"type": "dvr", "state": {"selected_field_idx": "0",
+                                      "view_visibility": "00"}},
+        ]}
+        path = tmp_path / "s.json"
+        path.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        node = scene.renderers[0]
+        assert node["hidden"] is True
+        # Hidden renderers do not draw.
+        img = np.asarray(scene.render_view(0, image_size=(32, 24)))
+        assert img[..., 3].max() == 0
+        # Re-export restores the all-zeros mask.
+        out = tmp_path / "back.json"
+        scene.save_state(str(out), reference_format=True)
+        back = json.load(open(out))
+        vis = back["renderers"][0]["state"]["view_visibility"]
+        assert set(vis) == {"0"}
+
+    def test_tf_control_points_survive_native_round_trip(self, tmp_path):
+        vd, _ = make_volume()
+        doc = reference_doc()
+        p1 = tmp_path / "ref.json"
+        p1.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(p1), volume_data=vd)
+        # native save → native load → reference export keeps the
+        # ORIGINAL widget points (not a 17-point LUT resample).
+        p2 = str(tmp_path / "native.json")
+        scene.save_state(p2)
+        vd2, _ = make_volume()
+        scene2 = Scene.load_state(p2, volume_data=vd2)
+        tf = scene2.transfer_functions["data"]
+        assert len(tf.color_points) == 2
+        assert len(tf.opacity_points) == 3
+        p3 = str(tmp_path / "back_ref.json")
+        scene2.save_state(p3, reference_format=True)
+        back = json.load(open(p3))
+        xml = back["volume_data"]["transfer_functions"][0]["data"]
+        assert xml.count("<ColorPoint ") == 2
+        assert xml.count("<OpacityPoint ") == 3
+
+    def test_separate_fields_export_uses_query_key(self, tmp_path):
+        from correrender_tpu.calculators.correlation import (
+            CorrelationCalculator,
+        )
+
+        vd, _ = make_volume()
+        vd.add_field("data2", lambda t, e: np.zeros((8, 16, 16),
+                                                    np.float32))
+        scene = Scene(vd)
+        scene.add_calculator(CorrelationCalculator(
+            "data", field_name_ref="data2", symmetric_fields=True,
+            measure="pearson",
+        ))
+        path = str(tmp_path / "ref.json")
+        scene.save_state(path, reference_format=True)
+        state = json.load(open(path))["calculators"][0]["state"]
+        assert "scalar_field_idx" not in state
+        assert state["scalar_field_idx_query"] == "0"
+        assert state["scalar_field_idx_ref"] == "1"
+
+    def test_diagram_export_key_symmetry(self, tmp_path):
+        vd, _ = make_volume()
+        scene = Scene(vd)
+        scene.add_renderer("diagram", measure="spearman", absolute=True,
+                           num_samples=12)
+        scene.add_renderer("distribution_similarity",
+                           mode="member_cell_values",
+                           sampling_pattern="plastic",
+                           perplexity=12.5, tsne_seed=7)
+        scene.add_renderer("time_series_correlation", measure="kendall",
+                           absolute=True, window=16)
+        path = str(tmp_path / "ref.json")
+        scene.save_state(path, reference_format=True)
+        doc = json.load(open(path))
+        diag = next(r["state"] for r in doc["renderers"]
+                    if r["type"] == "diagram")
+        assert diag["correlation_measure_type"] == "spearman"
+        assert diag["use_absolute_correlation_measure"] == "1"
+        dist = next(r["state"] for r in doc["renderers"]
+                    if r["type"] == "distribution_similarity")
+        assert dist["distribution_analysis_mode"] == \
+            "Member Grid Cell Value Vector"
+        assert dist["sampling_pattern"] == "Quasirandom Plastic"
+        assert dist["tsne_perplexity"] == "12.5"
+        assert dist["tsne_random_seed"] == "7"
+        ts = next(r["state"] for r in doc["renderers"]
+                  if r["type"] == "time_series_correlation")
+        assert ts["correlation_measure_type"] == "kendall"
+        assert ts["calculate_absolute_value"] == "1"
+        assert ts["sliding_window_length"] == "16"
+        # And the file reloads with those settings intact.
+        vd2, _ = make_volume()
+        scene2 = Scene.load_state(path, volume_data=vd2)
+        diag2 = next(r for r in scene2.renderers
+                     if r["type"] == "diagram")
+        assert diag2["measure"] == "spearman"
+        assert diag2["absolute"] is True
+
+    def test_window_size_round_trip(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {"window_size": {"x": 800, "y": 600},
+               "renderers": []}
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(p), volume_data=vd)
+        out = str(tmp_path / "back.json")
+        scene.save_state(out, reference_format=True)
+        back = json.load(open(out))
+        assert back["window_size"] == {"x": 800, "y": 600}
