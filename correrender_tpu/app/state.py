@@ -580,6 +580,10 @@ class Scene:
                 **measure_kw,
             )
             chart.compute_correlations()
+            if node.get("diagram_type") == "matrix":
+                # The DiagramRenderer's alternative display mode
+                # (CorrelationDefines.hpp:107-109).
+                return chart.render_matrix_svg(size=size)
             return chart.render_svg(
                 size=size,
                 beta=float(node.get("beta", 0.75)),

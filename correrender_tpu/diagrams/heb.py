@@ -166,6 +166,7 @@ class HEBChart:
             iu, ju = iu[m], ju[m]
         if len(iu) == 0:
             self.chords = []
+            self._pair_values = (iu, ju, np.zeros(0, np.float32))
             return self.chords
         if self.sampling_method == "mean":
             series = np.stack(
@@ -238,6 +239,10 @@ class HEBChart:
                 f"unknown sampling method {self.sampling_method!r}; "
                 f"one of {sorted(SAMPLING_METHODS)}"
             )
+        # Keep the full sampled pair set for the matrix display mode
+        # (DiagramRenderer diagram_type "matrix",
+        # CorrelationDefines.hpp:107-109).
+        self._pair_values = (iu, ju, np.asarray(flat, np.float32))
         lo_c, hi_c = self.correlation_range
         ok = np.isfinite(flat) & (flat >= lo_c) & (flat <= hi_c)
         # Rank by magnitude: identical to the signed value on the
@@ -305,6 +310,36 @@ class HEBChart:
                 center + r * math.sin(a),
             )
         return pos, leaf_nodes, leaf_angle
+
+    def pair_matrix(self) -> np.ndarray:
+        """Region-pair correlations as a symmetric (L, L) matrix.
+
+        The DiagramRenderer's alternative display mode
+        (``diagram_type`` "matrix", CorrelationDefines.hpp:107-109):
+        the same sampled values the chord view ranks, shown as a
+        leaf×leaf heat map. Distance-gated / non-finite pairs are NaN;
+        the diagonal is NaN (self-correlation is not sampled).
+        """
+        if not hasattr(self, "_pair_values"):
+            self.compute_correlations()
+        L = self.num_leaves
+        m = np.full((L, L), np.nan, np.float32)
+        if hasattr(self, "_pair_values"):
+            iu, ju, vals = self._pair_values
+            m[iu, ju] = vals
+            m[ju, iu] = vals
+        return m
+
+    def render_matrix_svg(self, path: str | None = None,
+                          size: int = 700) -> str:
+        """Draw the matrix display mode (see :meth:`pair_matrix`)."""
+        from correrender_tpu.diagrams.matrix import render_matrix_svg
+
+        return render_matrix_svg(
+            self.pair_matrix(),
+            labels=[f"r{i}" for i in range(self.num_leaves)],
+            path=path, size=size,
+        )
 
     def render_svg(
         self,

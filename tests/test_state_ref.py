@@ -764,3 +764,37 @@ class TestReviewFindings:
         scene.save_state(out, reference_format=True)
         back = json.load(open(out))
         assert back["window_size"] == {"x": 800, "y": 600}
+
+
+class TestDiagramMatrixMode:
+    def test_matrix_display_mode(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {"renderers": [{"type": "diagram", "state": {
+            "diagram_type": "matrix",
+            "correlation_measure_type": "pearson",
+            "downscaling_factor_x": "8", "downscaling_factor_y": "8",
+            "downscaling_factor_z": "4",
+        }}]}
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(p), volume_data=vd)
+        node = scene.renderers[0]
+        assert node["diagram_type"] == "matrix"
+        svg = scene.render_diagram(node, size=240)
+        assert "<svg" in svg and "<rect" in svg
+
+    def test_pair_matrix_symmetric(self):
+        from correrender_tpu.diagrams.heb import HEBChart
+
+        vd, _ = make_volume()
+        stack = np.asarray(vd.get_member_stack("data"))
+        chart = HEBChart(stack, downsample_factor=(8, 8, 4),
+                         sampling_method="mean")
+        chart.compute_correlations()
+        m = chart.pair_matrix()
+        assert m.shape == (chart.num_leaves, chart.num_leaves)
+        finite = np.isfinite(m)
+        assert finite.any()
+        np.testing.assert_allclose(m[finite],
+                                   m.T[finite.T], atol=1e-6)
+        assert np.isnan(np.diag(m)).all()
