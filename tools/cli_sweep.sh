@@ -58,6 +58,11 @@ run $CLI state --load examples/scene_state.json --size 192x144 \
     --output "$W/state.png"
 run $CLI state --load examples/scene_state_mixed.json --size 192x144 \
     --dock --output "$W/state_mixed.png"
+run $CLI state --load examples/reference_state.json --size 192x144 \
+    --output "$W/state_ref.png" --save-reference "$W/state_ref_back.json"
+run $CLI mesh --dataset "$D" --iso-value 0.5 --technique snapmc \
+    --output "$W/iso.obj"
+run $CLI mesh --dataset "$D" --iso-value 0.5 --output "$W/iso.stl"
 run $CLI sampling --test-index 1 --num-pairs 8 --output "$W/sampling.csv"
 run $CLI perf --dataset "$D" --frames 3 --output "$W/perf.csv"
 run $CLI flythrough --dataset "$D" --measure pearson --ref 32,32,16 \
