@@ -90,6 +90,8 @@ def _build_render_scene(args):
                           else {}))
     if args.outline:
         scene.add_renderer("domain_outline")
+    scene.current_time = getattr(args, "time", 0)
+    scene.current_member = getattr(args, "member", 0)
     return scene
 
 
@@ -519,6 +521,10 @@ def build_parser():
         sp.add_argument("--kmi-neighbors", type=int, default=3)
         sp.add_argument("--kraskov-estimator", type=int, default=1,
                         choices=[1, 2])
+        sp.add_argument("--time", type=int, default=0,
+                        help="time step index")
+        sp.add_argument("--member", type=int, default=0,
+                        help="ensemble member index")
 
     sp = sub.add_parser("render", help="render a (correlation) field")
     add_scene_args(sp)

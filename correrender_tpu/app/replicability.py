@@ -93,4 +93,10 @@ def run_replicability(output_dir: str, image_size=(800, 600),
     scene.save_state(state_path, dataset={"filename": nc_path,
                                           "name": "linear_4x4"})
     files.append(state_path)
+    # The same scene in the reference app's own schema — loadable by
+    # the reference directly (ReplicabilityState.hpp role, inverted).
+    ref_path = os.path.join(output_dir, "replicability_state_ref.json")
+    scene.save_state(ref_path, dataset={"filename": nc_path},
+                     reference_format=True)
+    files.append(ref_path)
     return files
