@@ -540,6 +540,8 @@ class ViewerApp:
             vd.get_member_stack(field, scene.current_time))
 
         if kind == "heb":
+            defaults = self._heb_defaults()
+
             def _pair(key):
                 v = params.get(key)
                 if not v:
@@ -571,19 +573,23 @@ class ViewerApp:
 
                 return job
 
+            key = self._heb_key(params, field, measure,
+                                scene.current_time)
+
             def job():
                 from correrender_tpu.diagrams.heb import HEBChart
 
                 chart = HEBChart(
                     stack,
-                    downsample_factor=int(params.get("downsample", 4)),
+                    downsample_factor=key[3],
                     measure=measure,
-                    sampling_method=params.get(
-                        "sampling_method", "plastic"),
-                    num_samples=int(params.get("num_samples", 20)),
-                    max_chords=int(params.get("max_chords", 250)),
-                    correlation_range=corr_range,
-                    cell_distance_range=dist_range,
+                    sampling_method=key[5],
+                    num_samples=key[4],
+                    max_chords=key[6],
+                    correlation_range=(corr_range
+                                       or defaults["correlation_range"]),
+                    cell_distance_range=(
+                        dist_range or defaults["cell_distance_range"]),
                 )
                 chart.compute_correlations()
                 return chart.render_svg(
@@ -727,6 +733,12 @@ class ViewerApp:
             "view": self.view,
             "num_views": len(self.scene.views),
             "frame_epoch": self._frame_epoch,
+            # HEB knob defaults (a loaded state's diagram node wins)
+            # so the client panel opens matching the session config.
+            "heb_defaults": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in self._heb_defaults().items()
+            },
         }
 
     def api(self, cmd: dict) -> dict:
@@ -783,17 +795,52 @@ class ViewerApp:
                 return self._heb_reply(dd)
         return {"ok": False, "error": f"unknown op {op!r}"}
 
+    def _heb_defaults(self) -> dict:
+        """HEB knob defaults — a loaded scene's diagram renderer node
+        (e.g. an imported reference state's DiagramRenderer settings)
+        overrides the built-ins, so `view --state` opens with the
+        session's configured chart."""
+        d = {"downsample": 4, "num_samples": 20,
+             "sampling_method": "plastic", "max_chords": 250,
+             "correlation_range": None, "cell_distance_range": None}
+        node = next((r for r in self.scene.renderers
+                     if r["type"] == "diagram" and not r.get("hidden")),
+                    None)
+        if node is not None:
+            if "downsample_xyz" in node:
+                d["downsample"] = tuple(
+                    int(v) for v in node["downsample_xyz"])
+            elif "downsample" in node:
+                d["downsample"] = int(node["downsample"])
+            for key in ("num_samples", "max_chords"):
+                if key in node:
+                    d[key] = int(node[key])
+            if "sampling_method" in node:
+                d["sampling_method"] = str(node["sampling_method"])
+            for key in ("correlation_range", "cell_distance_range"):
+                if node.get(key) is not None:
+                    d[key] = tuple(float(v) for v in node[key])
+        return d
+
     def _heb_key(self, params: dict, field, measure, time):
         """Drill-stack identity. The defaults MUST match the plain
-        HEB diagram job's (downsample 4, max_chords 250): the chord
+        HEB diagram job's (shared via _heb_defaults): the chord
         list and the displayed chart come from the two paths, and
         mismatched defaults would make chord row k point into a chart
         the user is not looking at."""
-        return (field, str(measure), time,
-                int(params.get("downsample", 4)),
-                int(params.get("num_samples", 20)),
-                str(params.get("sampling_method", "plastic")),
-                int(params.get("max_chords", 250)))
+        d = self._heb_defaults()
+        ds = params.get("downsample")
+        if ds is None:
+            ds = d["downsample"]
+        elif "," in str(ds):
+            ds = tuple(int(v) for v in str(ds).split(","))
+        else:
+            ds = int(ds)
+        return (field, str(measure), time, ds,
+                int(params.get("num_samples", d["num_samples"])),
+                str(params.get("sampling_method",
+                               d["sampling_method"])),
+                int(params.get("max_chords", d["max_chords"])))
 
     def _ensure_drilldown(self, params: dict):
         """Build (or reuse) the drill-down stack for the current

@@ -798,3 +798,43 @@ class TestDiagramMatrixMode:
         np.testing.assert_allclose(m[finite],
                                    m.T[finite.T], atol=1e-6)
         assert np.isnan(np.diag(m)).all()
+
+
+class TestViewerHebDefaults:
+    def test_diagram_node_overrides_heb_defaults(self, tmp_path):
+        """A loaded state's DiagramRenderer node drives the viewer's
+        HEB defaults (and /info exposes them)."""
+        from correrender_tpu.app.viewer import ViewerApp
+
+        vd, _ = make_volume()
+        doc = {"renderers": [
+            {"type": "dvr", "state": {"selected_field_idx": "0"}},
+            {"type": "diagram", "state": {
+                "correlation_measure_type": "pearson",
+                "downscaling_factor_x": "8",
+                "downscaling_factor_y": "8",
+                "downscaling_factor_z": "4",
+                "sampling_method_type": "Mean",
+                "num_samples": "12",
+                "line_count_factor_context": "99",
+                "correlation_range_lower": "0.25",
+                "correlation_range_upper": "1",
+            }},
+        ]}
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(p), volume_data=vd)
+        viewer = ViewerApp(scene, image_size=(64, 48))
+        d = viewer._heb_defaults()
+        assert d["downsample"] == (8, 8, 4)
+        assert d["sampling_method"] == "mean"
+        assert d["num_samples"] == 12
+        assert d["max_chords"] == 99
+        assert d["correlation_range"] == (0.25, 1.0)
+        key = viewer._heb_key({}, "data", "pearson", 0)
+        assert key[3] == (8, 8, 4) and key[5] == "mean"
+        info = viewer.info()
+        assert info["heb_defaults"]["downsample"] == [8, 8, 4]
+        # Explicit request params still win.
+        key2 = viewer._heb_key({"downsample": "4"}, "data", "pearson", 0)
+        assert key2[3] == 4
