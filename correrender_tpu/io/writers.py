@@ -8,6 +8,7 @@ compute-checkpoint mechanism (SURVEY.md §5.4).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -153,10 +154,69 @@ def voxels_to_tet_mesh(volume: np.ndarray, threshold: float):
     return verts, tets
 
 
+def write_zarr(path: str, field: np.ndarray, chunks=None,
+               compressor: str | None = "zlib", attrs=None):
+    """Write an array as a Zarr v2 directory store.
+
+    Readable by ``io/zarr_lite.py`` (and any zarr implementation):
+    ``.zarray``/``.zattrs`` JSON + C-order chunk files. ``compressor``
+    is ``"zlib"`` (spec id "zlib", zlib-deflate of the raw chunk) or
+    ``None`` for raw chunks. Beyond reference parity — the reference
+    reads zarr via z5 but has no zarr writer.
+    """
+    import json
+    import zlib
+
+    field = np.ascontiguousarray(field)
+    if chunks is None:
+        # One chunk per leading index, whole trailing volume — the
+        # natural layout for (E, T, Z, Y, X) member access.
+        chunks = (1,) * max(field.ndim - 3, 0) + field.shape[-3:]
+    chunks = tuple(int(c) for c in chunks)
+    if len(chunks) != field.ndim:
+        raise ValueError(f"chunks rank {len(chunks)} != array rank "
+                         f"{field.ndim}")
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(field.shape),
+        "chunks": list(chunks),
+        "dtype": field.dtype.str,
+        "compressor": ({"id": "zlib", "level": 4}
+                       if compressor == "zlib" else None),
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    if compressor not in (None, "zlib"):
+        raise ValueError(f"unsupported compressor {compressor!r}")
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs:
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+    grid = [range(0, s, c) for s, c in zip(field.shape, chunks)]
+    import itertools
+
+    for starts in itertools.product(*grid):
+        idx = tuple(s // c for s, c in zip(starts, chunks))
+        block = np.zeros(chunks, field.dtype)
+        sel = tuple(slice(s, min(s + c, dim))
+                    for s, c, dim in zip(starts, chunks, field.shape))
+        sub = field[sel]
+        block[tuple(slice(0, n) for n in sub.shape)] = sub
+        raw = block.tobytes(order="C")
+        if compressor == "zlib":
+            raw = zlib.compress(raw, 4)
+        with open(os.path.join(path, ".".join(map(str, idx))),
+                  "wb") as f:
+            f.write(raw)
+
+
 def save_field(volume_data, field_name: str, path: str,
                time: int = 0, member: int = 0):
-    """Export one field slab by extension (.nc / .cvol), the analogue of
-    VolumeData::saveFieldToFile."""
+    """Export one field slab by extension (.nc / .cvol / .zarr), the
+    analogue of VolumeData::saveFieldToFile."""
     arr = np.asarray(volume_data.get_field(field_name, time, member))
     if path.endswith(".nc"):
         write_netcdf(path, arr, name=field_name.replace(" ", "_"),
@@ -166,5 +226,7 @@ def save_field(volume_data, field_name: str, path: str,
     elif path.endswith(".cvol"):
         g = volume_data.grid
         write_cvol(path, arr, (g.dx, g.dy, g.dz))
+    elif path.endswith(".zarr"):
+        write_zarr(path, arr, attrs={"field": field_name})
     else:
         raise ValueError(f"unsupported export extension for {path!r}")

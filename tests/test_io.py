@@ -1024,3 +1024,46 @@ class TestGribCustomParamCodes:
         assert len(ld.field_names) == 70  # all distinct, none merged
         for name in ld.field_names[:3]:
             assert np.isfinite(ld.load_field(name)).all()
+
+
+class TestZarrWriter:
+    def test_round_trip_zlib_and_raw(self, tmp_path):
+        from correrender_tpu.io.writers import write_zarr
+        from correrender_tpu.io.zarr_lite import ZarrArray
+
+        rng = np.random.default_rng(3)
+        arr = rng.standard_normal((3, 2, 5, 6, 7)).astype(np.float32)
+        for comp in ("zlib", None):
+            path = str(tmp_path / f"store_{comp}.zarr")
+            write_zarr(path, arr, compressor=comp)
+            back = ZarrArray(path)[:]
+            np.testing.assert_array_equal(back, arr)
+
+    def test_edge_chunks_and_loader(self, tmp_path):
+        from correrender_tpu.io import load_volume
+        from correrender_tpu.io.writers import write_zarr
+
+        rng = np.random.default_rng(4)
+        # Non-divisible chunking exercises edge-chunk zero padding.
+        arr = rng.standard_normal((4, 1, 5, 9, 11)).astype(np.float32)
+        path = str(tmp_path / "ens.zarr")
+        write_zarr(path, arr, chunks=(1, 1, 4, 4, 8),
+                   attrs={"field": "data"})
+        vd = load_volume(path)
+        g = vd.grid
+        assert (g.es, g.ts, g.zs, g.ys, g.xs) == (4, 1, 5, 9, 11)
+        got = np.asarray(vd.get_field(vd.field_names[0], 0, 2))
+        np.testing.assert_allclose(got, arr[2, 0], atol=1e-6)
+
+    def test_save_field_zarr(self, tmp_path):
+        from correrender_tpu.core import GridMetadata, VolumeData
+        from correrender_tpu.io import writers
+        from correrender_tpu.io.zarr_lite import ZarrArray
+
+        vd = VolumeData(GridMetadata(xs=6, ys=5, zs=4, es=2))
+        data = np.random.default_rng(5).standard_normal(
+            (2, 4, 5, 6)).astype(np.float32)
+        vd.add_field("f", lambda t, e: data[e])
+        out = str(tmp_path / "f.zarr")
+        writers.save_field(vd, "f", out, member=1)
+        np.testing.assert_array_equal(ZarrArray(out)[:], data[1])
