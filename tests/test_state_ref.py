@@ -838,3 +838,73 @@ class TestViewerHebDefaults:
         # Explicit request params still win.
         key2 = viewer._heb_key({"downsample": "4"}, "data", "pearson", 0)
         assert key2[3] == 4
+
+
+class TestMalformedInputs:
+    """Corrupted/hostile reference state files fail cleanly (or load
+    partially with warnings), never hang or fabricate data."""
+
+    def test_bad_tf_xml_warns_and_loads(self, tmp_path):
+        vd, _ = make_volume()
+        doc = {
+            "renderers": [{"type": "dvr",
+                           "state": {"selected_field_idx": "0"}}],
+            "volume_data": {
+                "transfer_functions": [
+                    {"data": "<TransferFunction><broken",
+                     "selected_range": {"min": 0, "max": 1}},
+                ],
+            },
+        }
+        ours, warnings = convert_reference_state(doc, ["data"])
+        assert ours["transfer_functions"] == {}
+        assert any("XML parse failed" in w for w in warnings)
+
+    def test_missing_state_nodes(self):
+        doc = {"calculators": [{"type": "correlation"}],
+               "renderers": [{"type": "dvr"}]}
+        ours, _ = convert_reference_state(doc, ["data"])
+        assert ours["calculators"][0]["type"] == "correlation"
+        assert ours["renderers"][0]["type"] == "dvr"
+
+    def test_degenerate_camera(self):
+        # Zero-length forward (position == lookat, no orientation).
+        cam = camera_from_reference({
+            "position": {"x": 0.1, "y": 0.2, "z": 0.3},
+            "lookat": {"x": 0.1, "y": 0.2, "z": 0.3},
+        })
+        d = np.subtract(cam.look_at_point, cam.position)
+        assert np.isfinite(d).all() and np.linalg.norm(d) > 0
+
+    def test_straight_down_camera_has_valid_up(self):
+        cam = camera_from_reference({
+            "position": {"x": 0, "y": 1, "z": 0},
+            "lookat": {"x": 0, "y": 0, "z": 0},
+            "yaw": 0.0, "pitch": -np.pi / 2,
+        })
+        f = np.subtract(cam.look_at_point, cam.position)
+        f = f / np.linalg.norm(f)
+        u = np.asarray(cam.up)
+        assert abs(float(np.dot(f, u))) < 0.01
+
+    def test_non_numeric_strings_stay_strings(self):
+        doc = {"renderers": [{"type": "dvr", "state": {
+            "nan_handling": "yellow",
+            "selected_field_idx": "not_a_number",
+        }}]}
+        ours, warnings = convert_reference_state(doc, ["data"])
+        node = ours["renderers"][0]
+        assert node["nan_mode"] == "yellow"
+        # Unresolvable index degrades to field 0 with a warning.
+        assert node["field"] == "data"
+        assert any("out of range" in w for w in warnings)
+
+    def test_tf_more_entries_than_fields(self):
+        doc = {"volume_data": {"transfer_functions": [
+            {"data": TF_XML, "selected_range": {"min": 0, "max": 1}},
+            {"data": TF_XML, "selected_range": {"min": 0, "max": 1}},
+            {"data": TF_XML, "selected_range": {"min": 0, "max": 1}},
+        ]}}
+        ours, warnings = convert_reference_state(doc, ["data"])
+        assert list(ours["transfer_functions"]) == ["data"]
+        assert any("no matching" in w for w in warnings)
