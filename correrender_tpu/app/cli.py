@@ -298,9 +298,18 @@ def cmd_state(args):
     # --catalog resolves their dataset-by-name references.
     scene = Scene.load_state(args.load,
                              catalog=getattr(args, "catalog", None))
+    if getattr(args, "save", None):
+        scene.save_state(args.save)
+        print(f"wrote {args.save}")
     if getattr(args, "save_reference", None):
         scene.save_state(args.save_reference, reference_format=True)
         print(f"wrote {args.save_reference} (reference format)")
+    if not args.output:
+        if not (getattr(args, "save", None)
+                or getattr(args, "save_reference", None)):
+            raise SystemExit(
+                "state needs --output and/or --save/--save-reference")
+        return          # pure format conversion: no rendering
     if args.size:
         w, h = (int(v) for v in args.size.split("x"))
     else:
@@ -651,7 +660,12 @@ def build_parser():
     sp.add_argument("--size", default=None,
                     help="WxH (default: the state's window size, "
                          "else 800x600)")
-    sp.add_argument("--output", required=True)
+    sp.add_argument("--output", default=None,
+                    help="view PNG path; omit for a pure state "
+                         "conversion with --save/--save-reference")
+    sp.add_argument("--save", default=None, metavar="PATH",
+                    help="re-save the scene in the native schema "
+                         "(converts reference files without rendering)")
     sp.add_argument("--dock", action="store_true",
                     help="one canvas, views arranged per dock_layout")
     sp.add_argument("--catalog", default=None,

@@ -908,3 +908,36 @@ class TestMalformedInputs:
         ours, warnings = convert_reference_state(doc, ["data"])
         assert list(ours["transfer_functions"]) == ["data"]
         assert any("no matching" in w for w in warnings)
+
+
+class TestStateConvertCli:
+    def test_pure_conversion_without_render(self, tmp_path, capsys):
+        from correrender_tpu.app import cli
+        from correrender_tpu.io import writers
+
+        data = fixtures.synth_box_ensemble(xs=8, ys=8, zs=4, members=6)
+        nc = str(tmp_path / "ens.nc")
+        writers.write_netcdf(nc, data[:, None])
+        ref = {
+            "renderers": [{"type": "dvr",
+                           "state": {"selected_field_idx": "0"}}],
+            "volume_data": {"filename": nc},
+        }
+        src = tmp_path / "ref.json"
+        src.write_text(json.dumps(ref))
+        native = str(tmp_path / "native.json")
+        back = str(tmp_path / "back.json")
+        cli.main(["state", "--load", str(src),
+                  "--save", native, "--save-reference", back])
+        doc = json.load(open(native))
+        assert doc["renderers"][0]["type"] == "dvr"
+        assert is_reference_state(json.load(open(back)))
+
+    def test_no_output_no_save_errors(self, tmp_path):
+        from correrender_tpu.app import cli
+
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps({"renderers": [],
+                                 "volume_data": {}}))
+        with pytest.raises(SystemExit):
+            cli.main(["state", "--load", str(p)])
