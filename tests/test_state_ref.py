@@ -935,9 +935,13 @@ class TestStateConvertCli:
 
     def test_no_output_no_save_errors(self, tmp_path):
         from correrender_tpu.app import cli
+        from correrender_tpu.io import writers
 
+        data = fixtures.synth_box_ensemble(xs=8, ys=8, zs=4, members=4)
+        nc = str(tmp_path / "ens.nc")
+        writers.write_netcdf(nc, data[:, None])
         p = tmp_path / "s.json"
         p.write_text(json.dumps({"renderers": [],
-                                 "volume_data": {}}))
-        with pytest.raises(SystemExit):
+                                 "volume_data": {"filename": nc}}))
+        with pytest.raises(SystemExit, match="--output"):
             cli.main(["state", "--load", str(p)])
