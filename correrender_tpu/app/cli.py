@@ -203,8 +203,12 @@ def cmd_heb(args):
         cell_distance_range=_pair(args.cell_distance_range),
     )
     chart.compute_correlations()
-    chart.render_svg(args.output)
-    print(f"wrote {args.output} ({len(chart.chords)} chords)")
+    if getattr(args, "diagram_type", "chords") == "matrix":
+        chart.render_matrix_svg(args.output)
+        print(f"wrote {args.output} (matrix, {chart.num_leaves} regions)")
+    else:
+        chart.render_svg(args.output)
+        print(f"wrote {args.output} ({len(chart.chords)} chords)")
 
 
 def cmd_similarity(args):
@@ -611,6 +615,10 @@ def build_parser():
                     metavar="LO,HI",
                     help="keep leaf pairs whose downsampled-cell "
                          "distance is in [LO, HI]")
+    sp.add_argument("--diagram-type", default="chords",
+                    choices=["chords", "matrix"],
+                    help="chord diagram or region-pair matrix heat map "
+                         "(DiagramRenderer diagram_type)")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_heb)
 
