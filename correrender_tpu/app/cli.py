@@ -201,6 +201,8 @@ def cmd_heb(args):
         num_samples=args.num_samples, max_chords=args.max_chords,
         correlation_range=_pair(args.correlation_range),
         cell_distance_range=_pair(args.cell_distance_range),
+        color_map=args.color_map,
+        color_map_variance=args.color_map_variance,
     )
     chart.compute_correlations()
     if getattr(args, "diagram_type", "chords") == "matrix":
@@ -619,6 +621,11 @@ def build_parser():
                     choices=["chords", "matrix"],
                     help="chord diagram or region-pair matrix heat map "
                          "(DiagramRenderer diagram_type)")
+    sp.add_argument("--color-map", default="coolwarm",
+                    help="chord colormap name (any of the reference's "
+                         "38 diagram colormaps, e.g. 'Cool to Warm')")
+    sp.add_argument("--color-map-variance", default="viridis",
+                    help="std-dev outer-ring colormap name")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_heb)
 

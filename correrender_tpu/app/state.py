@@ -577,6 +577,9 @@ class Scene:
                 octree_mode=node.get("octree_method", "topdown"),
                 correlation_range=node.get("correlation_range"),
                 cell_distance_range=node.get("cell_distance_range"),
+                color_map=node.get("color_map", "coolwarm"),
+                color_map_variance=node.get("color_map_variance",
+                                            "viridis"),
                 **measure_kw,
             )
             chart.compute_correlations()

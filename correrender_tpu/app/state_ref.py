@@ -644,10 +644,21 @@ def _convert_diagram(s: dict, out: dict, warnings: list) -> None:
         if lo is not None or hi is not None:
             out[our_key] = (float(lo) if lo is not None else 0.0,
                             float(hi) if hi is not None else float("inf"))
+    # Named colormaps: the first field's chord map and the variance
+    # ring map are honored (DiagramRenderer.cpp:1642-1670); further
+    # per-field maps ride _ref_extra until multi-field charts exist.
+    from correrender_tpu.diagrams import colormaps as _dcm
+    for ref_key, our_key in (("color_map_0", "color_map"),
+                             ("color_map_variance",
+                              "color_map_variance")):
+        if ref_key in s:
+            name = str(s[ref_key])
+            if _dcm.is_known(name):
+                out[our_key] = _dcm.display_name(s.pop(ref_key))
     for k in ("downscaling_power_of_two", "scalar_field_selection",
               "context_diagram_view", "focus_diagram_view",
               "render_only_last_focus_diagram", "diagram_radius",
-              "color_map_variance", "use_global_std_dev_range",
+              "use_global_std_dev_range",
               "separate_color_variance_and_correlation",
               "show_selected_regions_by_color", "use_neon_selection_colors",
               "use_opaque_selection_boxes", "use_alignment_rotation",
@@ -1039,6 +1050,12 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
             put("line_count_factor_context", value)
         elif key == "max_chords_focus":
             put("line_count_factor_focus", value)
+        elif key == "color_map" and type_id == "diagram":
+            from correrender_tpu.diagrams import colormaps as _dcm
+            put("color_map_0", _dcm.display_name(value))
+        elif key == "color_map_variance" and type_id == "diagram":
+            from correrender_tpu.diagrams import colormaps as _dcm
+            put("color_map_variance", _dcm.display_name(value))
         elif key == "window" and type_id == "time_series_correlation":
             put("sliding_window_length", value)
         elif key == "path" and type_id == "time_series_correlation":

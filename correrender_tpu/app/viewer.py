@@ -590,6 +590,11 @@ class ViewerApp:
                                        or defaults["correlation_range"]),
                     cell_distance_range=(
                         dist_range or defaults["cell_distance_range"]),
+                    color_map=str(params.get(
+                        "color_map", defaults["color_map"])),
+                    color_map_variance=str(params.get(
+                        "color_map_variance",
+                        defaults["color_map_variance"])),
                 )
                 chart.compute_correlations()
                 return chart.render_svg(
@@ -802,7 +807,8 @@ class ViewerApp:
         session's configured chart."""
         d = {"downsample": 4, "num_samples": 20,
              "sampling_method": "plastic", "max_chords": 250,
-             "correlation_range": None, "cell_distance_range": None}
+             "correlation_range": None, "cell_distance_range": None,
+             "color_map": "coolwarm", "color_map_variance": "viridis"}
         node = next((r for r in self.scene.renderers
                      if r["type"] == "diagram" and not r.get("hidden")),
                     None)
@@ -817,6 +823,9 @@ class ViewerApp:
                     d[key] = int(node[key])
             if "sampling_method" in node:
                 d["sampling_method"] = str(node["sampling_method"])
+            for key in ("color_map", "color_map_variance"):
+                if key in node:
+                    d[key] = str(node[key])
             for key in ("correlation_range", "cell_distance_range"):
                 if node.get(key) is not None:
                     d[key] = tuple(float(v) for v in node[key])

@@ -17,6 +17,12 @@ from correrender_tpu.diagrams.sampling import (
 from correrender_tpu.diagrams.matrix import correlation_matrix
 from correrender_tpu.diagrams.tsne import tsne
 from correrender_tpu.diagrams.dbscan import dbscan
+from correrender_tpu.diagrams.colormaps import (
+    COLOR_MAP_NAMES,
+    colormap_lut,
+    get_color_points,
+)
+from correrender_tpu.diagrams.radar import RadarBarChart
 
 __all__ = [
     "Octree",
@@ -27,4 +33,8 @@ __all__ = [
     "correlation_matrix",
     "tsne",
     "dbscan",
+    "COLOR_MAP_NAMES",
+    "colormap_lut",
+    "get_color_points",
+    "RadarBarChart",
 ]

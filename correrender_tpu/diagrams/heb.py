@@ -67,6 +67,8 @@ class HEBChart:
         octree_mode: str = "topdown",
         correlation_range: tuple | None = None,
         cell_distance_range: tuple | None = None,
+        color_map: str = "coolwarm",
+        color_map_variance: str = "viridis",
         **measure_kw,
     ):
         """Args beyond the basics:
@@ -85,6 +87,11 @@ class HEBChart:
           are skipped BEFORE sampling (reference ``cellDistanceRange``
           gating, HEBChartCorrelation.cpp:532-537; used to suppress
           trivial near-field correlations).
+        color_map / color_map_variance: named colormaps for the chord
+          values and the std-dev outer ring — the reference's
+          per-field ``color_map_<i>`` and ``color_map_variance``
+          DiagramRenderer settings (DiagramRenderer.cpp:1642-1670);
+          any name from ``diagrams.colormaps.COLOR_MAP_NAMES``.
         """
         self.stack = np.asarray(stack)
         if isinstance(downsample_factor, (tuple, list)):
@@ -114,6 +121,8 @@ class HEBChart:
         #: volume — drilled focus charts set it so tooltips/labels
         #: report absolute voxel coordinates. Analysis is unaffected.
         self.offset = (0, 0, 0)
+        self.color_map = str(color_map)
+        self.color_map_variance = str(color_map_variance)
         self.measure_kw = measure_kw
 
         self.means = downsample_fields(self.stack, (fz, fy, fx))
@@ -375,7 +384,8 @@ class HEBChart:
         smax = float(np.nanmax(self.leaf_stddev))
         if not np.isfinite(smax) or smax <= 0.0:
             smax = 1.0
-        ring_tf = TransferFunction.from_colormap("viridis", domain=(0, 1))
+        ring_tf = TransferFunction.from_colormap(
+            self.color_map_variance, domain=(0, 1))
         lut = np.asarray(ring_tf.lut)
         arc = 2 * math.pi / self.num_leaves
         for k in range(self.num_leaves):
@@ -395,7 +405,8 @@ class HEBChart:
         # rank/style by magnitude and map color over [-1, 1] so a
         # strong anti-correlation neither wraps the LUT index nor
         # emits a negative stroke width.
-        cmap = TransferFunction.from_colormap("coolwarm", domain=(0, 1))
+        cmap = TransferFunction.from_colormap(
+            self.color_map, domain=(0, 1))
         clut = np.asarray(cmap.lut)
         signed = any(c[2] < 0.0 for c in self.chords)
         for i, j, value in sorted(self.chords, key=lambda c: abs(c[2])):

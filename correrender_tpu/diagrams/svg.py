@@ -114,8 +114,12 @@ class SvgCanvas:
         )
 
     def arc_ring(self, cx, cy, r_inner, r_outer, a0, a1, fill="gray",
-                 opacity=1.0):
-        """Annular sector between angles a0..a1 (radians)."""
+                 opacity=1.0, stroke=None, stroke_width=0.75,
+                 tooltip=None):
+        """Annular sector between angles a0..a1 (radians).
+
+        ``r_inner=0`` degenerates to a plain pie slice (an SVG arc
+        with radius 0 renders as a line per spec)."""
         def pt(r, a):
             return cx + r * math.cos(a), cy + r * math.sin(a)
 
@@ -130,9 +134,19 @@ class SvgCanvas:
             f"L {x1i:.2f} {y1i:.2f} "
             f"A {r_inner:.2f} {r_inner:.2f} 0 {large} 0 {x0i:.2f} {y0i:.2f} Z"
         )
+        extra = ""
+        if stroke is not None:
+            extra = (f' stroke="{_fmt_color(stroke)}"'
+                     f' stroke-width="{stroke_width}"')
+        inner = ""
+        if tooltip is not None:
+            from xml.sax.saxutils import escape
+
+            inner = f"<title>{escape(str(tooltip))}</title>"
         self._elems.append(
             f'<path d="{d}" fill="{_fmt_color(fill)}" '
-            f'fill-opacity="{opacity:.3f}"/>'
+            f'fill-opacity="{opacity:.3f}"{extra}'
+            + (f">{inner}</path>" if inner else "/>")
         )
 
     def to_svg(self) -> str:

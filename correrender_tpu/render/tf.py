@@ -95,15 +95,29 @@ class TransferFunction:
         opacity_points=((0.0, 0.0), (1.0, 1.0)),
         resolution: int = 256,
     ) -> "TransferFunction":
-        """Build from a named colormap and piecewise-linear opacity ramp."""
-        rgb = _sample_control_points(_COLORMAPS[name], resolution)
+        """Build from a named colormap and piecewise-linear opacity ramp.
+
+        ``name`` is one of the four built-ins above or any of the
+        reference's 38 named diagram colormaps
+        (``diagrams.colormaps.COLOR_MAP_NAMES``,
+        DiagramColorMap.hpp:46-54) — e.g. ``"Cividis"``,
+        ``"Cool to Warm"``, ``"Black-Neon Green"`` (case-insensitive).
+        """
+        if name in _COLORMAPS:
+            points = _COLORMAPS[name]
+        else:
+            from correrender_tpu.diagrams import colormaps as _dcm
+            pts = _dcm.get_color_points(name)  # KeyError if unknown
+            xs = np.linspace(0.0, 1.0, len(pts))
+            points = [(float(x), tuple(p)) for x, p in zip(xs, pts)]
+        rgb = _sample_control_points(points, resolution)
         alpha = _sample_control_points(
             [(x, (a,)) for x, a in opacity_points], resolution
         )
         lut = np.concatenate([rgb, alpha], axis=-1).astype(np.float32)
         tf = cls(lut=jnp.asarray(lut), domain=tuple(domain))
         tf.color_points = [(float(x), tuple(float(v) for v in c))
-                           for x, c in _COLORMAPS[name]]
+                           for x, c in points]
         tf.opacity_points = [(float(x), float(a))
                              for x, a in opacity_points]
         return tf

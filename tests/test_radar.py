@@ -1,0 +1,63 @@
+"""RadarBarChart (reference RadarBarChart.cpp parity)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from correrender_tpu.diagrams.radar import RadarBarChart
+
+
+def test_time_independent_chart():
+    chart = RadarBarChart()
+    chart.set_data_time_independent(
+        ["u", "v", "w", "T"], [0.2, 0.8, 0.5, 1.0])
+    svg = chart.render_svg(size=300)
+    assert "<svg" in svg
+    # One slice per nonzero variable plus labels.
+    assert svg.count("<title>") == 4
+    for name in ("u", "v", "w", "T"):
+        assert f">{name}</text>" in svg
+
+
+def test_zero_and_nan_values_are_skipped():
+    chart = RadarBarChart()
+    chart.set_data_time_independent(
+        ["a", "b", "c"], [0.0, float("nan"), 1.0])
+    svg = chart.render_svg(size=300)
+    assert svg.count("<title>") == 1
+
+
+def test_time_dependent_bands_and_equal_area():
+    values = np.linspace(0.0, 1.0, 12).reshape(4, 3)  # 4 timesteps
+    chart = RadarBarChart(equal_area=True)
+    chart.set_data_time_dependent(["a", "b", "c"], values)
+    svg = chart.render_svg(size=300)
+    # One band per (variable, timestep).
+    assert svg.count("<title>") == 12
+
+    # Equal-area radii: every band covers the same annular area.
+    R, hole, T = 1.0, 0.25, 4
+    r = hole
+    areas = []
+    for _ in range(T):
+        r_out = math.sqrt((R * R - hole * hole) / T + r * r)
+        areas.append(r_out * r_out - r * r)
+        r = r_out
+    assert max(areas) - min(areas) < 1e-9
+    assert abs(r - R) < 1e-9  # last band reaches the chart radius
+
+
+def test_equal_steps_mode():
+    chart = RadarBarChart(equal_area=False)
+    chart.set_data_time_dependent(["x"], [[0.1], [0.9]])
+    svg = chart.render_svg(size=200)
+    assert svg.count("<title>") == 2
+
+
+def test_shape_validation():
+    chart = RadarBarChart()
+    with pytest.raises(ValueError):
+        chart.set_data_time_independent(["a", "b"], [1.0])
+    with pytest.raises(ValueError):
+        chart.render_svg()
