@@ -617,7 +617,9 @@ class Scene:
                 measure=node.get("correlation_measure_type",
                                  node.get("measure", "pearson")),
             )
-            return render_matrix_svg(m, labels=names, size=size)
+            return render_matrix_svg(
+                m, labels=names, size=size,
+                colormap=node.get("color_map", "coolwarm"))
         if kind == "distribution_similarity":
             from correrender_tpu.diagrams.distribution_similarity import (
                 distribution_similarity,
@@ -673,7 +675,9 @@ class Scene:
             m = time_series_correlation(
                 series, measure,
                 window=int(window) if window else None)
-            return render_heatmap_svg(m, size=size)
+            return render_heatmap_svg(
+                m, size=size,
+                colormap=node.get("color_map", "coolwarm"))
         raise ValueError(f"not a diagram-family renderer: {kind!r}")
 
     # -- persistence --------------------------------------------------------

@@ -526,7 +526,8 @@ def _convert_renderer(type_id: str, state: dict, names: list,
                 ("mi_bins", "mi_bins"),
                 ("kmi_neighbors", "kmi_neighbors"),
                 ("sliding_window_length", "window"),
-                ("time_series_file_path", "path")):
+                ("time_series_file_path", "path"),
+                ("color_map", "color_map")):
             if ref_key in s:
                 out[our_key] = s.pop(ref_key)
         if "calculate_absolute_value" in s:
@@ -1053,9 +1054,11 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
         elif key == "color_map" and type_id == "diagram":
             from correrender_tpu.diagrams import colormaps as _dcm
             put("color_map_0", _dcm.display_name(value))
-        elif key == "color_map_variance" and type_id == "diagram":
+        elif key in ("color_map", "color_map_variance"):
+            # Other diagram-family renderers persist a plain color_map
+            # by display name (e.g. TimeSeriesCorrelationRenderer.cpp:894).
             from correrender_tpu.diagrams import colormaps as _dcm
-            put("color_map_variance", _dcm.display_name(value))
+            put(key, _dcm.display_name(value))
         elif key == "window" and type_id == "time_series_correlation":
             put("sliding_window_length", value)
         elif key == "path" and type_id == "time_series_correlation":

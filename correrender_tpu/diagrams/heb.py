@@ -347,7 +347,7 @@ class HEBChart:
         return render_matrix_svg(
             self.pair_matrix(),
             labels=[f"r{i}" for i in range(self.num_leaves)],
-            path=path, size=size,
+            path=path, size=size, colormap=self.color_map,
         )
 
     def render_svg(

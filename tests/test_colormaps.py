@@ -105,3 +105,32 @@ def test_state_ref_roundtrip_color_maps():
     assert ref["state"]["color_map_0"] == "Spectral"
     assert ref["state"]["color_map_variance"] == "Cividis"
     assert ref["state"]["color_map_1"] == "Viridis"
+
+
+def test_timeseries_color_map_import_export():
+    from correrender_tpu.app.state_ref import (
+        _convert_renderer,
+        _renderer_node_to_reference,
+    )
+
+    nodes = _convert_renderer(
+        "time_series_correlation",
+        {"color_map": "Heatmap", "sliding_window_length": "8"},
+        [], [])
+    assert nodes[0]["color_map"] == "Heatmap"
+    assert nodes[0]["window"] == 8  # numeric coercion on import
+    ref = _renderer_node_to_reference(
+        {"type": "time_series_correlation", "color_map": "heatmap"},
+        {}, 1)
+    assert ref["state"]["color_map"] == "Heatmap"
+
+
+def test_heb_matrix_mode_uses_chart_color_map():
+    from correrender_tpu.diagrams.heb import HEBChart
+
+    rng = np.random.default_rng(2)
+    stack = rng.normal(size=(8, 8, 8, 5)).astype(np.float32)
+    chart = HEBChart(stack, downsample_factor=4, num_samples=4,
+                     color_map="Gray")
+    svg = chart.render_matrix_svg(size=200)
+    assert "<svg" in svg
