@@ -605,6 +605,7 @@ class Scene:
             return render_scatter_svg(
                 a, b, labels=(field, field_b), size=size,
                 point_radius=float(node.get("point_size", 2.0)),
+                point_color=node.get("point_color"),
             )
         if kind == "correlation_matrix":
             from correrender_tpu.diagrams.matrix import (

@@ -6,6 +6,8 @@ field B) value pairs as a 2D scatter/density chart.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from correrender_tpu.diagrams.svg import SvgCanvas
@@ -35,6 +37,24 @@ def scatter_points(field_a: np.ndarray, field_b: np.ndarray,
     return a, b, colors
 
 
+def _parse_color(value):
+    """RGB(A) tuple/list, or a serialized vector string (an imported
+    reference state's ``point_color`` arrives as sgl's vec4 text,
+    e.g. ``"0.9 0.3 0.1 1"`` / ``"vec4(0.9, 0.3, 0.1, 1)"``)."""
+    if isinstance(value, str):
+        s = value
+        if "(" in s:  # "vec4(r, g, b, a)" — drop the constructor name
+            s = s[s.index("(") + 1:]
+        value = [float(p) for p in re.findall(
+            r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", s)]
+    comps = [float(v) for v in value][:3]
+    if len(comps) < 3:
+        raise ValueError(f"need at least 3 color components: {value!r}")
+    if max(comps) > 1.0:            # 0-255 byte colors
+        comps = [c / 255.0 for c in comps]
+    return tuple(comps)
+
+
 def render_scatter_svg(
     field_a,
     field_b,
@@ -45,9 +65,14 @@ def render_scatter_svg(
     point_radius: float = 2.0,
     max_points: int = 4096,
     seed: int = 0,
+    point_color=None,
 ) -> str:
     """Scatter-plot SVG; ``colors`` is an optional per-point cluster id
     array (colored via a categorical wheel, −1 = gray noise).
+    ``point_color`` is an RGB(A) tuple overriding the default point
+    fill when no cluster coloring is active (the reference's
+    ``point_color`` ScatterPlotRenderer setting,
+    ScatterPlotRenderer.cpp:510,539).
 
     Inputs are finite-filtered and subsampled to ``max_points`` HERE
     (with ``colors`` kept aligned) — plotting raw 3-D fields emitted
@@ -86,12 +111,14 @@ def render_scatter_svg(
             (0.65, 0.46, 0.11), (0.4, 0.4, 0.4),
         ]
     )
+    base_fill = (_parse_color(point_color)
+                 if point_color is not None else (0.2, 0.4, 0.8))
     for i in range(len(xs)):
         if colors is not None:
             c = int(colors[i])
             fill = (0.6, 0.6, 0.6) if c < 0 else tuple(wheel[c % len(wheel)])
         else:
-            fill = (0.2, 0.4, 0.8)
+            fill = base_fill
         canvas.circle(xs[i], ys[i], point_radius, fill=fill, opacity=0.7)
     # Axes.
     canvas.line(margin, size - margin, size - margin, size - margin,

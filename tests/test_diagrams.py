@@ -707,3 +707,22 @@ class TestBayesianSignedValues:
             absolute=False,
         )
         assert est[0] < -0.5
+
+
+def test_scatter_point_color():
+    """point_color (ScatterPlotRenderer.cpp:510,539) overrides the
+    default fill, accepting tuples, byte colors, and sgl vec4 text."""
+    import numpy as np
+
+    from correrender_tpu.diagrams.scatter import (
+        _parse_color,
+        render_scatter_svg,
+    )
+
+    assert _parse_color("0.9 0.3 0.1 1") == (0.9, 0.3, 0.1)
+    assert _parse_color("vec4(0.9, 0.3, 0.1, 1)") == (0.9, 0.3, 0.1)
+    assert _parse_color((255, 40, 0)) == (1.0, 40 / 255, 0.0)
+    rng = np.random.default_rng(0)
+    svg = render_scatter_svg(rng.random(40), rng.random(40),
+                             point_color=(1.0, 0.0, 0.0))
+    assert 'fill="rgb(255,0,0)"' in svg
