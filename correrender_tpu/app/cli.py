@@ -277,6 +277,36 @@ def cmd_diagram(args):
         m, names = field_correlation_matrix(vd, names,
                                             measure=args.measure)
         render_matrix_svg(m, labels=names, path=args.output)
+    elif args.kind == "radar":
+        from correrender_tpu.diagrams.radar import RadarBarChart
+
+        g = vd.grid
+        if args.ref:
+            x, y, z = (int(v) for v in args.ref.split(","))
+        else:
+            x, y, z = g.xs // 2, g.ys // 2, g.zs // 2
+        names = vd.field_names
+        chart = RadarBarChart(equal_area=not args.equal_steps)
+        if g.ts > 1:
+            # One ring band per timestep, colored by value
+            # (RadarBarChart::setDataTimeDependent).
+            values = np.stack([
+                [float(np.asarray(vd.get_field(n, t, args.member))
+                       [z, y, x]) for n in names]
+                for t in range(g.ts)])
+            chart.set_data_time_dependent(names, values)
+        else:
+            # Slice radius = the field's value at the picked voxel,
+            # normalized by its own volume range so heterogeneous
+            # units share the chart.
+            vals = []
+            for n in names:
+                vol = np.asarray(vd.get_field(n, 0, args.member))
+                v = float(vol[z, y, x])
+                lo, hi = (float(np.nanmin(vol)), float(np.nanmax(vol)))
+                vals.append((v - lo) / (hi - lo) if hi > lo else 0.0)
+            chart.set_data_time_independent(names, vals)
+        chart.render_svg(args.output)
     elif args.kind == "distribution":
         from correrender_tpu.diagrams.distribution_similarity import (
             distribution_similarity,
@@ -633,12 +663,19 @@ def build_parser():
         "diagram",
         help="2D analysis views: scatter / correlation matrix / "
              "distribution-similarity (t-SNE+DBSCAN) / time-series "
-             "heatmap → SVG",
+             "heatmap / radar bar chart → SVG",
     )
     add_dataset_args(sp)
     sp.add_argument("--kind", required=True,
                     choices=["scatter", "matrix", "distribution",
-                             "timeseries"])
+                             "timeseries", "radar"])
+    sp.add_argument("--ref", default=None, metavar="X,Y,Z",
+                    help="radar: voxel whose per-field values the "
+                         "slices show (default: volume center)")
+    sp.add_argument("--equal-steps", action="store_true",
+                    help="radar: equal radial band widths instead of "
+                         "equal-area bands (RadarBarChart equalArea "
+                         "off)")
     sp.add_argument("--field-b", default=None)
     sp.add_argument("--measure", default="pearson")
     sp.add_argument("--member", type=int, default=0)

@@ -42,10 +42,16 @@ _SLICE_COLORS = [
 
 def _slice_path(canvas, cx, cy, r_in, r_out, a0, a1, fill,
                 stroke="black", stroke_width=0.75, tooltip=None):
-    """Annular sector (pie slice when the hole radius is 0)."""
-    canvas.arc_ring(cx, cy, r_in, r_out, a0, a1, fill=fill,
-                    stroke=stroke, stroke_width=stroke_width,
-                    tooltip=tooltip)
+    """Annular sector; a full 2π span (single-variable charts, like
+    the reference's ``numVariables == 1`` circle special case) draws
+    a complete ring."""
+    if abs(a1 - a0) >= 2.0 * math.pi - 1e-6:
+        canvas.annulus(cx, cy, r_in, r_out, fill=fill, stroke=stroke,
+                       stroke_width=stroke_width, tooltip=tooltip)
+    else:
+        canvas.arc_ring(cx, cy, r_in, r_out, a0, a1, fill=fill,
+                        stroke=stroke, stroke_width=stroke_width,
+                        tooltip=tooltip)
 
 
 class RadarBarChart:

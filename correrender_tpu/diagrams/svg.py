@@ -149,6 +149,37 @@ class SvgCanvas:
             + (f">{inner}</path>" if inner else "/>")
         )
 
+    def annulus(self, cx, cy, r_inner, r_outer, fill="gray",
+                opacity=1.0, stroke=None, stroke_width=0.75,
+                tooltip=None):
+        """Full ring (or disc when ``r_inner=0``) — the 2π case an
+        SVG arc cannot express (identical endpoints draw nothing)."""
+        def circle(r, winding):
+            # Two half arcs; winding 1 = clockwise outer, 0 = ccw hole.
+            return (
+                f"M {cx - r:.2f} {cy:.2f} "
+                f"A {r:.2f} {r:.2f} 0 1 {winding} {cx + r:.2f} {cy:.2f} "
+                f"A {r:.2f} {r:.2f} 0 1 {winding} {cx - r:.2f} {cy:.2f} Z"
+            )
+
+        d = circle(r_outer, 1)
+        if r_inner > 1e-6:
+            d += " " + circle(r_inner, 0)
+        extra = ""
+        if stroke is not None:
+            extra = (f' stroke="{_fmt_color(stroke)}"'
+                     f' stroke-width="{stroke_width}"')
+        inner = ""
+        if tooltip is not None:
+            from xml.sax.saxutils import escape
+
+            inner = f"<title>{escape(str(tooltip))}</title>"
+        self._elems.append(
+            f'<path d="{d}" fill="{_fmt_color(fill)}" '
+            f'fill-rule="evenodd" fill-opacity="{opacity:.3f}"{extra}'
+            + (f">{inner}</path>" if inner else "/>")
+        )
+
     def to_svg(self) -> str:
         body = "\n".join(self._elems)
         return (

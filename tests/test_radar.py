@@ -61,3 +61,14 @@ def test_shape_validation():
         chart.set_data_time_independent(["a", "b"], [1.0])
     with pytest.raises(ValueError):
         chart.render_svg()
+
+
+def test_single_variable_draws_full_ring():
+    """One variable spans 2π — must render as an annulus (an SVG arc
+    with identical endpoints draws nothing; reference special-cases
+    numVariables == 1 as a circle, RadarBarChart.cpp:130-132)."""
+    chart = RadarBarChart()
+    chart.set_data_time_independent(["only"], [0.8])
+    svg = chart.render_svg(size=200)
+    assert 'fill-rule="evenodd"' in svg
+    assert svg.count("<title>") == 1
