@@ -593,6 +593,10 @@ class Scene:
                 curve_thickness=float(node.get("curve_thickness", 1.0)),
                 opacity_by_value=bool(node.get("opacity_by_value",
                                                True)),
+                curve_opacity=float(
+                    node.get("curve_opacity_context", 0.8)),
+                outer_ring_size_pct=float(
+                    node.get("outer_ring_size_pct", 0.06)),
             )
         if kind == "scatter_plot":
             from correrender_tpu.diagrams.scatter import (

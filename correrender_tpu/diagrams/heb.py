@@ -357,15 +357,21 @@ class HEBChart:
         beta: float = 0.75,
         curve_thickness: float = 1.0,
         opacity_by_value: bool = True,
+        curve_opacity: float = 0.8,
+        outer_ring_size_pct: float = 0.06,
         highlight: tuple | None = None,
     ) -> str:
         """Draw the chart; returns the SVG text (and writes ``path``).
 
         ``beta`` is the bundling strength, ``curve_thickness`` a global
         line-width multiplier, and ``opacity_by_value`` maps chord
-        opacity to correlation strength (constant when off) — the
-        reference's ``beta`` / ``curve_thickness`` /
-        ``opacity_by_value`` diagram settings (DiagramRenderer.cpp).
+        opacity to correlation strength — when off, chords draw at the
+        constant ``curve_opacity`` (reference ``curve_opacity_context``
+        / ``curve_opacity_focus``, DiagramRenderer.hpp:143-144).
+        ``outer_ring_size_pct`` is the std-dev ring's width as a
+        fraction of the chart radius (reference ``outer_ring_size_pct``,
+        DiagramRenderer.hpp:148; our default 0.06 preserves this
+        chart's label spacing — pass 0.1 for the reference's look).
 
         ``highlight=(i, j)`` marks a selected leaf pair (the drilled
         chord): every other chord and ring arc desaturates and the
@@ -395,8 +401,10 @@ class HEBChart:
             color = lut[int(t * 255)][:3]
             if hl is not None and k not in hl:
                 color = 0.35 * color + 0.65 * 0.82  # desaturate
+            ring_w = radius * max(float(outer_ring_size_pct), 0.0)
             canvas.arc_ring(
-                center, center, radius * 1.04, radius * 1.10, a0, a1,
+                center, center, radius * 1.04,
+                radius * 1.04 + max(ring_w, 1e-3), a0, a1,
                 fill=tuple(color),
             )
 
@@ -422,7 +430,7 @@ class HEBChart:
             mag = min(abs(value), 1.0)
             width = (0.5 + 2.0 * mag) * curve_thickness
             opacity = ((0.35 + 0.6 * mag) if opacity_by_value
-                       else 0.8)
+                       else float(curve_opacity))
             if hl is not None:
                 if tuple(sorted((i, j))) == hl:
                     width *= 1.6

@@ -134,3 +134,20 @@ def test_heb_matrix_mode_uses_chart_color_map():
                      color_map="Gray")
     svg = chart.render_matrix_svg(size=200)
     assert "<svg" in svg
+
+
+def test_heb_curve_opacity_and_ring_size():
+    """curve_opacity (constant mode) and outer_ring_size_pct are
+    honored (DiagramRenderer.hpp:143-148)."""
+    from correrender_tpu.diagrams.heb import HEBChart
+
+    rng = np.random.default_rng(3)
+    stack = rng.normal(size=(8, 8, 8, 5)).astype(np.float32)
+    chart = HEBChart(stack, downsample_factor=4, num_samples=4)
+    chart.compute_correlations()
+    svg = chart.render_svg(size=240, opacity_by_value=False,
+                           curve_opacity=0.123)
+    assert 'stroke-opacity="0.123"' in svg
+    thin = chart.render_svg(size=240, outer_ring_size_pct=0.01)
+    thick = chart.render_svg(size=240, outer_ring_size_pct=0.2)
+    assert thin != thick
