@@ -17,6 +17,7 @@ Replaces the reference's app shell + CLI flags (src/Main.cpp:100-138:
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 
@@ -289,11 +290,23 @@ def cmd_diagram(args):
         chart = RadarBarChart(equal_area=not args.equal_steps)
         if g.ts > 1:
             # One ring band per timestep, colored by value
-            # (RadarBarChart::setDataTimeDependent).
-            values = np.stack([
-                [float(np.asarray(vd.get_field(n, t, args.member))
-                       [z, y, x]) for n in names]
-                for t in range(g.ts)])
+            # (RadarBarChart::setDataTimeDependent). The reference
+            # expects values pre-normalized to [0, 1]
+            # (RadarBarChart::transferFunction clamps), so normalize
+            # each variable by its own range across the time series —
+            # otherwise heterogeneous units (pressure ~1e5 vs
+            # temperature ~300) collapse to the colormap extremes.
+            cols = []
+            for n in names:
+                vals, lo, hi = [], math.inf, -math.inf
+                for t in range(g.ts):
+                    vol = np.asarray(vd.get_field(n, t, args.member))
+                    vals.append(float(vol[z, y, x]))
+                    lo = min(lo, float(np.nanmin(vol)))
+                    hi = max(hi, float(np.nanmax(vol)))
+                span = (hi - lo) if hi > lo else 1.0
+                cols.append([(v - lo) / span for v in vals])
+            values = np.asarray(cols, np.float32).T  # (T, V)
             chart.set_data_time_dependent(names, values)
         else:
             # Slice radius = the field's value at the picked voxel,

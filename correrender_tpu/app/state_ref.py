@@ -256,6 +256,24 @@ def _field_name(names: list, idx, warnings: list, ctx: str):
         return names[0] if names else None
 
 
+def _pop_color_map(s: dict, out: dict, extra: dict, warnings: list,
+                   ctx: str, key: str = "color_map") -> None:
+    """Import a named colormap with validation: unknown names degrade
+    to the component default (with a warning, raw value stashed in
+    ``_ref_extra``) instead of raising KeyError at render time."""
+    if key not in s:
+        return
+    from correrender_tpu.diagrams import colormaps as _dcm
+
+    name = str(s[key])
+    if _dcm.is_known(name):
+        out[key] = _dcm.display_name(s.pop(key))
+    else:
+        warnings.append(f"{ctx}: unknown color map {name!r}; "
+                        "using the default")
+        extra[key] = s.pop(key)
+
+
 # -- calculators -----------------------------------------------------------
 
 #: Correlation-calculator keys our settings_to_kwargs accepts verbatim
@@ -513,10 +531,11 @@ def _convert_renderer(type_id: str, state: dict, names: list,
             if k in s:
                 out[k] = s.pop(k)
     elif type_id == "correlation_matrix":
-        for k in ("correlation_measure_type", "color_map",
+        for k in ("correlation_measure_type",
                   "use_all_ensemble_members", "use_all_time_steps"):
             if k in s:
                 out[k] = s.pop(k)
+        _pop_color_map(s, out, extra, warnings, type_id, "color_map")
         if "scalar_field_selection" in s:
             extra["scalar_field_selection"] = s.pop(
                 "scalar_field_selection")
@@ -526,10 +545,10 @@ def _convert_renderer(type_id: str, state: dict, names: list,
                 ("mi_bins", "mi_bins"),
                 ("kmi_neighbors", "kmi_neighbors"),
                 ("sliding_window_length", "window"),
-                ("time_series_file_path", "path"),
-                ("color_map", "color_map")):
+                ("time_series_file_path", "path")):
             if ref_key in s:
                 out[our_key] = s.pop(ref_key)
+        _pop_color_map(s, out, extra, warnings, type_id, "color_map")
         if "calculate_absolute_value" in s:
             out["absolute"] = bool(s.pop("calculate_absolute_value"))
         if "model_file_path" in s:

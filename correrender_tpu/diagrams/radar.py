@@ -98,7 +98,13 @@ class RadarBarChart:
 
     def _angle(self, var_frac: float) -> float:
         # Slices start at 12 o'clock and go clockwise, like the
-        # reference's mapVarIdxToAngle.
+        # reference's mapVarIdxToAngle. In time-dependent (time-step
+        # color) mode the reference leaves a pi/32 gap at each end of
+        # the ring (RadarBarChart.cpp:300-307), so the chart renders
+        # as an open ring there.
+        if self._values_t is not None:
+            gap = math.pi / 32.0
+            return -0.5 * math.pi + gap + (2.0 * math.pi - 2.0 * gap) * var_frac
         return -0.5 * math.pi + 2.0 * math.pi * var_frac
 
     def render_svg(self, path: str | None = None, size: int = 600) -> str:

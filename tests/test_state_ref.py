@@ -553,6 +553,44 @@ class TestDiagramNodes:
             next(r for r in diagrams if r["type"] == "correlation_matrix"))
         assert "<svg" in matrix_svg
 
+    def test_unknown_color_map_degrades(self, tmp_path):
+        """Unknown color_map names in reference state files fall back
+        to the default (with a warning + _ref_extra stash) instead of
+        raising KeyError at render time (ADVICE r3)."""
+        from correrender_tpu.app.state_ref import convert_reference_state
+
+        vd, _ = make_volume()
+        doc = {
+            "renderers": [
+                {"type": "correlation_matrix", "state": {
+                    "correlation_measure_type": "pearson",
+                    "color_map": "No Such Map",
+                }},
+                {"type": "time_series_correlation", "state": {
+                    "correlation_measure_type": "pearson",
+                    "color_map": "Also Unknown",
+                }},
+            ],
+        }
+        out, warnings = convert_reference_state(doc, vd.field_names)
+        nodes = {r["type"]: r for r in out["renderers"]}
+        assert "color_map" not in nodes["correlation_matrix"]
+        assert nodes["correlation_matrix"]["_ref_extra"]["color_map"] \
+            == "No Such Map"
+        assert "color_map" not in nodes["time_series_correlation"]
+        assert any("color map" in w for w in warnings)
+        # Known names still import (canonical display spelling).
+        doc["renderers"][0]["state"]["color_map"] = "cool_to_warm"
+        out2, _ = convert_reference_state(doc, vd.field_names)
+        assert out2["renderers"][0]["color_map"] == "Cool to Warm"
+        # And the degraded matrix node renders without KeyError.
+        path = tmp_path / "badmap.json"
+        path.write_text(json.dumps(doc))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        node = next(r for r in scene.renderers
+                    if r["type"] == "correlation_matrix")
+        assert "<svg" in scene.render_diagram(node)
+
     def test_timeseries_node_needs_source(self):
         vd, _ = make_volume()
         scene = Scene(vd)
