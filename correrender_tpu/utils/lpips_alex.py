@@ -150,6 +150,35 @@ def convert_lpips_weights(alexnet_path: str, lpips_path: str,
     return params
 
 
+def synthetic_lpips_params(seed: int = 0) -> dict:
+    """Deterministic random weights in the exact published layout.
+
+    Used by the torch-free exactness tests (tests/test_lpips.py) and
+    the golden generator (tools/gen_lpips_golden.py): both sides build
+    the SAME weights from this one function (numpy ``default_rng`` is
+    stream-stable), so checked-in golden distances pin the JAX forward
+    wherever torch is absent. He-scaled so activations stay O(1)
+    through the five-stage stack.
+    """
+    rng = np.random.default_rng(seed)
+    params = {}
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(_ALEX_CONVS):
+        fan_in = in_ch * k * k
+        params[f"conv{i}.weight"] = (
+            rng.standard_normal((out_ch, in_ch, k, k))
+            * np.sqrt(2.0 / fan_in)).astype(np.float32)
+        params[f"conv{i}.bias"] = (
+            0.1 * rng.standard_normal(out_ch)).astype(np.float32)
+        in_ch = out_ch
+    for i, ch in enumerate(c for c, *_ in _ALEX_CONVS):
+        # lpips heads are non-negative in the published checkpoint;
+        # mirror that so distances are non-negative here too.
+        params[f"lin{i}.weight"] = np.abs(
+            rng.standard_normal((1, ch, 1, 1)) / ch).astype(np.float32)
+    return params
+
+
 _WEIGHTS_CACHE: dict = {}
 
 
