@@ -13,16 +13,28 @@ this layer is new TPU-native design. Two mesh axes:
 
 from correrender_tpu.parallel.mesh import (
     make_mesh,
+    reshard_member_to_space,
+    reshard_space_to_member,
     shard_member_stack,
+    space_only_mesh,
     volume_sharding,
 )
-from correrender_tpu.parallel.pearson_sharded import pearson_member_sharded
+from correrender_tpu.parallel.pearson_sharded import (
+    correlate_member_sharded,
+    correlate_space_sharded,
+    pearson_member_sharded,
+)
 
 __all__ = [
     "make_mesh",
     "shard_member_stack",
     "volume_sharding",
+    "space_only_mesh",
+    "reshard_member_to_space",
+    "reshard_space_to_member",
     "pearson_member_sharded",
+    "correlate_member_sharded",
+    "correlate_space_sharded",
     "dvr_shearwarp_sharded",
     "iso_shearwarp_sharded",
 ]

@@ -52,3 +52,58 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_member_stack(stack, mesh: Mesh):
     """Place a (Z, Y, X, E) stack onto the mesh."""
     return jax.device_put(stack, member_stack_sharding(mesh))
+
+
+# -- member <-> space resharding -------------------------------------------
+#
+# Two canonical layouts serve different measure families
+# (docs/SCALING.md "Mesh layouts"):
+#
+# * ``(space, members)`` — moment measures (Pearson): psum combines
+#   per-shard moments, so the member axis can stay sharded.
+# * pure ``space`` — rank/kNN measures (KSG MI): every member of a
+#   voxel is needed simultaneously (ops/pallas/ksg_banded.py), so each
+#   device must hold the full member axis of its Z-slab.
+#
+# Moving between them is an all-to-all of the local shards (each chip
+# keeps 1/n of the voxels but swaps which axis it slices); XLA emits
+# the collective from a plain ``device_put`` onto the target sharding,
+# riding ICI on real meshes. Done once per session per layout — the
+# field cache (core/cache.py) keeps both residents while budget allows.
+
+
+def space_only_mesh(mesh_or_devices=None) -> Mesh:
+    """A 1-D ``("space",)`` mesh over the same device pool.
+
+    Accepts an existing 2-D ``(space, members)`` mesh (its devices are
+    reused in order, so resharding stays a pure layout change), a
+    device list, or None for all devices.
+    """
+    if isinstance(mesh_or_devices, Mesh):
+        devices = list(mesh_or_devices.devices.flat)
+    elif mesh_or_devices is None:
+        devices = jax.devices()
+    else:
+        devices = list(mesh_or_devices)
+    return Mesh(np.asarray(devices), axis_names=("space",))
+
+
+def reshard_member_to_space(stack, mesh: Mesh):
+    """(Z, Y, X, E) stack: ``(space, …, members)`` → pure space sharding.
+
+    Returns ``(resharded_stack, space_mesh)``: Z sharded over every
+    device of ``mesh`` (flattened), member axis fully local — the
+    layout rank/kNN measures require. The transfer is the
+    once-per-session all-to-all budgeted in docs/SCALING.md (≈33 GB
+    per chip at the 2.15 TB config).
+    """
+    smesh = space_only_mesh(mesh)
+    out = jax.device_put(
+        stack, NamedSharding(smesh, P("space", None, None, None)))
+    return out, smesh
+
+
+def reshard_space_to_member(stack, mesh: Mesh):
+    """Inverse re-shard: pure space sharding → ``(space, …, members)``
+    on ``mesh`` (the moment-measure layout)."""
+    return jax.device_put(stack, member_stack_sharding(mesh))

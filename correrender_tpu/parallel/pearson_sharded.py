@@ -149,6 +149,75 @@ def correlate_member_sharded(
     return fn(stack, ref)
 
 
+def correlate_space_sharded(
+    stack: jnp.ndarray,
+    ref: jnp.ndarray,
+    mesh: Mesh,
+    measure="pearson",
+    **kwargs,
+) -> jnp.ndarray:
+    """Correlation on a purely space-sharded stack (member axis local).
+
+    The production layout for rank/kNN measures after
+    ``reshard_member_to_space`` (docs/SCALING.md "KSG MI / rank
+    measures"): each device holds the FULL member axis of its Z-slab,
+    so the dense estimator runs locally with zero collectives during
+    compute — the reference series is replicated (one small broadcast)
+    and the output comes back space-sharded.
+
+    ``mesh`` is the 1-D ``("space",)`` mesh from ``space_only_mesh``.
+    """
+    m = measure_from_id(measure)
+    kwargs = dict(kwargs)
+    bounds = None
+    if is_measure_binned_mi(m):
+        # Global min/max bounds, reduced outside the shard_map as
+        # traced values (same Z-seam reasoning as the member-sharded
+        # path above).
+        given = kwargs.pop("mi_bounds", None)
+        if given is None:
+            bounds = jnp.stack([
+                jnp.stack([jnp.nanmin(ref), jnp.nanmax(ref)]),
+                jnp.stack([jnp.nanmin(stack), jnp.nanmax(stack)]),
+            ]).astype(jnp.float32)
+        else:
+            from correrender_tpu.ops.registry import _split_bounds
+
+            (rlo, rhi), (qlo, qhi) = _split_bounds(given)
+            bounds = jnp.asarray([[rlo, rhi], [qlo, qhi]], jnp.float32)
+    fn = _space_sharded_fn(
+        mesh, m, tuple(sorted(kwargs.items())), bounds is not None
+    )
+    if bounds is not None:
+        return fn(stack, ref, bounds)
+    return fn(stack, ref)
+
+
+@functools.lru_cache(maxsize=32)
+def _space_sharded_fn(mesh: Mesh, m, kwargs_items, has_bounds=False):
+    kwargs = dict(kwargs_items)
+
+    from correrender_tpu.calculators.correlation import correlate_field
+
+    def local(stack_blk, ref_full, *rest):
+        kw = dict(kwargs)
+        if rest:
+            b = rest[0]
+            kw["mi_bounds"] = ((b[0, 0], b[0, 1]), (b[1, 0], b[1, 1]))
+        return correlate_field(stack_blk, ref_full, m, **kw)
+
+    in_specs = [P("space", None, None, None), P()]
+    if has_bounds:
+        in_specs.append(P())
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P("space", None, None),
+        check_vma=False,
+    ))
+
+
 @functools.lru_cache(maxsize=32)
 def _gather_sharded_fn(mesh: Mesh, m, kwargs_items, has_bounds=False):
     kwargs = dict(kwargs_items)
