@@ -98,6 +98,10 @@ class Scene:
         # LRU, because a single entry thrashed on every frame of any
         # scene with two fast renderers or two views (round-3 review).
         self._prepared_cache: OrderedDict = OrderedDict()
+        # Rasterized diagram overlays: (node signature, target px,
+        # time, member) → RGBA array. Recomputing a chart per frame
+        # would dominate flythrough rendering.
+        self._overlay_cache: OrderedDict = OrderedDict()
 
     # -- construction ------------------------------------------------------
 
@@ -195,7 +199,8 @@ class Scene:
 
     def render_view(self, view: int = 0, image_size=(512, 512),
                     fast_dvr: bool = True, show_reference_points=False,
-                    show_legend: bool = False):
+                    show_legend: bool = False,
+                    show_diagram_overlays: bool = True):
         """Composite all renderers attached to a view with a SHARED
         per-view depth buffer (reference SceneData.hpp): opaque
         renderers (isosurface, slice, outline) z-merge by per-pixel
@@ -362,8 +367,9 @@ class Scene:
                     return_depth=True,
                 )
                 opaque.append((img, depth))
-            # diagram/scatter/matrix/... are 2D overlays rendered via
-            # their own SVG paths (see diagrams/), not view composites.
+            # diagram/scatter/matrix/... render via their own SVG
+            # paths (see diagrams/) and composite into the frame as
+            # rasterized overlays after the 3D pass (below).
 
         merged, scene_depth = _depth_merge(opaque)
         if merged is not None:
@@ -507,7 +513,72 @@ class Scene:
                     np.asarray(image), self.tf_for(field)
                 ))
                 break
+        if show_diagram_overlays:
+            image = self._composite_diagram_overlays(
+                image, view, image_size)
         return image
+
+    def _composite_diagram_overlays(self, image, view, image_size):
+        """Composite the view's diagram-family nodes over the frame.
+
+        The reference's diagram subsystem IS an overlay renderer —
+        charts draw into the 3D view and appear in screenshots/videos
+        (DiagramRenderer.hpp:62-100). Each node's SVG is rasterized
+        (diagrams/raster.py) at ``overlay_frac`` of the frame's short
+        side and source-over composited at ``overlay_anchor``
+        (default bottom-right). Set ``overlay: false`` on a node to
+        keep it out of frames (it stays renderable standalone).
+        Failures (e.g. a time-series node without a source) drop the
+        overlay with a warning instead of breaking the frame.
+        """
+        nodes = [r for r in self.renderers
+                 if r["view"] == view and not r.get("hidden")
+                 and r["type"] in self.DIAGRAM_TYPES
+                 and r.get("overlay", True)]
+        if not nodes:
+            return image
+        from correrender_tpu.diagrams.raster import (
+            composite_overlay,
+            rasterize_svg,
+        )
+
+        img_np = np.asarray(image)
+        w, h = image_size
+        anchors = ("bottom_right", "bottom_left", "top_right",
+                   "top_left")
+        for i, node in enumerate(nodes):
+            frac = float(node.get("overlay_frac", 0.42))
+            target = max(64, int(min(w, h) * frac))
+            field = node.get("field",
+                             self.volume_data.field_names[0])
+            key = (repr(sorted(node.items(), key=lambda kv: kv[0])),
+                   target, self.current_time, self.current_member,
+                   self.volume_data.dirty_epoch(field))
+            overlay = self._overlay_cache.get(key)
+            if overlay is None:
+                try:
+                    svg = self.render_diagram(node, size=700)
+                except Exception as exc:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "diagram overlay %s skipped: %s",
+                        node["type"], exc)
+                    self._overlay_cache[key] = False
+                    continue
+                overlay = rasterize_svg(svg, scale=target / 700.0)
+                self._overlay_cache[key] = overlay
+                while len(self._overlay_cache) > 16:
+                    self._overlay_cache.popitem(last=False)
+            elif overlay is False:
+                continue
+            img_np = composite_overlay(
+                img_np, overlay,
+                anchor=node.get("overlay_anchor",
+                                anchors[i % len(anchors)]),
+                opacity=float(node.get("overlay_opacity", 1.0)),
+            )
+        return jnp.asarray(img_np)
 
     def render_dock(self, image_size=(1024, 768), fast_dvr: bool = True):
         """Composite every view into one canvas per the dock layout.
