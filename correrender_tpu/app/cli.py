@@ -353,11 +353,38 @@ def cmd_state(args):
     if getattr(args, "save_reference", None):
         scene.save_state(args.save_reference, reference_format=True)
         print(f"wrote {args.save_reference} (reference format)")
+    volume_fields = [r.get("field") or scene.volume_data.field_names[0]
+                     for r in scene.renderers
+                     if r["type"] in ("dvr", "slice", "iso_ray",
+                                      "iso_raster")]
+    if getattr(args, "tf", None):
+        # Standalone sgl TF .xml (reference TF-widget file): applied
+        # to every rendered field over its own scalar domain.
+        from correrender_tpu.render.tf import tf_from_xml_string
+
+        with open(args.tf) as f:
+            xml = f.read()
+        for field in dict.fromkeys(volume_fields):
+            lo, hi = scene.volume_data.get_min_max(
+                field, scene.current_time, scene.current_member)
+            scene.transfer_functions[field] = tf_from_xml_string(
+                xml, domain=(lo, hi))
+        print(f"applied TF {args.tf}")
+    if getattr(args, "tf_export", None):
+        from correrender_tpu.render.tf import tf_to_xml_string
+
+        if not volume_fields:
+            raise SystemExit("--tf-export: no rendered field with a TF")
+        with open(args.tf_export, "w") as f:
+            f.write(tf_to_xml_string(scene.tf_for(volume_fields[0])))
+        print(f"wrote {args.tf_export}")
     if not args.output:
         if not (getattr(args, "save", None)
-                or getattr(args, "save_reference", None)):
+                or getattr(args, "save_reference", None)
+                or getattr(args, "tf_export", None)):
             raise SystemExit(
-                "state needs --output and/or --save/--save-reference")
+                "state needs --output and/or --save/--save-reference"
+                "/--tf-export")
         return          # pure format conversion: no rendering
     if args.size:
         w, h = (int(v) for v in args.size.split("x"))
@@ -739,6 +766,12 @@ def build_parser():
     sp.add_argument("--save-reference", default=None, metavar="PATH",
                     help="additionally re-save the scene as a "
                          "reference-app-loadable state file")
+    sp.add_argument("--tf", default=None, metavar="TF_XML",
+                    help="standalone sgl TF .xml applied to every "
+                         "rendered field (reference TF-widget file)")
+    sp.add_argument("--tf-export", default=None, metavar="TF_XML",
+                    help="write the first rendered field's transfer "
+                         "function as a standalone sgl TF .xml")
     sp.set_defaults(fn=cmd_state)
 
     sp = sub.add_parser("sampling", help="sampling-method eval (CSV)")

@@ -81,6 +81,10 @@ class ViewerApp:
         # Client-shaped opacity control points [(pos, alpha)]; None →
         # tf_for's measure-derived default (diverging vs ramp).
         self.opacity_points = None
+        # Per-point color control points [(pos, (r, g, b))]; None →
+        # the named colormap above. The reference's TF widget edits
+        # both lists (sgl TF editor used throughout MainApp.cpp).
+        self.color_points = None
         theta, phi, radius, center = _spherical_from_camera(
             scene.views[self.view])
         self._theta, self._phi = theta, phi
@@ -139,10 +143,18 @@ class ViewerApp:
             pts = self.opacity_points
             if pts is None:
                 pts = default_opacity_points(lo, hi)
-            scene.transfer_functions[field] = (
-                TransferFunction.from_colormap(
-                    self.colormap, domain=(lo, hi), opacity_points=pts,
-                ))
+            if self.color_points is not None:
+                scene.transfer_functions[field] = (
+                    TransferFunction.from_control_points(
+                        self.color_points, pts, domain=(lo, hi),
+                        interpolate_linear_rgb=True,
+                    ))
+            else:
+                scene.transfer_functions[field] = (
+                    TransferFunction.from_colormap(
+                        self.colormap, domain=(lo, hi),
+                        opacity_points=pts,
+                    ))
 
     def _effective_opacity_points(self):
         """The opacity curve the next rebuild would use (for the
@@ -732,6 +744,10 @@ class ViewerApp:
             "colormap": self.colormap,
             "opacity_points": self._effective_opacity_points(),
             "opacity_default": self.opacity_points is None,
+            "color_points": ([[p, list(c)] for p, c in
+                              self.color_points]
+                             if self.color_points is not None
+                             else None),
             "camera": {"theta": self._theta, "phi": self._phi,
                        "radius": self._radius},
             "checkpoints": sorted(self.scene.camera_checkpoints),
@@ -1043,22 +1059,88 @@ class ViewerApp:
 
         elif op == "set_tf":
             # The TF-editor surface: piecewise-linear opacity control
-            # points over the current colormap (reference TF widget).
-            pts = cmd.get("opacity_points")
-            if pts is None:
-                self.opacity_points = None      # back to defaults
-            else:
-                pts = [(float(x), float(a)) for x, a in pts]
-                if (len(pts) < 2
-                        or any(not (0 <= x <= 1 and 0 <= a <= 1)
-                               for x, a in pts)
-                        or any(b[0] < a[0]
-                               for a, b in zip(pts, pts[1:]))):
+            # points over the current colormap, plus per-point color
+            # control points (the full reference TF-widget surface).
+            if "opacity_points" in cmd or "color_points" not in cmd:
+                pts = cmd.get("opacity_points")
+                if pts is None:
+                    self.opacity_points = None  # back to defaults
+                else:
+                    pts = [(float(x), float(a)) for x, a in pts]
+                    if (len(pts) < 2
+                            or any(not (0 <= x <= 1 and 0 <= a <= 1)
+                                   for x, a in pts)
+                            or any(b[0] < a[0]
+                                   for a, b in zip(pts, pts[1:]))):
+                        return {"ok": False,
+                                "error": "opacity_points must be ≥2 "
+                                         "(pos, alpha) pairs in [0,1], "
+                                         "sorted by pos"}
+                    self.opacity_points = pts
+            if "color_points" in cmd:
+                cpts = cmd["color_points"]
+                if cpts is None:
+                    self.color_points = None    # back to the colormap
+                else:
+                    try:
+                        cpts = [(float(p[0]),
+                                 (float(p[1][0]), float(p[1][1]),
+                                  float(p[1][2])))
+                                for p in cpts]
+                    except (TypeError, IndexError, ValueError):
+                        return {"ok": False,
+                                "error": "color_points must be "
+                                         "[pos, [r, g, b]] entries"}
+                    if (len(cpts) < 2
+                            or any(not (0 <= x <= 1) for x, _ in cpts)
+                            or any(not all(0 <= v <= 1 for v in c)
+                                   for _, c in cpts)
+                            or any(b[0] < a[0] for a, b in
+                                   zip(cpts, cpts[1:]))):
+                        return {"ok": False,
+                                "error": "color_points must be ≥2 "
+                                         "[pos, [r,g,b]] in [0,1], "
+                                         "sorted by pos"}
+                    self.color_points = cpts
+            self._rebuild_tfs()
+
+        elif op == "tf_save":
+            # Standalone sgl TF .xml export (the reference widget's
+            # file save) of the first target field's current TF.
+            from correrender_tpu.render.tf import tf_to_xml_string
+
+            targets = self._tf_targets()
+            if not targets:
+                return {"ok": False, "error": "no TF target field"}
+            tf = scene.tf_for(targets[0])
+            xml = tf_to_xml_string(tf)
+            path = cmd.get("path")
+            if path:
+                with open(path, "w") as f:
+                    f.write(xml)
+            return {"ok": True, "xml": xml, "path": path}
+
+        elif op == "tf_load":
+            # Standalone sgl TF .xml import: the file's control points
+            # become the editor state (so a subsequent tf_save
+            # round-trips through the reference format).
+            from correrender_tpu.render.tf import tf_from_xml_string
+
+            xml = cmd.get("xml")
+            if xml is None:
+                path = cmd.get("path")
+                if not path:
                     return {"ok": False,
-                            "error": "opacity_points must be ≥2 "
-                                     "(pos, alpha) pairs in [0,1], "
-                                     "sorted by pos"}
-                self.opacity_points = pts
+                            "error": "tf_load needs xml or path"}
+                with open(path) as f:
+                    xml = f.read()
+            try:
+                tf = tf_from_xml_string(xml)
+            except Exception as exc:
+                return {"ok": False, "error": f"bad TF XML: {exc}"}
+            self.color_points = list(tf.color_points or []) or None
+            self.opacity_points = (list(tf.opacity_points or [])
+                                   or None)
             self._rebuild_tfs()
 
         elif op == "set_absolute":
@@ -1428,7 +1510,20 @@ with the drilled chord highlighted">context</button>
     <canvas id="tfcanvas" width="214" height="70"
       style="background:#14161a;border:1px solid #3a3e47;
              border-radius:4px;touch-action:none"></canvas>
-    <button id="tfreset" style="margin-top:4px">Reset curve</button></div>
+    <button id="tfreset" style="margin-top:4px">Reset curve</button>
+    <canvas id="tfcolors" width="214" height="18" title="color control
+      points: click a marker to recolor, shift+click adds, right-click
+      removes" style="background:#14161a;border:1px solid #3a3e47;
+             border-radius:4px;margin-top:4px;touch-action:none">
+    </canvas>
+    <input type="color" id="tfcolorpick"
+      style="position:absolute;left:-9999px">
+    <div style="margin-top:4px">
+      <button id="tfsave" title="download the current TF as an sgl
+        .xml file">Save TF</button>
+      <button id="tfloadbtn" title="load an sgl TF .xml">Load TF</button>
+      <input type="file" id="tfload" accept=".xml"
+        style="display:none"></div></div>
   <div class="row"><label>Time step <span id="tval"></span></label>
     <input type="range" id="time" min="0" value="0"></div>
   <div class="row"><label>Member <span id="eval"></span></label>
@@ -1668,6 +1763,115 @@ function initTfEditor(points) {
   draw();
 }
 
+// Color control points: markers on a gradient strip. Click a marker →
+// color picker; shift+click adds a point at that position;
+// right-click removes. null → the named colormap drives colors.
+function initTfColors(points) {
+  const cv = document.getElementById("tfcolors");
+  const ctx = cv.getContext("2d");
+  const picker = document.getElementById("tfcolorpick");
+  let cpts = points ? points.map(p => [p[0], p[1].slice()]) : null;
+  let editIdx = -1;
+  const PAD = 6;
+  const toX = p => PAD + p * (cv.width - 2 * PAD);
+  const fromX = x => Math.min(1, Math.max(0,
+    (x - PAD) / (cv.width - 2 * PAD)));
+  const hex = c => "#" + c.map(v =>
+    Math.round(v * 255).toString(16).padStart(2, "0")).join("");
+  function draw() {
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    if (!cpts) {
+      ctx.fillStyle = "#888"; ctx.font = "10px sans-serif";
+      ctx.fillText("colors: colormap (shift+click to customize)",
+                   8, 12);
+      return;
+    }
+    const g = ctx.createLinearGradient(PAD, 0, cv.width - PAD, 0);
+    for (const p of cpts) g.addColorStop(p[0], hex(p[1]));
+    ctx.fillStyle = g;
+    ctx.fillRect(PAD, 2, cv.width - 2 * PAD, cv.height - 4);
+    for (const p of cpts) {
+      ctx.beginPath();
+      ctx.arc(toX(p[0]), cv.height / 2, 4, 0, 7);
+      ctx.fillStyle = hex(p[1]); ctx.fill();
+      ctx.strokeStyle = "#fff"; ctx.lineWidth = 1.2; ctx.stroke();
+    }
+  }
+  async function send() {
+    await api({op:"set_tf", color_points:cpts});
+    refreshFrame();
+  }
+  function hit(ev) {
+    if (!cpts) return -1;
+    const r = cv.getBoundingClientRect();
+    const x = ev.clientX - r.left;
+    let best = -1, bd = 8;
+    cpts.forEach((p, i) => {
+      const d = Math.abs(toX(p[0]) - x);
+      if (d < bd) { bd = d; best = i; }
+    });
+    return best;
+  }
+  cv.addEventListener("click", async ev => {
+    const r = cv.getBoundingClientRect();
+    if (ev.shiftKey) {
+      const x = fromX(ev.clientX - r.left);
+      if (!cpts) {
+        // Materialize an editable two-point ramp to start from.
+        cpts = [[0, [0, 0, 1]], [1, [1, 0, 0]]];
+      }
+      let i = cpts.findIndex(p => p[0] > x);
+      if (i < 0) i = cpts.length;
+      cpts.splice(i, 0, [x, [0.5, 0.5, 0.5]]);
+      draw(); send();
+      return;
+    }
+    editIdx = hit(ev);
+    if (editIdx < 0) return;
+    picker.value = hex(cpts[editIdx][1]);
+    picker.onchange = () => {
+      const v = picker.value;
+      cpts[editIdx][1] = [1, 3, 5].map(k =>
+        parseInt(v.slice(k, k + 2), 16) / 255);
+      draw(); send();
+    };
+    picker.click();
+  });
+  cv.addEventListener("contextmenu", ev => {
+    ev.preventDefault();
+    const i = hit(ev);
+    if (cpts && i >= 0 && cpts.length > 2) {
+      cpts.splice(i, 1); draw(); send();
+    } else if (cpts && i < 0) {
+      cpts = null; draw(); send();   // back to the colormap
+    }
+  });
+  document.getElementById("tfsave").onclick = async () => {
+    const r = await api({op:"tf_save"});
+    if (!r.ok) return;
+    const blob = new Blob([r.xml], {type: "application/xml"});
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = "transfer_function.xml";
+    a.click();
+  };
+  const fileInput = document.getElementById("tfload");
+  document.getElementById("tfloadbtn").onclick = () =>
+    fileInput.click();
+  fileInput.onchange = async () => {
+    const file = fileInput.files[0];
+    if (!file) return;
+    const xml = await file.text();
+    const r = await api({op:"tf_load", xml:xml});
+    if (r.ok === false) { alert(r.error); return; }
+    const i2 = await api({op:"info"});
+    cpts = i2.color_points
+      ? i2.color_points.map(p => [p[0], p[1].slice()]) : null;
+    draw(); refreshFrame();
+  };
+  draw();
+}
+
 function fillSelect(id, values, current) {
   const s = document.getElementById(id);
   s.innerHTML = "";
@@ -1850,6 +2054,7 @@ async function init() {
     refreshFrame();
   };
   initTfEditor(info.opacity_points);
+  initTfColors(info.color_points);
   document.getElementById("pick").onclick = ev => {
     pickMode = !pickMode;
     ev.target.classList.toggle("off", !pickMode);

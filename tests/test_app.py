@@ -578,3 +578,78 @@ class TestRound3AppReviewFixes:
         want = restriction_center((6, 6, 3), vd.grid.shape_zyx, box)
         np.testing.assert_allclose(np.asarray(center),
                                    np.asarray(want))
+
+
+class TestStateTfXml:
+    """`cli state --tf/--tf-export`: standalone sgl TF .xml files
+    (VERDICT r3 #9)."""
+
+    def test_tf_apply_and_export_roundtrip(self, tmp_path):
+        import json
+
+        from correrender_tpu.app import cli
+        from correrender_tpu.io import writers
+        from correrender_tpu.render.tf import (
+            TransferFunction,
+            tf_from_xml_string,
+            tf_to_xml_string,
+        )
+
+        rng = np.random.default_rng(3)
+        nc = str(tmp_path / "d.nc")
+        writers.write_netcdf(
+            nc, rng.random((8, 16, 16)).astype(np.float32), name="q")
+        doc = {"dataset": {"filename": nc},
+               "views": [{"camera": {"position": [0.0, 0.2, 0.9]}}],
+               "renderers": [{"type": "dvr", "view": 0, "field": "q"}]}
+        state = str(tmp_path / "s.json")
+        with open(state, "w") as f:
+            json.dump(doc, f)
+
+        tf = TransferFunction.from_control_points(
+            [(0.0, (0.0, 0.0, 1.0)), (1.0, (1.0, 1.0, 0.0))],
+            [(0.0, 0.2), (1.0, 0.9)])
+        tf_xml = str(tmp_path / "tf.xml")
+        with open(tf_xml, "w") as f:
+            f.write(tf_to_xml_string(tf))
+
+        out_default = str(tmp_path / "a.png")
+        out_custom = str(tmp_path / "b.png")
+        cli.main(["state", "--load", state, "--output", out_default,
+                  "--size", "96x72"])
+        exported = str(tmp_path / "exported.xml")
+        cli.main(["state", "--load", state, "--output", out_custom,
+                  "--size", "96x72", "--tf", tf_xml,
+                  "--tf-export", exported])
+        from PIL import Image
+
+        a = np.asarray(Image.open(out_default), np.float32)
+        b = np.asarray(Image.open(out_custom), np.float32)
+        assert np.abs(a - b).max() > 10  # the TF changed the render
+
+        # Export reproduces the applied TF's control points (through
+        # the reference XML format, ushort-quantized).
+        back = tf_from_xml_string(open(exported).read())
+        for (pw, cw), (pg, cg) in zip(tf.color_points,
+                                      back.color_points):
+            assert abs(pw - pg) < 1e-6
+            assert max(abs(x - y) for x, y in zip(cw, cg)) \
+                < 1.0 / 65535 + 1e-6
+
+    def test_tf_export_without_output(self, tmp_path):
+        import json
+
+        from correrender_tpu.app import cli
+        from correrender_tpu.io import writers
+
+        nc = str(tmp_path / "d.nc")
+        writers.write_netcdf(
+            nc, np.zeros((4, 8, 8), np.float32), name="q")
+        doc = {"dataset": {"filename": nc},
+               "renderers": [{"type": "dvr", "view": 0, "field": "q"}]}
+        state = str(tmp_path / "s.json")
+        with open(state, "w") as f:
+            json.dump(doc, f)
+        exported = str(tmp_path / "tf.xml")
+        cli.main(["state", "--load", state, "--tf-export", exported])
+        assert "<TransferFunction" in open(exported).read()

@@ -629,3 +629,69 @@ class TestTimeseriesDiagramRobustness:
         svg = job()
         assert "<svg" in svg
         app.close()
+
+
+class TestTfColorPoints:
+    """TF-editor color control points + standalone sgl TF .xml IO
+    (VERDICT r3 #9)."""
+
+    def test_set_color_points_changes_tf(self, server_url):
+        base, app = server_url
+        target = app._tf_targets()[0]
+        lut_before = np.asarray(app.scene.tf_for(target).lut).copy()
+        reply = _api(base, {"op": "set_tf", "color_points": [
+            [0.0, [0.0, 0.0, 1.0]], [1.0, [1.0, 1.0, 0.0]]]})
+        assert reply.get("ok", True)
+        lut_after = np.asarray(app.scene.tf_for(target).lut)
+        assert np.abs(lut_after[:, :3] - lut_before[:, :3]).max() > 0.1
+        info = _api(base, {"op": "info"})
+        assert info["color_points"][0] == [0.0, [0.0, 0.0, 1.0]]
+        # null → back to the named colormap.
+        _api(base, {"op": "set_tf", "color_points": None})
+        assert _api(base, {"op": "info"})["color_points"] is None
+
+    def test_color_points_validation(self, server_url):
+        base, _ = server_url
+        bad = [
+            [[0.0, [0.0, 0.0]]],                      # rgb too short
+            [[0.5, [0, 0, 0]]],                       # fewer than 2
+            [[0.9, [0, 0, 0]], [0.1, [1, 1, 1]]],     # unsorted
+            [[0.0, [2, 0, 0]], [1.0, [0, 0, 0]]],     # out of range
+        ]
+        for cpts in bad:
+            reply = _api(base, {"op": "set_tf", "color_points": cpts})
+            assert reply["ok"] is False, cpts
+
+    def test_tf_save_load_roundtrip(self, server_url, tmp_path):
+        """edit → save → reference-format XML → load round-trip."""
+        base, app = server_url
+        cpts = [[0.0, [0.1, 0.2, 0.3]], [0.5, [0.9, 0.9, 0.1]],
+                [1.0, [0.2, 0.8, 0.4]]]
+        opts = [[0.0, 0.1], [1.0, 0.9]]
+        _api(base, {"op": "set_tf", "color_points": cpts,
+                    "opacity_points": opts})
+        path = str(tmp_path / "tf.xml")
+        reply = _api(base, {"op": "tf_save", "path": path})
+        assert reply["ok"] and "<TransferFunction" in reply["xml"]
+        xml_saved = open(path).read()
+        # Perturb, then load the saved file back.
+        _api(base, {"op": "set_tf", "color_points": None,
+                    "opacity_points": None})
+        reply = _api(base, {"op": "tf_load", "path": path})
+        assert reply.get("ok", True)
+        info = _api(base, {"op": "info"})
+        got = info["color_points"]
+        assert len(got) == 3
+        for (p_want, c_want), (p_got, c_got) in zip(cpts, got):
+            assert abs(p_want - p_got) < 1e-6
+            assert max(abs(a - b) for a, b in zip(c_want, c_got)) \
+                < 1.0 / 65535 + 1e-6   # ushort quantization
+        # Saving again reproduces the same reference-format XML.
+        path2 = str(tmp_path / "tf2.xml")
+        _api(base, {"op": "tf_save", "path": path2})
+        assert open(path2).read() == xml_saved
+
+    def test_tf_load_rejects_garbage(self, server_url):
+        base, _ = server_url
+        reply = _api(base, {"op": "tf_load", "xml": "<NotATF/>"})
+        assert reply["ok"] is False
