@@ -232,6 +232,12 @@ class Scene:
 
                 if (fast_dvr and iso_model_matrix is None
                         and not iso_closed
+                        # quality: "exact" forces the exact marcher
+                        # (the shear-warp ray set is homography-
+                        # interpolated — on high-frequency surfaces
+                        # its SSIM vs exact tops out ~0.95-0.97; see
+                        # docs/ROUND4.md).
+                        and r.get("quality") != "exact"
                         # An explicitly chosen intersection solver
                         # (imported reference states) runs the exact
                         # ray-caster that implements it.
@@ -257,12 +263,19 @@ class Scene:
                             restriction[1], restriction[2],
                         )
                     )
+                    # Default 2× axial supersampling: exact trilinear
+                    # sub-slabs close most of the fast-vs-exact gap
+                    # (0.934 → 0.949 SSIM on the bench sponge scene)
+                    # at ~2× scan cost, paid once in the prepared
+                    # layout.
+                    ss = int(r.get("axial_supersample", 2))
                     pkey = ("iso", field, self.current_time,
                             self.current_member, vd.dirty_epoch(field),
-                            shearwarp_camera_key(cam), rest_sig)
+                            shearwarp_camera_key(cam), rest_sig, ss)
                     prep = self._prep_cache_get(pkey)
                     if prep is None:
-                        prep = prepare_iso_shearwarp(vol, cam, box=box)
+                        prep = prepare_iso_shearwarp(
+                            vol, cam, box=box, axial_supersample=ss)
                         self._prep_cache_put(pkey, prep)
                     img, depth = iso_shearwarp(
                         vol, cam, r.get("iso_value", 0.5),
@@ -270,6 +283,7 @@ class Scene:
                                             (0.9, 0.4, 0.2, 1.0)),
                         image_size=image_size, box=box,
                         background=(0, 0, 0, 0), prepared=prep,
+                        axial_supersample=ss,
                         return_depth=True,
                     )
                 else:

@@ -69,7 +69,8 @@ def _gradient_volume(volume: jnp.ndarray, box_min, box_max,
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("hi", "wi"))
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "wi", "ip0", "ip1", "ax", "refine"))
 def _first_hit_scan(
     cvol,  # (S, Yv, Xv, 4): [value, gx, gy, gz], near→far
     g,  # (S,)
@@ -81,7 +82,28 @@ def _first_hit_scan(
     iso_value,
     hi: int,
     wi: int,
+    ip0: int = 0,
+    ip1: int = 1,
+    ax: int = 2,
+    ds=0.0,
+    refine: int = 0,
 ):
+    """First iso-crossing per intermediate ray.
+
+    ``refine > 0`` enables Hermite sub-slab refinement (VERDICT r3 #3,
+    the shear-warp analogue of IsoSurfaceRayCasting.glsl:119's hit
+    refinement): the value along the ray between two slice planes is
+    reconstructed as a cubic Hermite from the endpoint values AND the
+    endpoint directional derivatives (the world-space gradients are
+    already resident in the scan), evaluated at ``refine`` interior
+    points. That both refines the crossing position (cubic vs linear)
+    and DETECTS crossings the endpoint sign test misses — thin
+    features whose entry+exit lie between consecutive planes, the
+    dominant term in the fast-vs-exact gap. Pure VPU work on carries;
+    no extra HBM traffic. ``ip0/ip1/ax`` are the world axes of the
+    intermediate u, v, and slice directions; ``ds`` the signed world
+    step between slices.
+    """
     s, yv, xv, _ = cvol.shape
     dy = axis_coords_y[1] - axis_coords_y[0] if yv > 1 else 1.0
     dx = axis_coords_x[1] - axis_coords_x[0] if xv > 1 else 1.0
@@ -89,8 +111,24 @@ def _first_hit_scan(
     y0, y1 = axis_coords_y[0], axis_coords_y[-1]
     x0, x1 = axis_coords_x[0], axis_coords_x[-1]
 
+    def first_crossing(samples, ts):
+        """First sign change over consecutive sample pairs →
+        (crossing?, frac in [0, 1])."""
+        crossing = jnp.zeros(samples[0].shape, bool)
+        frac = jnp.zeros(samples[0].shape, jnp.float32)
+        for j in range(len(samples) - 1):
+            sj, sk = samples[j], samples[j + 1]
+            cj = (sj * sk <= 0.0) & (jnp.abs(sj) + jnp.abs(sk) > 0.0)
+            sub = sj / jnp.where(jnp.abs(sj - sk) < _EPS, _EPS, sj - sk)
+            fj = ts[j] + (ts[j + 1] - ts[j]) * jnp.clip(sub, 0.0, 1.0)
+            take = cj & ~crossing
+            frac = jnp.where(take, fj, frac)
+            crossing = crossing | cj
+        return crossing, frac
+
     def step(carry, inputs):
-        found, depth, grad, prev_val, prev_grad, prev_in, k = carry
+        (found, depth, grad, prev_val, prev_grad, prev_in, prev_gk,
+         k) = carry
         slice_c, gk = inputs
         qv = eye_uv[1] + (grid_v - eye_uv[1]) * gk
         qu = eye_uv[0] + (grid_u - eye_uv[0]) * gk
@@ -120,18 +158,32 @@ def _first_hit_scan(
         # bf16 precision is invisible there.
         cur_grad = slab[..., 1:].astype(jnp.bfloat16)
         inside = in_v[:, None] & in_u[None, :] & (gk > _EPS)
-        crossing = (
-            (prev_val * cur <= 0.0)
-            & (k > 0)
-            & inside
-            & prev_in
-            & (jnp.abs(prev_val) + jnp.abs(cur) > 0.0)
-        )
+        if refine > 0:
+            # Ray displacement from plane k−1 to k, world space.
+            dgk = gk - prev_gk
+            du = (grid_u[None, :] - eye_uv[0]) * dgk
+            dv = (grid_v[:, None] - eye_uv[1]) * dgk
+            pg = prev_grad.astype(jnp.float32)
+            cg = cur_grad.astype(jnp.float32)
+            d0 = pg[..., ip0] * du + pg[..., ip1] * dv + pg[..., ax] * ds
+            d1 = cg[..., ip0] * du + cg[..., ip1] * dv + cg[..., ax] * ds
+            samples, ts = [prev_val], [0.0]
+            for j in range(1, refine + 1):
+                t = j / (refine + 1.0)
+                h00 = (1 + 2 * t) * (1 - t) ** 2
+                h10 = t * (1 - t) ** 2
+                h01 = t * t * (3 - 2 * t)
+                h11 = t * t * (t - 1)
+                samples.append(h00 * prev_val + h10 * d0
+                               + h01 * cur + h11 * d1)
+                ts.append(t)
+            samples.append(cur)
+            ts.append(1.0)
+            crossed, frac = first_crossing(samples, ts)
+        else:
+            crossed, frac = first_crossing([prev_val, cur], [0.0, 1.0])
+        crossing = crossed & (k > 0) & inside & prev_in
         newly = crossing & ~found
-        frac = prev_val / jnp.where(
-            jnp.abs(prev_val - cur) < _EPS, _EPS, prev_val - cur
-        )
-        frac = jnp.clip(frac, 0.0, 1.0)
         hit_depth = (k - 1).astype(jnp.float32) + frac
         depth = jnp.where(newly, hit_depth, depth)
         lerped = (
@@ -141,7 +193,8 @@ def _first_hit_scan(
         grad = jnp.where(newly[..., None], lerped.astype(jnp.bfloat16),
                          grad)
         found = found | newly
-        return (found, depth, grad, cur, cur_grad, inside, k + 1), None
+        return (found, depth, grad, cur, cur_grad, inside, gk,
+                k + 1), None
 
     init = (
         jnp.zeros((hi, wi), bool),
@@ -150,19 +203,32 @@ def _first_hit_scan(
         jnp.zeros((hi, wi), jnp.float32),
         jnp.zeros((hi, wi, 3), jnp.bfloat16),
         jnp.zeros((hi, wi), bool),
+        jnp.float32(0.0),
         jnp.int32(0),
     )
-    (found, depth, grad, _, _, _, _), _ = jax.lax.scan(
+    (found, depth, grad, _, _, _, _, _), _ = jax.lax.scan(
         step, init, (cvol, g), unroll=4
     )
     return found, depth, grad.astype(jnp.float32)
 
 
+def _axial_interleave(cvol: jnp.ndarray, m: int) -> jnp.ndarray:
+    """m× axial supersampling with EXACT trilinear sub-slabs: the
+    field at a fractional slice position is the lerp of the bracketing
+    planes at the same (u, v)."""
+    base, nxt = cvol[:-1], cvol[1:]
+    subs = [(1.0 - j / m) * base + (j / m) * nxt for j in range(m)]
+    body = jnp.stack(subs, axis=1).reshape((-1,) + cvol.shape[1:])
+    return jnp.concatenate([body, cvol[-1:]], axis=0)
+
+
 def prepare_iso_shearwarp(
-    volume: jnp.ndarray, camera, box=None
+    volume: jnp.ndarray, camera, box=None, axial_supersample: int = 1
 ) -> dict:
     """Resident first-hit volume: value + world-space gradient in
-    (slice, v, u, 4) near→far order.
+    (slice, v, u, 4) near→far order (axially interleaved when
+    ``axial_supersample > 1`` so the per-frame scan pays no interleave
+    cost).
 
     The gradient alone streams ~9 volume passes through HBM; in
     steady-state interactive use it only changes with the field or
@@ -191,7 +257,11 @@ def prepare_iso_shearwarp(
     )
     if flip:
         cvol = cvol[::-1]
-    return {"key": (a, flip), "cvol": cvol}
+    m = int(axial_supersample)
+    n_base = cvol.shape[0]
+    if m > 1 and n_base > 1:
+        cvol = _axial_interleave(cvol, m)
+    return {"key": (a, flip, m), "cvol": cvol, "n_base": n_base}
 
 
 def iso_shearwarp(
@@ -205,6 +275,8 @@ def iso_shearwarp(
     intermediate_scale: float = 1.0,
     prepared: dict | None = None,
     return_depth: bool = False,
+    refine: int = 0,
+    axial_supersample: int = 1,
 ) -> jnp.ndarray:
     """Fast isosurface rendering (see module docstring).
 
@@ -236,10 +308,12 @@ def iso_shearwarp(
             return_depth=return_depth,
         )
 
-    if prepared is not None and prepared["key"] != (a, flip):
+    m = int(axial_supersample)
+    if prepared is not None and prepared["key"] != (a, flip, m):
         prepared = None  # camera crossed an axis/order boundary
     if prepared is not None:
         cvol = prepared["cvol"]  # already (slice, v, u, 4), near→far
+        n_base = prepared["n_base"]
     else:
         grad = _gradient_volume(volume, box_min, box_max)
         cvol = jnp.concatenate([volume[..., None], grad], axis=-1)
@@ -252,16 +326,34 @@ def iso_shearwarp(
         )
         if flip:
             cvol = cvol[::-1]
-    n_slices = cvol.shape[0]
+        n_base = cvol.shape[0]
+        if m > 1 and n_base > 1:
+            cvol = _axial_interleave(cvol, m)
     nv, nu = cvol.shape[1], cvol.shape[2]
 
     from correrender_tpu.render.dvr_fast import shearwarp_geometry
 
+    # Geometry is that of the ORIGINAL planes; supersampled
+    # slice_coords/g are derived by the same exact subdivision below
+    # (g is affine in the slice coordinate). Feeding the supersampled
+    # count to shearwarp_geometry instead would shift every plane by
+    # up to half a voxel (measured: SSIM *dropped* with m until this
+    # was fixed).
     geo = shearwarp_geometry(
-        camera, box_min, box_max, a, in_plane, flip, n_slices, nv, nu,
+        camera, box_min, box_max, a, in_plane, flip, n_base, nv, nu,
         image_size, intermediate_scale,
     )
     slice_coords = geo["slice_coords"]
+    n_slices = n_base
+    if m > 1 and n_base > 1:
+        n_slices = (n_base - 1) * m + 1
+        step0 = (slice_coords[1] - slice_coords[0]) / m
+        slice_coords = slice_coords[0] + np.arange(n_slices) * step0
+        g0 = geo["g"]
+        gstep = (g0[1] - g0[0]) / m
+        geo = dict(geo)
+        geo["g"] = g0[0] + np.arange(n_slices) * gstep
+    assert cvol.shape[0] == n_slices
     coords_v, coords_u = geo["coords_v"], geo["coords_u"]
     g, z_ref, e_u, e_v = geo["g"], geo["z_ref"], geo["e_u"], geo["e_v"]
     grid_u, grid_v = geo["grid_u"], geo["grid_v"]
@@ -273,6 +365,9 @@ def iso_shearwarp(
     # than the XLA formulation (the 10-plane fori carry spills; XLA's
     # scan keeps the per-slice slabs fused) — see git history for the
     # kernel. The XLA scan is the fast path here.
+    ds_world = float(slice_coords[1] - slice_coords[0]) if (
+        len(slice_coords) > 1
+    ) else 0.0
     found, depth, grad_hit = _first_hit_scan(
         cvol,
         jnp.asarray(g),
@@ -284,6 +379,11 @@ def iso_shearwarp(
         jnp.float32(iso_value),
         hi_res,
         wi_res,
+        ip0=in_plane[0],
+        ip1=in_plane[1],
+        ax=a,
+        ds=jnp.float32(ds_world),
+        refine=int(refine),
     )
 
     img = shade_and_warp(

@@ -699,3 +699,98 @@ class TestObliqueSlice:
         after = np.asarray(scene2.render_view(0, image_size=(32, 24)))
         np.testing.assert_array_equal(before, after)
         assert before[..., 3].max() > 0
+
+
+class TestIsoAxialSupersample:
+    """Axial supersampling of the iso fast path (VERDICT r3 #3)."""
+
+    def _vol(self, g=48):
+        import jax
+
+        vol = jax.random.uniform(jax.random.key(5), (g, g, g))
+        return jnp.asarray(jax.scipy.signal.convolve(
+            vol, jnp.ones((3, 3, 3)) / 27.0, mode="same"))
+
+    def test_interleave_is_exact_lerp(self):
+        from correrender_tpu.render.iso_fast import _axial_interleave
+
+        cvol = jnp.arange(2 * 3 * 2 * 4, dtype=jnp.float32).reshape(
+            2, 3, 2, 4)
+        out = np.asarray(_axial_interleave(cvol, 2))
+        assert out.shape == (3, 3, 2, 4)
+        np.testing.assert_allclose(out[0], np.asarray(cvol[0]))
+        np.testing.assert_allclose(
+            out[1], 0.5 * np.asarray(cvol[0] + cvol[1]))
+        np.testing.assert_allclose(out[2], np.asarray(cvol[1]))
+
+    def test_supersample_improves_match_with_exact(self):
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+        from correrender_tpu.utils.metrics import ssim
+
+        vol = self._vol()
+        cam = Camera(position=(0.05, 0.3, 0.85))
+        size = (160, 120)
+        exact = np.asarray(iso_render(
+            vol, cam, 0.55, image_size=size, background=(0, 0, 0, 1)))
+        scores = {}
+        for ss in (1, 2):
+            fast = np.asarray(iso_shearwarp(
+                vol, cam, 0.55, image_size=size,
+                background=(0, 0, 0, 1), axial_supersample=ss))
+            scores[ss] = ssim(fast[..., :3], exact[..., :3])
+        assert scores[2] > scores[1]
+
+    def test_prepared_matches_unprepared(self):
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso_fast import (
+            iso_shearwarp,
+            prepare_iso_shearwarp,
+        )
+
+        vol = self._vol(32)
+        cam = Camera(position=(0.05, 0.3, 0.85))
+        prep = prepare_iso_shearwarp(vol, cam, axial_supersample=2)
+        a = np.asarray(iso_shearwarp(
+            vol, cam, 0.55, image_size=(64, 48), prepared=prep,
+            axial_supersample=2))
+        b = np.asarray(iso_shearwarp(
+            vol, cam, 0.55, image_size=(64, 48), axial_supersample=2))
+        np.testing.assert_array_equal(a, b)
+        # A supersample mismatch invalidates the prepared key
+        # (silently rebuilt) instead of rendering wrong geometry.
+        c = np.asarray(iso_shearwarp(
+            vol, cam, 0.55, image_size=(64, 48), prepared=prep,
+            axial_supersample=1))
+        d = np.asarray(iso_shearwarp(
+            vol, cam, 0.55, image_size=(64, 48)))
+        np.testing.assert_array_equal(c, d)
+
+    def test_scene_iso_quality_exact(self):
+        """renderer node quality='exact' routes to the exact marcher."""
+        import jax
+
+        from correrender_tpu.app.state import Scene
+        from correrender_tpu.core import GridMetadata, VolumeData
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        vol = self._vol(16)
+        vd = VolumeData(GridMetadata(xs=16, ys=16, zs=16, es=1))
+        vd.add_field("f", lambda t, e: vol)
+        cam = Camera(position=(0.05, 0.3, 0.85))
+        scene = Scene(vd, views=[cam])
+        scene.add_renderer("iso_ray", field="f", iso_value=0.55,
+                           quality="exact")
+        got = np.asarray(scene.render_view(image_size=(64, 48)))
+        box = vd.grid.render_box()
+        want, _ = iso_render(
+            vol, cam, 0.55, image_size=(64, 48), box=box,
+            background=(0, 0, 0, 0), return_depth=True)
+        # The scene composites over an empty frame; the surface color
+        # pixels must match the exact marcher's output.
+        want = np.asarray(want)
+        cov = want[..., 3] > 0.5
+        np.testing.assert_allclose(got[cov][:, :3], want[cov][:, :3],
+                                   atol=1e-5)

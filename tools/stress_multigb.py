@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small shapes (smoke only)")
     ap.add_argument("--output", default="MULTIGB_r04.json")
+    ap.add_argument("--case", default=None,
+                    help="internal: run ONE case and print its row")
     args = ap.parse_args()
 
     from correrender_tpu.parallel import stress
@@ -67,11 +69,34 @@ def main():
                 grid=(256, 256, 128), members=64)),
         ]
 
-    rows = {}
-    for name, fn in cases:
+    if args.case:
+        fn = dict(cases)[args.case]
         t0 = time.perf_counter()
         row = fn()
         row["wall_s"] = round(time.perf_counter() - t0, 1)
+        print("ROW " + json.dumps(row), flush=True)
+        return
+
+    # Each case runs in its own subprocess: an 8 GB stack plus its
+    # re-sharded copy back-to-back with the next case's allocations
+    # OOM-killed a single-process run (rc=137) — the CPU backend holds
+    # buffers for the process lifetime.
+    import subprocess
+
+    rows = {}
+    for name, _fn in cases:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--case", name, "--output", args.output]
+        if args.quick:
+            cmd.append("--quick")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        if row is None:
+            row = {"error": f"rc={proc.returncode}",
+                   "stderr_tail": proc.stderr[-500:]}
         rows[name] = row
         print(json.dumps({name: row}), flush=True)
 
