@@ -665,6 +665,8 @@ class Scene:
                 color_map=node.get("color_map", "coolwarm"),
                 color_map_variance=node.get("color_map_variance",
                                             "viridis"),
+                bayesian_screening=bool(
+                    node.get("bayesian_screening", True)),
                 **measure_kw,
             )
             chart.compute_correlations()

@@ -69,6 +69,8 @@ class HEBChart:
         cell_distance_range: tuple | None = None,
         color_map: str = "coolwarm",
         color_map_variance: str = "viridis",
+        bayesian_screening: bool = True,
+        screening_top_frac: float = 0.1,
         **measure_kw,
     ):
         """Args beyond the basics:
@@ -123,6 +125,8 @@ class HEBChart:
         self.offset = (0, 0, 0)
         self.color_map = str(color_map)
         self.color_map_variance = str(color_map_variance)
+        self.bayesian_screening = bool(bayesian_screening)
+        self.screening_top_frac = float(screening_top_frac)
         self.measure_kw = measure_kw
 
         self.means = downsample_fields(self.stack, (fz, fy, fx))
@@ -224,17 +228,53 @@ class HEBChart:
             from correrender_tpu.diagrams.bayopt import (
                 batched_bayesian_opt_max,
             )
+            from correrender_tpu.diagrams.sampling import (
+                batched_block_pairs_max,
+            )
 
             num_init = min(20, self.num_samples)
-            flat = batched_bayesian_opt_max(
-                self.stack,
-                [self._upscale(self.leaves[i]) for i in iu],
-                [self._upscale(self.leaves[j]) for j in ju],
-                self.measure,
-                num_init=num_init,
-                num_iters=max(self.num_samples - num_init, 0),
-                **self.measure_kw,
-            )
+            ra = [self._upscale(self.leaves[i]) for i in iu]
+            rb = [self._upscale(self.leaves[j]) for j in ju]
+            P = len(iu)
+            # Screening (VERDICT r3 #5): the batched GP is compute-
+            # bound at ~4k pairs/s, so running it on ALL pairs costs
+            # ~30 s at HEB scale. The chart only DISPLAYS the top
+            # max_chords chords, so serve a cheap quasirandom pass on
+            # every pair first and spend the GP budget only on the
+            # screening's top fraction (with ≥4× max_chords margin).
+            # Screened-out pairs keep their quasirandom estimate —
+            # they are chart-invisible unless the screening missed a
+            # top chord, which the margin makes unlikely (tested:
+            # identical chord sets on the suite's charts).
+            top_k = min(P, max(4 * self.max_chords,
+                               int(np.ceil(self.screening_top_frac
+                                           * P))))
+            if self.bayesian_screening and top_k < P:
+                screen = np.asarray(batched_block_pairs_max(
+                    self.stack, ra, rb, self.measure,
+                    method="plastic",
+                    num_samples=max(4, num_init // 2),
+                    **self.measure_kw,
+                ), np.float32)
+                top = np.argsort(-np.abs(np.nan_to_num(screen)))[:top_k]
+                refined = batched_bayesian_opt_max(
+                    self.stack,
+                    [ra[t] for t in top],
+                    [rb[t] for t in top],
+                    self.measure,
+                    num_init=num_init,
+                    num_iters=max(self.num_samples - num_init, 0),
+                    **self.measure_kw,
+                )
+                flat = screen.copy()
+                flat[top] = np.asarray(refined, np.float32)
+            else:
+                flat = batched_bayesian_opt_max(
+                    self.stack, ra, rb, self.measure,
+                    num_init=num_init,
+                    num_iters=max(self.num_samples - num_init, 0),
+                    **self.measure_kw,
+                )
         else:
             # Every member of SAMPLING_METHODS is consumed by an
             # explicit branch above, so anything landing here is

@@ -190,6 +190,40 @@ class TestHEB:
         assert len(chords) > 0
         assert all(0 <= c[2] <= 1.0 + 1e-6 for c in chords)
 
+    def test_bayesian_screening_matches_full(self):
+        """Mean-field screening (VERDICT r3 #5): GP-UCB runs only on
+        the quasirandom screening's top pairs; on data with distinct
+        top correlations the displayed chord set must match the
+        full-GP serve. (Near-tied pair values can reorder under ANY
+        sampling estimator, so the fixture plants two unambiguous
+        long-range couplings.)"""
+        rng = np.random.default_rng(0)
+        n = 24
+        stack = 0.3 * rng.standard_normal(
+            (8, 32, 32, n)).astype(np.float32)
+        s1 = rng.standard_normal(n).astype(np.float32)
+        s2 = rng.standard_normal(n).astype(np.float32)
+        # Two distant region pairs share latent signals.
+        stack[0:4, 0:8, 0:8] += s1
+        stack[4:8, 24:32, 24:32] += s1
+        stack[0:4, 24:32, 0:8] += s2
+        stack[4:8, 0:8, 24:32] += s2
+        kw = dict(downsample_factor=8, sampling_method="bayesian",
+                  num_samples=24, max_chords=2)
+        full_chart = HEBChart(stack, bayesian_screening=False, **kw)
+        full = full_chart.compute_correlations()
+        scr_chart = HEBChart(stack, screening_top_frac=0.1, **kw)
+        scr = scr_chart.compute_correlations()
+        # Screening was actually active (fewer GP pairs than total).
+        P = len(full_chart._pair_values[0])
+        assert max(4 * 2, int(np.ceil(0.1 * P))) < P
+        assert {(i, j) for i, j, _ in scr} \
+            == {(i, j) for i, j, _ in full}
+        # Refined values agree on the displayed chords.
+        fv = {(i, j): v for i, j, v in full}
+        for i, j, v in scr:
+            assert abs(v - fv[(i, j)]) < 5e-3
+
     def test_per_axis_downsample(self, box_stack):
         # Reference downscaling_factor_x/y/z: the (8, 32, 32, n) stack
         # with (8, 8, 2) collapses z fully while keeping 4×4 in x/y.
