@@ -512,13 +512,35 @@ def pearson_roofline(med):
         jax.random.key(21), (MEMBER_CHUNK, GRID, GRID, GRID),
         jnp.float32)
     _sync(chunk)
-    red = jax.jit(jnp.sum)
-    _sync(red(chunk))  # compile
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _sync(red(chunk))
-    probe_s = (time.perf_counter() - t0) / reps
+
+    def slope_time(enqueue_n):
+        """Per-op device time with the tunnel's fixed round-trip
+        latency removed: time n1- and n2-op enqueued-then-one-sync
+        batches (min of 3 each — the tunnel adds multi-hundred-ms
+        noise spikes) and fit the slope. A naive few-rep average folds
+        the sync latency into the 'bandwidth' — the source of the
+        ROUND3 probe-vs-headline contradiction."""
+        n1, n2 = 4, 20
+        t1 = min(enqueue_n(n1) for _ in range(3))
+        t2 = min(enqueue_n(n2) for _ in range(3))
+        per_op = max((t2 - t1) / (n2 - n1), 1e-9)
+        latency = max(t1 - n1 * per_op, 0.0)
+        return per_op, latency
+
+    # Chained through the scalar so successive dispatches cannot be
+    # hoisted/deduplicated; one dispatch per op, one final sync.
+    red = jax.jit(lambda c, s: s + jnp.sum(c))
+    _sync(red(chunk, jnp.float32(0.0)))  # compile
+
+    def probe_batch(n):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = red(chunk, s)
+        float(s)
+        return time.perf_counter() - t0
+
+    probe_s, probe_lat = slope_time(probe_batch)
     probe_gb_s = chunk.nbytes / probe_s / 1e9
 
     ref_chunk = jax.random.normal(
@@ -534,14 +556,18 @@ def pearson_roofline(med):
                 s_xy + jnp.einsum("ezyx,e->zyx", c, r,
                                   preferred_element_type=jnp.float32))
 
-    acc = (zero, zero, zero)
-    acc = accumulate(chunk, ref_chunk, acc)
-    _sync(acc[0])  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        acc = accumulate(chunk, ref_chunk, acc)
-    _sync(acc[0])
-    fused_s = (time.perf_counter() - t0) / reps
+    acc0 = accumulate(chunk, ref_chunk, (zero, zero, zero))
+    _sync(acc0[0])  # compile + warm
+
+    def fused_batch(n):
+        acc = (zero, zero, zero)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = accumulate(chunk, ref_chunk, acc)
+        _sync(acc[0])
+        return time.perf_counter() - t0
+
+    fused_s, fused_lat = slope_time(fused_batch)
     field_bytes = nvox * 4
     fused_bytes = chunk.nbytes + 6 * field_bytes  # 3 fields RW
     fused_gb_s = fused_bytes / fused_s / 1e9
@@ -549,7 +575,11 @@ def pearson_roofline(med):
     num_chunks = MEMBERS // MEMBER_CHUNK
 
     def implied(vox_s, itemsize):
-        rep_s = nvox / vox_s
+        # The headline rep pays one end-of-stream sync; correct with
+        # the fused fit's latency estimate (bounded to sane values —
+        # the estimate itself is noisy on a bad session).
+        lat = min(max(fused_lat, 0.0), 0.15)
+        rep_s = max(nvox / vox_s - lat, 1e-3)
         traffic = (nvox * MEMBERS * itemsize
                    + num_chunks * 6 * field_bytes)
         return traffic / rep_s / 1e9
@@ -557,11 +587,15 @@ def pearson_roofline(med):
     return {
         "probe_gb_s": round(probe_gb_s, 1),
         "fused_gb_s": round(fused_gb_s, 1),
+        "probe_latency_ms": round(probe_lat * 1000.0, 1),
+        "fused_latency_ms": round(fused_lat * 1000.0, 1),
         "headline_fp32_implied_gb_s": round(
             implied(med["pearson_vox_s"], 4), 1),
         "headline_bf16_implied_gb_s": round(
             implied(med["pearson_bf16_vox_s"], 2), 1),
-        "byte_accounting": "chunk reads + 3 accumulator fields RW",
+        "byte_accounting": "chunk reads + 3 accumulator fields RW; "
+                           "slope-fit (min-of-3 at 4 and 20 ops) "
+                           "removes the tunnel sync latency",
     }
 
 

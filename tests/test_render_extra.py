@@ -794,3 +794,37 @@ class TestIsoAxialSupersample:
         cov = want[..., 3] > 0.5
         np.testing.assert_allclose(got[cov][:, :3], want[cov][:, :3],
                                    atol=1e-5)
+
+
+class TestDvrBoundarySensitivity:
+    """The cross-backend DVR delta (BENCH dvr_exact_tpu_vs_cpu_delta)
+    is a boundary-sample knife edge at ray-box entry (ROUND4.md): a
+    1-ULP-scale perturbation of the ray origin may flip one march
+    sample on isolated rays, and must NOT cause broad image drift.
+    This pins the bounded-behavior claim within one backend."""
+
+    def test_epsilon_camera_shift_changes_isolated_pixels_only(self):
+        import jax
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.dvr import dvr_render
+        from correrender_tpu.render.tf import TransferFunction
+
+        vol = jax.random.uniform(jax.random.key(5), (48, 48, 48))
+        vol = jnp.asarray(jax.scipy.signal.convolve(
+            vol, jnp.ones((3, 3, 3)) / 27.0, mode="same"))
+        tf = TransferFunction.from_colormap(
+            "coolwarm", domain=(0.0, 1.0),
+            opacity_points=((0.0, 0.0), (1.0, 0.9)))
+        size = (160, 120)
+        a = np.asarray(dvr_render(
+            vol, Camera(position=(0.05, 0.3, 0.85)), tf,
+            image_size=size))
+        b = np.asarray(dvr_render(
+            vol, Camera(position=(0.05, 0.3, 0.85 + 1e-6)), tf,
+            image_size=size))
+        d = np.abs(a - b).max(axis=-1)
+        # Continuous shading responds smoothly (tiny p99); only
+        # isolated boundary-sample flips may exceed 1e-3.
+        assert np.percentile(d, 99) < 1e-3
+        assert (d > 1e-3).mean() < 5e-3
