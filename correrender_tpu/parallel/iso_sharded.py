@@ -37,11 +37,30 @@ from correrender_tpu.render.dvr_fast import (
     shearwarp_viable,
 )
 from correrender_tpu.render.iso_fast import (
+    _axial_interleave,
     _first_hit_scan,
     _gradient_volume,
     iso_shearwarp,
     shade_and_warp,
 )
+
+
+def _interleave_g(g, m):
+    """m× supersample a per-slice g sequence (affine in the slice
+    coordinate → exact lerp) — sub-slabs adjacent to an INVALID slice
+    (g ≤ 0: missing first-shard halo, divisibility padding) get
+    g = −1 so the scan's inside-gate rejects them, matching the dense
+    path's no-predecessor boundary semantics."""
+    base, nxt = g[:-1], g[1:]
+    valid = (base > 0.0) & (nxt > 0.0)
+    # j = 0 is the original slice (its own validity); j ≥ 1 are true
+    # midpoints and need BOTH bracketing slices valid.
+    subs = [base] + [
+        jnp.where(valid, (1.0 - j / m) * base + (j / m) * nxt, -1.0)
+        for j in range(1, m)
+    ]
+    body = jnp.stack(subs, axis=1).reshape(-1)
+    return jnp.concatenate([body, g[-1:]])
 
 
 def iso_shearwarp_sharded(
@@ -55,8 +74,14 @@ def iso_shearwarp_sharded(
     background=(0.0, 0.0, 0.0, 1.0),
     intermediate_scale: float = 1.0,
     axis_name: str = "space",
+    axial_supersample: int = 1,
 ) -> jnp.ndarray:
-    """Render a Z-sharded volume's isosurface distributedly."""
+    """Render a Z-sharded volume's isosurface distributedly.
+
+    ``axial_supersample`` matches the dense path's exact trilinear
+    sub-slabs (render/iso_fast.py): each shard interleaves AFTER the
+    halo exchange, so cross-shard midpoints use the true neighbour
+    slice and output equals the dense supersampled render."""
     zs, ys, xs = volume.shape
     if box is None:
         box = default_render_box((zs, ys, xs))
@@ -82,6 +107,7 @@ def iso_shearwarp_sharded(
             gathered, camera, iso_value, surface_color=surface_color,
             image_size=image_size, box=box, background=background,
             intermediate_scale=intermediate_scale,
+            axial_supersample=axial_supersample,
         )
 
     nv, nu = dims_zyx[perm[1]], dims_zyx[perm[2]]
@@ -140,7 +166,8 @@ def iso_shearwarp_sharded(
     g_blocks = jnp.asarray(g_unflipped.reshape(n_shards, s_loc))
 
     fn = _sharded_first_hit_fn(mesh, axis_name, flip, n_shards,
-                               hi_res, wi_res)
+                               hi_res, wi_res,
+                               int(axial_supersample))
     found, grad_hit = fn(
         cvol, g_blocks,
         jnp.asarray(coords_v, jnp.float32),
@@ -157,7 +184,8 @@ def iso_shearwarp_sharded(
 
 @functools.lru_cache(maxsize=32)
 def _sharded_first_hit_fn(mesh: Mesh, axis_name: str, flip: bool,
-                          n_shards: int, hi_res: int, wi_res: int):
+                          n_shards: int, hi_res: int, wi_res: int,
+                          axial_supersample: int = 1):
     """Build + jit the per-shard first-hit program once per static
     signature — camera geometry enters as ARRAYS so frames reuse the
     compiled executable (a fresh un-jitted shard_map closure per call
@@ -186,6 +214,12 @@ def _sharded_first_hit_fn(mesh: Mesh, axis_name: str, flip: bool,
         halo_g = jax.lax.ppermute(g_loc[-1:], axis_name, perm)
         cvol_h = jnp.concatenate([halo_slice, cvol_loc], axis=0)
         g_h = jnp.concatenate([halo_g, g_loc], axis=0)
+        if axial_supersample > 1:
+            # Interleave AFTER the halo so cross-shard midpoints use
+            # the true neighbour slice; the missing first-shard halo
+            # (g = 0) invalidates its midpoints via _interleave_g.
+            cvol_h = _axial_interleave(cvol_h, axial_supersample)
+            g_h = _interleave_g(g_h, axial_supersample)
         found, depth, grad_hit = _first_hit_scan(
             cvol_h, g_h, coords_v, coords_u, grid_v, grid_u, euv,
             iso_value, hi_res, wi_res,

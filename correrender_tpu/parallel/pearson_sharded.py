@@ -206,14 +206,19 @@ def _space_sharded_fn(mesh: Mesh, m, kwargs_items, has_bounds=False):
             kw["mi_bounds"] = ((b[0, 0], b[0, 1]), (b[1, 0], b[1, 1]))
         return correlate_field(stack_blk, ref_full, m, **kw)
 
-    in_specs = [P("space", None, None, None), P()]
+    # Accept both a 1-D ("space",) mesh and a 2-D (space, members)
+    # mesh whose Z axis is sharded over BOTH axes (the layout
+    # reshard_member_to_space produces without moving devices).
+    axes = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+            else tuple(mesh.axis_names))
+    in_specs = [P(axes, None, None, None), P()]
     if has_bounds:
         in_specs.append(P())
     return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=P("space", None, None),
+        out_specs=P(axes, None, None),
         check_vma=False,
     ))
 

@@ -163,6 +163,37 @@ class TestIsoSharded:
         )
         _assert_images_match(got, want)
 
+    @pytest.mark.parametrize("pos", [(0.05, 0.1, 0.9), (0.1, -0.05, -0.9)])
+    def test_axial_supersample_matches_dense(self, smooth_volume, pos):
+        """ss=2 sharded == ss=2 dense: midpoints at shard boundaries
+        come from the halo slice, so the interleave is exact."""
+        from correrender_tpu.parallel.iso_sharded import (
+            iso_shearwarp_sharded,
+        )
+        from correrender_tpu.render.iso_fast import iso_shearwarp
+
+        mesh = make_mesh(space=8, members=1)
+        cam = Camera(position=pos)
+        iso = float(np.quantile(np.asarray(smooth_volume), 0.6))
+        got = np.asarray(
+            iso_shearwarp_sharded(
+                smooth_volume, cam, iso, mesh, image_size=(96, 80),
+                background=(0, 0, 0, 0), axial_supersample=2,
+            )
+        )
+        want = np.asarray(
+            iso_shearwarp(
+                smooth_volume, cam, iso, image_size=(96, 80),
+                background=(0, 0, 0, 0), axial_supersample=2,
+            )
+        )
+        _assert_images_match(got, want)
+        # And the supersampled render differs from ss=1 (it's live).
+        base = np.asarray(iso_shearwarp(
+            smooth_volume, cam, iso, image_size=(96, 80),
+            background=(0, 0, 0, 0)))
+        assert np.abs(base - want).max() > 1e-4
+
     def test_uneven_shards_pad_inert_slices(self, smooth_volume):
         # 28 slices on 8 shards: padded with inert (g = -1)
         # slices and still sharded — previously a full replicated

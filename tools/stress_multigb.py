@@ -56,13 +56,8 @@ def main():
             # 8.6 GB bf16 — beyond the VERDICT's >=4 GB bar.
             ("pearson", lambda: stress.stress_pearson(
                 grid=(256, 512, 512), members=64)),
-            # Reshard at 4.3 GB, not 8.6: the virtual CPU backend's
-            # cross-sharding device_put materializes per-device
-            # gathers (~8× the stack transiently), which OOM-killed
-            # the 8.6 GB case on a 125 GB host. Real TPU meshes
-            # exchange shards over ICI without host copies.
             ("reshard", lambda: stress.stress_reshard(
-                grid=(128, 512, 512), members=64)),
+                grid=(256, 512, 512), members=64)),
             # 1.0 GB f32 for the sort-heavy rank path.
             ("spearman", lambda: stress.stress_rank_ksg(
                 "spearman", grid=(64, 256, 256), members=64)),
@@ -70,8 +65,14 @@ def main():
             ("ksg", lambda: stress.stress_rank_ksg(
                 "mi_kraskov", grid=(32, 128, 128), members=64)),
             # Literal config-5 program (builds its own f32 stack).
+            # Grid bounded by XLA:CPU's HARDCODED 40 s collective
+            # rendezvous watchdog: on one host core the 8 virtual
+            # devices' renders serialize, and at larger grids the
+            # first device waits >40 s at the image all_gather for
+            # the last — the runtime then aborts by design. Real
+            # meshes run participants concurrently.
             ("config5", lambda: stress.stress_config5(
-                grid=(128, 128, 128), members=64)),
+                grid=(128, 128, 64), members=64)),
         ]
 
     if args.case:
