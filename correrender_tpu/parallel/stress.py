@@ -189,13 +189,29 @@ def stress_reshard(grid=(128, 512, 512), members=64,
     assert shard.data.shape == (zs // n_dev, ys, xs, members), (
         f"space-sharded shard shape {shard.data.shape}")
     assert len(resharded.addressable_shards) == n_dev
-    # Content: sampled slabs bit-identical to the source.
+    # Content: every resharded device shard must equal the matching
+    # region assembled from SOURCE device shards. Comparison runs on
+    # host-local addressable shard data only — slicing the sharded
+    # arrays instead compiles gathers that replicate the multi-GB
+    # stack per device (observed >100 GB RSS at the 8 GiB case).
+    src = {}
+    for sh in stack.addressable_shards:
+        z0 = sh.index[0].start or 0
+        e0 = sh.index[3].start or 0
+        src[(z0, e0)] = sh.data
+    z_src = zs // mesh.devices.shape[0]
+    e_src = members // mesh.devices.shape[1]
     deltas = []
-    for z0 in (0, zs // 2, zs - 4):
-        a = np.asarray(stack[z0:z0 + 4])
-        b = np.asarray(resharded[z0:z0 + 4])
+    for sh in resharded.addressable_shards:
+        zr = sh.index[0].start or 0
+        row = zr // z_src * z_src
+        want = np.concatenate(
+            [np.asarray(src[(row, e0)][zr - row:
+                                       zr - row + zs // n_dev, :, :4])
+             for e0 in range(0, members, e_src)], axis=-1)
+        got = np.asarray(sh.data[:, :, :4])
         deltas.append(float(np.abs(
-            a.astype(np.float32) - b.astype(np.float32)).max()))
+            got.astype(np.float32) - want.astype(np.float32)).max()))
     return {
         "program": "reshard_member_to_space",
         "grid": list(grid), "members": members, "dtype": str(dtype),
