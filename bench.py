@@ -481,14 +481,44 @@ def make_iso_bench():
         return frame_ms, frame_pipelined_ms, frame_ss2_ms
 
     def measure_exact_once():
-        """Exact marcher at 1080p — the quality='exact' path's cost
-        (one warm rep; it is gather-bound and far from interactive)."""
-        from correrender_tpu.render.iso import iso_render
+        """Exact marcher cost at 640×360 over the 250³ volume — the
+        quality='exact' path. Measured in a SUBPROCESS: the exact
+        marcher at full 1080p crashed the tunneled TPU worker
+        outright (gather storm), which would poison every later bench
+        phase in-process; a subprocess bounds the blast radius and a
+        failure reports None instead of killing the run."""
+        import subprocess
 
-        _sync(iso_render(vol, cam, 0.6, image_size=(1920, 1080)))
-        t0 = time.perf_counter()
-        _sync(iso_render(vol, cam, 0.6, image_size=(1920, 1080)))
-        return (time.perf_counter() - t0) * 1000.0
+        script = (
+            "import time\n"
+            "from correrender_tpu.utils.compile_cache import "
+            "enable_compile_cache\n"
+            "enable_compile_cache()\n"
+            "import jax, jax.numpy as jnp\n"
+            "from correrender_tpu.render import Camera\n"
+            "from correrender_tpu.render.iso import iso_render\n"
+            f"vol = jax.random.uniform(jax.random.key(3), "
+            f"({GRID}, {GRID}, {GRID}))\n"
+            "cam = Camera(position=(0.05, 0.3, 0.85))\n"
+            "img = iso_render(vol, cam, 0.6, image_size=(640, 360))\n"
+            "float(jnp.sum(img))\n"
+            "t0 = time.perf_counter()\n"
+            "float(jnp.sum(iso_render(vol, cam, 0.6, "
+            "image_size=(640, 360))))\n"
+            "print('MS', (time.perf_counter() - t0) * 1000.0)\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True,
+                text=True, timeout=900, cwd=os.path.dirname(
+                    os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("MS "):
+                    return float(line.split()[1])
+        except Exception:  # noqa: BLE001 — timeout/crash
+            pass
+        return None
 
     return measure, prep_delta, measure_exact_once
 
@@ -543,6 +573,26 @@ def pearson_roofline(med):
     probe_s, probe_lat = slope_time(probe_batch)
     probe_gb_s = chunk.nbytes / probe_s / 1e9
 
+    # Read+write probe: HBM writes on this chip cost several× reads
+    # (measured 2026-08-20: read-only 699 GB/s vs copy 158 GB/s
+    # TOTAL), so the pure-read probe alone overstates what a
+    # multi-output reduction can reach — this bounds it from the
+    # write side.
+    copy = jax.jit(lambda c, s: c * s)
+    scale = jnp.float32(1.000001)
+    _sync(copy(chunk, scale))
+
+    def copy_batch(n):
+        c = chunk
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = copy(c, scale)
+        _sync(c)
+        return time.perf_counter() - t0
+
+    copy_s, _ = slope_time(copy_batch)
+    copy_gb_s = 2 * chunk.nbytes / copy_s / 1e9
+
     ref_chunk = jax.random.normal(
         jax.random.key(22), (MEMBER_CHUNK,), jnp.float32)
     zero = jnp.zeros((GRID, GRID, GRID), jnp.float32)
@@ -574,11 +624,16 @@ def pearson_roofline(med):
 
     num_chunks = MEMBERS // MEMBER_CHUNK
 
+    # Session sanity: in high-jitter sessions the slope fit's two
+    # batch timings swing by hundreds of ms and the derived figures
+    # go unphysical (a 1.6 TB/s "read probe" was observed — the v5e
+    # HBM peak is ~819 GB/s). Flag such sessions; only subtract the
+    # sync latency when its estimate is plausibly small.
+    noisy = (probe_gb_s > 850.0 or probe_lat > 0.1
+             or fused_lat > 0.1)
+
     def implied(vox_s, itemsize):
-        # The headline rep pays one end-of-stream sync; correct with
-        # the fused fit's latency estimate (bounded to sane values —
-        # the estimate itself is noisy on a bad session).
-        lat = min(max(fused_lat, 0.0), 0.15)
+        lat = 0.0 if noisy else min(max(fused_lat, 0.0), 0.1)
         rep_s = max(nvox / vox_s - lat, 1e-3)
         traffic = (nvox * MEMBERS * itemsize
                    + num_chunks * 6 * field_bytes)
@@ -586,16 +641,22 @@ def pearson_roofline(med):
 
     return {
         "probe_gb_s": round(probe_gb_s, 1),
+        "copy_rw_total_gb_s": round(copy_gb_s, 1),
         "fused_gb_s": round(fused_gb_s, 1),
         "probe_latency_ms": round(probe_lat * 1000.0, 1),
         "fused_latency_ms": round(fused_lat * 1000.0, 1),
+        "noisy_session": noisy,
         "headline_fp32_implied_gb_s": round(
             implied(med["pearson_vox_s"], 4), 1),
         "headline_bf16_implied_gb_s": round(
             implied(med["pearson_bf16_vox_s"], 2), 1),
         "byte_accounting": "chunk reads + 3 accumulator fields RW; "
                            "slope-fit (min-of-3 at 4 and 20 ops) "
-                           "removes the tunnel sync latency",
+                           "removes the tunnel sync latency; "
+                           "noisy_session=true means the probe/"
+                           "latency figures are jitter-polluted and "
+                           "only fused_gb_s (longest chain) is "
+                           "trustworthy",
     }
 
 
@@ -634,11 +695,23 @@ def make_heb_bayes_bench():
         fv = {(i, j): v for i, j, v in full}
         deltas = [abs(v - fv[(i, j)]) for i, j, v in screened_chords
                   if (i, j) in fv]
+        # Tie-aware strength parity: on a random field the top-250 of
+        # ~130k pairs sits inside a dense band of near-ties, so SET
+        # overlap under-reads (different-but-equal chords swap in).
+        # If the displayed strength distributions match, the charts
+        # are statistically interchangeable.
+        sv = np.sort([abs(v) for _, _, v in screened_chords])
+        fvs = np.sort([abs(v) for _, _, v in full])
+        n = min(len(sv), len(fvs))
         return {
             "full_serve_ms": round(full_ms, 1),
             "chord_set_overlap": round(overlap, 4),
             "max_value_delta_on_shared_chords": round(
                 max(deltas), 6) if deltas else None,
+            "min_chord_strength": [round(float(sv[0]), 5),
+                                   round(float(fvs[0]), 5)],
+            "max_strength_quantile_gap": round(float(
+                np.abs(sv[-n:] - fvs[-n:]).max()), 5) if n else None,
         }
 
     return measure, parity
@@ -991,7 +1064,12 @@ def main():
         # supersampling) and the quality='exact' marcher's cost.
         "iso_1080p_250c_ss2_frame_ms": round(
             med["iso_ss2_frame_ms"], 2),
-        "iso_exact_1080p_250c_frame_ms": round(iso_exact_ms, 1),
+        # quality='exact' marcher cost (640×360 — at 1080p the exact
+        # marcher's gather storm crashes the tunneled TPU worker, so
+        # the subprocess-isolated probe uses the SSIM-scene size).
+        "iso_exact_640x360_250c_frame_ms": (
+            round(iso_exact_ms, 1) if iso_exact_ms is not None
+            else "unavailable (worker crash/timeout)"),
         "heb_512leaf_plastic_serve_ms": round(med["heb_serve_ms"], 1),
         # VERDICT r3 #5: warm bayesian serve (screened default) + the
         # parity row vs the full-GP serve.
