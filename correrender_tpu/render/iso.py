@@ -316,12 +316,21 @@ def iso_render(
     model_matrix=None,
     closed_surface: bool = False,
     return_depth: bool = False,
+    max_rays_per_pass: int = 230_400,
 ):
     """Render an isosurface of a scalar volume (see iso_composite).
 
     ``model_matrix`` is the volume's 4x4 model transform (catalog
     ``transform`` key, MainApp.cpp:1991-1996): rays are pulled into
     model space with its inverse, same as :func:`dvr_render`.
+
+    ``max_rays_per_pass``: frames larger than this render in row
+    bands (padded to one uniform band height — one compile) and
+    concatenate. The single-pass exact marcher at full 1080p
+    (2.07 M rays × ~1.7 k gather steps) crashed the tunneled TPU
+    worker outright, and 2× 640×360-sized passes still did; passes at
+    640×360 (230.4 k rays) are measured safe on a 250³ volume, so
+    that is the default bound. Set 0 to disable banding.
     """
     zs, ys, xs = volume.shape
     if box is None:
@@ -349,19 +358,48 @@ def iso_render(
             "ij,...j->...i", rot, directions,
             precision=jax.lax.Precision.HIGHEST,
         )
-    return iso_composite(
-        volume,
-        origin,
-        directions,
-        jnp.asarray(box_min),
-        jnp.asarray(box_max),
-        jnp.float32(iso_value),
-        jnp.asarray(surface_color, jnp.float32),
-        jnp.float32(step),
-        jnp.asarray(background, jnp.float32),
-        steps,
-        refine_steps,
-        intersection_mode=intersection_mode,
-        closed_surface=bool(closed_surface),
-        return_depth=bool(return_depth),
-    )
+    def run(dirs, orig):
+        return iso_composite(
+            volume,
+            orig,
+            dirs,
+            jnp.asarray(box_min),
+            jnp.asarray(box_max),
+            jnp.float32(iso_value),
+            jnp.asarray(surface_color, jnp.float32),
+            jnp.float32(step),
+            jnp.asarray(background, jnp.float32),
+            steps,
+            refine_steps,
+            intersection_mode=intersection_mode,
+            closed_surface=bool(closed_surface),
+            return_depth=bool(return_depth),
+        )
+
+    n_rays = width * height
+    if max_rays_per_pass and n_rays > max_rays_per_pass:
+        band_h = max(1, max_rays_per_pass // width)
+        orig_is_map = getattr(origin, "ndim", 1) == 3
+        imgs, depths = [], []
+        for y0 in range(0, height, band_h):
+            band = directions[y0:y0 + band_h]
+            oband = origin[y0:y0 + band_h] if orig_is_map else origin
+            pad = band_h - band.shape[0]
+            if pad:
+                band = jnp.concatenate(
+                    [band, jnp.repeat(band[-1:], pad, axis=0)], axis=0)
+                if orig_is_map:
+                    oband = jnp.concatenate(
+                        [oband, jnp.repeat(oband[-1:], pad, axis=0)],
+                        axis=0)
+            res = run(band, oband)
+            if return_depth:
+                imgs.append(res[0][:band_h - pad if pad else band_h])
+                depths.append(res[1][:band_h - pad if pad else band_h])
+            else:
+                imgs.append(res[:band_h - pad if pad else band_h])
+        if return_depth:
+            return (jnp.concatenate(imgs, axis=0),
+                    jnp.concatenate(depths, axis=0))
+        return jnp.concatenate(imgs, axis=0)
+    return run(directions, origin)

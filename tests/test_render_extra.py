@@ -828,3 +828,29 @@ class TestDvrBoundarySensitivity:
         # isolated boundary-sample flips may exceed 1e-3.
         assert np.percentile(d, 99) < 1e-3
         assert (d > 1e-3).mean() < 5e-3
+
+
+class TestIsoRenderBanding:
+    """Row-band tiling of the exact marcher: single-pass 1080p crashed
+    the tunneled TPU worker (ROUND4.md); bands must be pixel-exact."""
+
+    def test_banded_equals_single_pass(self):
+        import jax
+
+        from correrender_tpu.render.camera import Camera
+        from correrender_tpu.render.iso import iso_render
+
+        vol = jax.random.uniform(jax.random.key(5), (24, 24, 24))
+        vol = jnp.asarray(jax.scipy.signal.convolve(
+            vol, jnp.ones((3, 3, 3)) / 27.0, mode="same"))
+        cam = Camera(position=(0.05, 0.3, 0.85))
+        # 70 rows over 16-row bands: exercises padding of the last band.
+        a = iso_render(vol, cam, 0.55, image_size=(96, 70),
+                       return_depth=True)
+        b = iso_render(vol, cam, 0.55, image_size=(96, 70),
+                       return_depth=True, max_rays_per_pass=96 * 16)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        fin = np.isfinite(np.asarray(a[1]))
+        assert (np.isfinite(np.asarray(b[1])) == fin).all()
+        np.testing.assert_array_equal(np.asarray(a[1])[fin],
+                                      np.asarray(b[1])[fin])
