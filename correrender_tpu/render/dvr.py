@@ -160,6 +160,7 @@ def dvr_render(
     model_matrix=None,
     nan_mode: str = "ignore",
     depth_limit=None,
+    max_rays_per_pass: int = 230_400,
 ) -> jnp.ndarray:
     """Render a scalar volume with DVR.
 
@@ -218,21 +219,47 @@ def dvr_render(
         # Direction lengths are preserved for rigid transforms (the
         # common case); non-uniform scales stretch the sampling metric
         # proportionally, matching the stretched geometry.
-    return dvr_composite(
-        volume,
-        origin,
-        directions,
-        jnp.asarray(box_min),
-        jnp.asarray(box_max),
-        transfer_function.lut,
-        jnp.asarray(transfer_function.domain, jnp.float32),
-        jnp.float32(step),
-        jnp.float32(attenuation),
-        jnp.asarray(background, jnp.float32),
-        steps,
-        restriction=restriction,
-        restriction_metric=str(restriction_metric),
-        nan_mode=str(nan_mode),
-        depth_limit=(None if depth_limit is None
-                     else jnp.asarray(depth_limit, jnp.float32)),
-    )
+    dlimit = (None if depth_limit is None
+              else jnp.asarray(depth_limit, jnp.float32))
+
+    def run(dirs, dlim):
+        return dvr_composite(
+            volume,
+            origin,
+            dirs,
+            jnp.asarray(box_min),
+            jnp.asarray(box_max),
+            transfer_function.lut,
+            jnp.asarray(transfer_function.domain, jnp.float32),
+            jnp.float32(step),
+            jnp.float32(attenuation),
+            jnp.asarray(background, jnp.float32),
+            steps,
+            restriction=restriction,
+            restriction_metric=str(restriction_metric),
+            nan_mode=str(nan_mode),
+            depth_limit=dlim,
+        )
+
+    # Large frames march in row bands (same worker-crash guard as
+    # iso_render — the single-pass gather storm at ~2 M rays crashes
+    # the tunneled TPU worker; 230.4 k-ray passes are measured safe).
+    n_rays = width * height
+    if max_rays_per_pass and n_rays > max_rays_per_pass:
+        band_h = max(1, max_rays_per_pass // width)
+        imgs = []
+        for y0 in range(0, height, band_h):
+            band = directions[y0:y0 + band_h]
+            dband = None if dlimit is None else dlimit[y0:y0 + band_h]
+            pad = band_h - band.shape[0]
+            if pad:
+                band = jnp.concatenate(
+                    [band, jnp.repeat(band[-1:], pad, axis=0)], axis=0)
+                if dband is not None:
+                    dband = jnp.concatenate(
+                        [dband, jnp.repeat(dband[-1:], pad, axis=0)],
+                        axis=0)
+            out = run(band, dband)
+            imgs.append(out[:band_h - pad if pad else band_h])
+        return jnp.concatenate(imgs, axis=0)
+    return run(directions, dlimit)
