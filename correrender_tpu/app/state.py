@@ -570,8 +570,13 @@ class Scene:
                    self.volume_data.dirty_epoch(field))
             overlay = self._overlay_cache.get(key)
             if overlay is None:
+                # Small overlays render from a smaller SVG canvas so
+                # labels keep a readable size relative to the chart
+                # (a 700 px layout shrunk to 90 px makes 12 px text
+                # ~1.5 px); clamp to the diagram layouts' sane range.
+                svg_size = int(min(700, max(256, target * 2)))
                 try:
-                    svg = self.render_diagram(node, size=700)
+                    svg = self.render_diagram(node, size=svg_size)
                 except Exception as exc:
                     import logging
 
@@ -580,7 +585,7 @@ class Scene:
                         node["type"], exc)
                     self._overlay_cache[key] = False
                     continue
-                overlay = rasterize_svg(svg, scale=target / 700.0)
+                overlay = rasterize_svg(svg, scale=target / svg_size)
                 self._overlay_cache[key] = overlay
                 while len(self._overlay_cache) > 16:
                     self._overlay_cache.popitem(last=False)
