@@ -204,6 +204,8 @@ def cmd_heb(args):
         cell_distance_range=_pair(args.cell_distance_range),
         color_map=args.color_map,
         color_map_variance=args.color_map_variance,
+        bayesian_screening=not getattr(args, "no_bayesian_screening",
+                                       False),
     )
     chart.compute_correlations()
     if getattr(args, "diagram_type", "chords") == "matrix":
@@ -675,6 +677,10 @@ def build_parser():
     sp.add_argument("--sampling-method", default="mean",
                     choices=("mean", "random", "halton", "plastic",
                              "bayesian"))
+    sp.add_argument("--no-bayesian-screening", action="store_true",
+                    help="run GP-UCB on ALL pairs instead of the "
+                         "quasirandom screening's top fraction "
+                         "(slower; see docs/ROUND4.md)")
     sp.add_argument("--num-samples", type=int, default=64)
     sp.add_argument("--max-chords", type=int, default=100)
     sp.add_argument("--downsample-xyz", default=None, metavar="FX,FY,FZ",
