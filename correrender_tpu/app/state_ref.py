@@ -232,7 +232,7 @@ _SILENT_KEYS = frozenset({
     "data_mode", "device", "use_buffer_tiling", "use_gpu",
     "use_correlation_computation_gpu",
     "use_correlation_computation_gpu_focus",
-    "use_field_accuracy_double", "align_with_parent_window",
+    "use_field_accuracy_double",
     "network_implementation", "export_file_path",
     # Interactive picking GUI state (PointPicker options — picking is
     # call-site-parameterized here, render/picking.py).
@@ -585,6 +585,15 @@ def _convert_renderer(type_id: str, state: dict, names: list,
     # Diagram-family charts draw in their configured dock view.
     if "diagram_view" in s:
         view_indices = [int(s.pop("diagram_view"))]
+    # align_with_parent_window=1 → the chart fills its parent view
+    # (ScatterPlotChart::updateSizeByParent: offset 0, full size;
+    # DiagramRenderer.cpp:1759,1909 persists the flag). Mapped onto
+    # the overlay placement keys so an imported reference scene draws
+    # the chart where the reference drew it.
+    if "align_with_parent_window" in s:
+        if bool(s.pop("align_with_parent_window")):
+            out["overlay_anchor"] = "center"
+            out["overlay_frac"] = 1.0
 
     for k, v in s.items():
         extra[k] = v
@@ -675,8 +684,15 @@ def _convert_diagram(s: dict, out: dict, warnings: list) -> None:
             name = str(s[ref_key])
             if _dcm.is_known(name):
                 out[our_key] = _dcm.display_name(s.pop(ref_key))
+    # The drill-down stack draws its context chart in one view and
+    # focus charts in another (DiagramRenderer.cpp:1856-1857). The
+    # context index selects the node's dock view (the generic
+    # diagram_view path); the focus index rides on the node.
+    if "context_diagram_view" in s:
+        s["diagram_view"] = s.pop("context_diagram_view")
+    if "focus_diagram_view" in s:
+        out["focus_view"] = int(s.pop("focus_diagram_view"))
     for k in ("downscaling_power_of_two", "scalar_field_selection",
-              "context_diagram_view", "focus_diagram_view",
               "render_only_last_focus_diagram", "diagram_radius",
               "use_global_std_dev_range",
               "separate_color_variance_and_correlation",
@@ -991,6 +1007,18 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
     def put(ref_key, value):
         state[ref_key] = _stringify(value)
 
+    # Diagram placement: the reference persists the dock view per
+    # diagram renderer (context/focus pair for the drill-down stack,
+    # DiagramRenderer.cpp:1856-1857; plain diagram_view for the rest).
+    if type_id == "diagram":
+        put("context_diagram_view", view)
+        put("focus_diagram_view",
+            int(node.pop("focus_view", view)))
+    elif type_id in ("scatter_plot", "correlation_matrix",
+                     "time_series_correlation",
+                     "distribution_similarity"):
+        put("diagram_view", view)
+
     for key, value in node.items():
         if key == "field" and type_id == "scatter_plot":
             put("field0", name_to_idx.get(value, 0))
@@ -1088,6 +1116,14 @@ def _renderer_node_to_reference(node: dict, name_to_idx: dict,
             put("dbscan_minpts", value)
         elif key == "max_points" and type_id == "distribution_similarity":
             put("num_sampled_points", value)
+        elif key == "overlay_anchor":
+            # "center" + full frac is the reference's
+            # align_with_parent_window placement (the only diagram
+            # placement it persists); corner anchors have no
+            # reference analogue → align off.
+            put("align_with_parent_window", value == "center")
+        elif key in ("overlay_frac", "overlay_opacity", "overlay"):
+            pass  # implied by align_with_parent_window / ours-only
         else:
             put(key, value)
     for key, value in extra.items():

@@ -413,16 +413,26 @@ def composite_overlay(frame: np.ndarray, overlay: np.ndarray,
 
     ``frame``: (H, W, 3|4) float; ``overlay``: (h, w, 4) straight
     alpha. The overlay is clipped to fit. Returns a new array.
+
+    ``anchor="center"`` centers the overlay in the frame (no margin)
+    — the placement of a reference diagram with
+    ``align_with_parent_window`` set, which fills its parent view
+    (ScatterPlotChart::updateSizeByParent — offset 0, full size).
     """
     out = np.array(frame, np.float32, copy=True)
     fh, fw = out.shape[:2]
+    if anchor == "center":
+        margin = 0
     oh, ow = overlay.shape[:2]
     oh, ow = min(oh, fh - 2 * margin), min(ow, fw - 2 * margin)
     if oh <= 0 or ow <= 0:
         return out
     ov = overlay[:oh, :ow]
-    y0 = margin if "top" in anchor else fh - margin - oh
-    x0 = margin if "left" in anchor else fw - margin - ow
+    if anchor == "center":
+        y0, x0 = (fh - oh) // 2, (fw - ow) // 2
+    else:
+        y0 = margin if "top" in anchor else fh - margin - oh
+        x0 = margin if "left" in anchor else fw - margin - ow
     region = out[y0:y0 + oh, x0:x0 + ow]
     a = (ov[:, :, 3:4] * float(opacity)).clip(0.0, 1.0)
     region[:, :, :3] = ov[:, :, :3] * a + region[:, :, :3] * (1 - a)

@@ -983,3 +983,65 @@ class TestStateConvertCli:
                                  "volume_data": {"filename": nc}}))
         with pytest.raises(SystemExit, match="--output"):
             cli.main(["state", "--load", str(p)])
+
+
+class TestDiagramPlacement:
+    """align_with_parent_window + context/focus diagram views map onto
+    the overlay placement keys both ways
+    (DiagramRenderer.cpp:1856-1857 persistence)."""
+
+    def _doc(self, align="1"):
+        return {
+            "renderers": [{"type": "diagram", "state": {
+                "view_visibility": "10",
+                "align_with_parent_window": align,
+                "context_diagram_view": "1",
+                "focus_diagram_view": "0",
+                "correlation_measure_type": "pearson",
+            }}],
+        }
+
+    def test_import_aligned(self):
+        ours, _ = convert_reference_state(self._doc(), ["data"])
+        node = ours["renderers"][0]
+        assert node["view"] == 1  # context view selects the dock view
+        assert node["focus_view"] == 0
+        assert node["overlay_anchor"] == "center"
+        assert node["overlay_frac"] == 1.0
+
+    def test_import_unaligned_keeps_default_corner(self):
+        ours, _ = convert_reference_state(self._doc(align="0"), ["data"])
+        node = ours["renderers"][0]
+        assert "overlay_anchor" not in node
+        assert "overlay_frac" not in node
+
+    def test_roundtrip_through_scene(self, tmp_path):
+        import json as _json
+
+        vd, _ = make_volume()
+        path = tmp_path / "ref.json"
+        path.write_text(_json.dumps(self._doc()))
+        scene = Scene.load_state(str(path), volume_data=vd)
+        back = reference_state_from_scene(scene)
+        state = next(r["state"] for r in back["renderers"]
+                     if r["type"] == "diagram")
+        assert state["align_with_parent_window"] == "1"
+        assert state["context_diagram_view"] == "1"
+        assert state["focus_diagram_view"] == "0"
+        # Re-import of the exported doc lands on the same placement.
+        ours2, _ = convert_reference_state(back, ["data"])
+        node2 = next(r for r in ours2["renderers"]
+                     if r["type"] == "diagram")
+        assert node2["view"] == 1
+        assert node2["focus_view"] == 0
+        assert node2["overlay_anchor"] == "center"
+
+    def test_center_anchor_composites_centered(self):
+        from correrender_tpu.diagrams.raster import composite_overlay
+
+        frame = np.zeros((40, 60, 4), np.float32)
+        ov = np.ones((10, 10, 4), np.float32)
+        out = composite_overlay(frame, ov, anchor="center")
+        ys, xs = np.nonzero(out[..., 0])
+        assert ys.min() == 15 and ys.max() == 24
+        assert xs.min() == 25 and xs.max() == 34
