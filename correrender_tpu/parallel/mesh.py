@@ -11,6 +11,8 @@ Canonical member-stack layout is ``(Z, Y, X, E)``; the standard mesh is
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -126,7 +128,14 @@ def reshard_member_to_space(stack, mesh: Mesh):
     if members == 1:
         # Already member-local; only the spec name changes.
         return (jax.device_put(stack, space_sharding(mesh)), mesh)
+    return _reshard_m2s_fn(mesh)(stack), mesh
 
+
+@functools.lru_cache(maxsize=16)
+def _reshard_m2s_fn(mesh: Mesh):
+    """Compiled once per mesh — a fresh shard_map closure per call
+    would retrace AND recompile every reshard (the round-1 'warm call
+    takes seconds' bug pattern)."""
     from jax import shard_map
 
     def shuffle(blk):
@@ -136,13 +145,12 @@ def reshard_member_to_space(stack, mesh: Mesh):
         return jax.lax.all_to_all(
             blk, "members", split_axis=0, concat_axis=3, tiled=True)
 
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shuffle,
         mesh=mesh,
         in_specs=P("space", None, None, "members"),
         out_specs=P(("space", "members"), None, None, None),
     ))
-    return fn(stack), mesh
 
 
 def reshard_space_to_member(stack, mesh: Mesh):
@@ -152,7 +160,11 @@ def reshard_space_to_member(stack, mesh: Mesh):
     space, members = mesh.devices.shape
     if members == 1:
         return jax.device_put(stack, member_stack_sharding(mesh))
+    return _reshard_s2m_fn(mesh)(stack)
 
+
+@functools.lru_cache(maxsize=16)
+def _reshard_s2m_fn(mesh: Mesh):
     from jax import shard_map
 
     def shuffle(blk):
@@ -161,10 +173,9 @@ def reshard_space_to_member(stack, mesh: Mesh):
         return jax.lax.all_to_all(
             blk, "members", split_axis=3, concat_axis=0, tiled=True)
 
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shuffle,
         mesh=mesh,
         in_specs=P(("space", "members"), None, None, None),
         out_specs=P("space", None, None, "members"),
     ))
-    return fn(stack)
