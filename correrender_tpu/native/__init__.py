@@ -42,10 +42,24 @@ def build_and_load(name: str, extra_flags=()) -> ctypes.CDLL:
 
 
 def cpu_baseline():
-    """The CPU Pearson-throughput baseline library."""
-    dll = build_and_load("cpu_baseline")
+    """The CPU Pearson-throughput baseline library.
+
+    Built with ``-fopenmp``: the voxel loops parallelize like the
+    reference's CPU path (CorrelationCalculator.cpp:878-1100), so the
+    all-core denominator is measurable (``pearson_throughput_cpu_t``
+    with threads=0) next to the single-core one (threads=1).
+    """
+    dll = build_and_load("cpu_baseline", extra_flags=("-fopenmp",))
     dll.pearson_throughput_cpu.restype = ctypes.c_double
     dll.pearson_throughput_cpu.argtypes = [ctypes.c_int64, ctypes.c_int]
+    dll.pearson_throughput_cpu_t.restype = ctypes.c_double
+    dll.pearson_throughput_cpu_t.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    dll.cpu_core_count.restype = ctypes.c_int
+    dll.cpu_core_count.argtypes = []
+    dll.ddr_bandwidth_gbs.restype = ctypes.c_double
+    dll.ddr_bandwidth_gbs.argtypes = [ctypes.c_int64, ctypes.c_int]
     dll.pearson_field_cpu.restype = None
     dll.pearson_field_cpu.argtypes = [
         ctypes.POINTER(ctypes.c_float),

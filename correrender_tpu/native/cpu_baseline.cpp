@@ -5,14 +5,32 @@
 // — independent implementation, not a copy) so bench.py can measure the
 // "CPU reference" denominator of the >=50x target on this machine.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libcpu_baseline.so cpu_baseline.cpp
-// (add -fopenmp if more than one core is available).
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC \
+//        -o libcpu_baseline.so cpu_baseline.cpp
+//
+// The reference's CPU path is OpenMP-parallel over voxels
+// (CorrelationCalculator.cpp:878-1100 wraps the per-voxel loop in
+// #pragma omp parallel), so the honest denominator offers BOTH a
+// single-core and an all-core measurement: bench.py reports
+// cpu_pearson_vox_s_1t and _all_t plus the host core count, and the
+// README normalizes the >=50x headline against both.
 
 #include <cmath>
 #include <cstdint>
 #include <chrono>
+#include <thread>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
+
+// Number of hardware threads the all-core denominator uses.
+int cpu_core_count() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? int(n) : 1;
+}
 
 // Correlate every voxel series against the reference series.
 // fields: member-major layout fields[e * num_voxels + v] (the layout the
@@ -20,6 +38,13 @@ extern "C" {
 void pearson_field_cpu(
         const float* reference, const float* fields,
         int64_t num_voxels, int es, float* out) {
+    // Voxel-parallel like the reference's OpenMP path
+    // (Correlation.cpp:182-268 called under #pragma omp parallel for,
+    // CorrelationCalculator.cpp:878-1100). Thread count is whatever
+    // the caller set via omp_set_num_threads (see *_throughput_cpu_t).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t v = 0; v < num_voxels; ++v) {
         double sum_x = 0.0, sum_y = 0.0, sum_xy = 0.0, sum_xx = 0.0,
                sum_yy = 0.0;
@@ -65,6 +90,56 @@ double pearson_throughput_cpu(int64_t num_voxels, int es) {
     delete[] fields;
     delete[] out;
     return double(num_voxels) / seconds;
+}
+
+// Thread-controlled variant: threads=1 → the single-core denominator,
+// threads=0 → all hardware threads (the reference's OpenMP behavior).
+double pearson_throughput_cpu_t(int64_t num_voxels, int es,
+                                int threads) {
+#ifdef _OPENMP
+    omp_set_num_threads(threads > 0 ? threads : cpu_core_count());
+#endif
+    double r = pearson_throughput_cpu(num_voxels, es);
+#ifdef _OPENMP
+    omp_set_num_threads(cpu_core_count());
+#endif
+    return r;
+}
+
+// Sustained DDR read+write bandwidth in GB/s (STREAM-triad-style
+// a[i] = b[i] + s*c[i] over buffers far beyond LLC, all cores), the
+// number that caps ANY CPU implementation of a bandwidth-bound
+// estimator — reported alongside the denominators so the >=50x
+// headline can be normalized to other hosts.
+double ddr_bandwidth_gbs(int64_t elems, int reps) {
+    if (elems <= 0) elems = int64_t(64) << 20;  // 256 MB/buffer (f32)
+    if (reps <= 0) reps = 3;
+    float* a = new float[elems];
+    float* b = new float[elems];
+    float* c = new float[elems];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < elems; ++i) {
+        a[i] = 0.0f; b[i] = 1.0f; c[i] = 2.0f;
+    }
+    double best = 0.0;
+    for (int r = 0; r < reps; ++r) {
+        auto t0 = std::chrono::steady_clock::now();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t i = 0; i < elems; ++i) {
+            a[i] = b[i] + 0.5f * c[i];
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double s = std::chrono::duration<double>(t1 - t0).count();
+        // 2 reads + 1 write per element.
+        double gbs = double(elems) * 3.0 * sizeof(float) / s / 1e9;
+        if (gbs > best) best = gbs;
+    }
+    delete[] a; delete[] b; delete[] c;
+    return best;
 }
 
 }  // extern "C"
@@ -236,15 +311,25 @@ extern "C" {
 void ksg_field_cpu(
         const float* reference, const float* fields,
         int64_t num_voxels, int es, int k, int estimator, float* out) {
-    KdTree2 tree;
-    std::vector<Pt> pts;
-    std::vector<float> sx, sy, nnd, series(es);
-    std::vector<int> nni;
-    for (int64_t v = 0; v < num_voxels; ++v) {
-        for (int e = 0; e < es; ++e)
-            series[e] = fields[int64_t(e) * num_voxels + v];
-        out[v] = ksg_mi_one(reference, series.data(), es, k, estimator,
-                            tree, pts, sx, sy, nnd, nni);
+    // Voxel-parallel with per-thread scratch (the reference wraps its
+    // KSG CPU path in the same voxel-level OpenMP parallelism).
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        KdTree2 tree;
+        std::vector<Pt> pts;
+        std::vector<float> sx, sy, nnd, series(es);
+        std::vector<int> nni;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+        for (int64_t v = 0; v < num_voxels; ++v) {
+            for (int e = 0; e < es; ++e)
+                series[e] = fields[int64_t(e) * num_voxels + v];
+            out[v] = ksg_mi_one(reference, series.data(), es, k,
+                                estimator, tree, pts, sx, sy, nnd, nni);
+        }
     }
 }
 
