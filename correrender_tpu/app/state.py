@@ -159,6 +159,21 @@ class Scene:
         while len(self._prepared_cache) > self._PREPARED_CACHE_CAP:
             self._prepared_cache.popitem(last=False)
 
+    def _exact_prepared(self, vol, field, restricted=None):
+        """Resident Pallas-marcher layouts for the exact renderers
+        (render/raymarch_exact.py::ExactPrepared), LRU'd alongside the
+        shear-warp prepared layouts."""
+        from correrender_tpu.render.raymarch_exact import ExactPrepared
+
+        key = ("exact_march", field, self.current_time,
+               self.current_member,
+               self.volume_data.dirty_epoch(field), restricted)
+        prep = self._prep_cache_get(key)
+        if prep is None:
+            prep = ExactPrepared(vol)
+            self._prep_cache_put(key, prep)
+        return prep
+
     # -- rendering ---------------------------------------------------------
 
     def _active_render_restriction(self, box):
@@ -287,7 +302,17 @@ class Scene:
                         return_depth=True,
                     )
                 else:
-                    img, depth = iso_render(
+                    from correrender_tpu.render.raymarch_exact import (
+                        iso_render_exact,
+                    )
+
+                    rest_sig = (
+                        None if restriction is None else (
+                            tuple(float(c) for c in restriction[0]),
+                            restriction[1], restriction[2],
+                        )
+                    )
+                    img, depth = iso_render_exact(
                         vol, cam, r.get("iso_value", 0.5),
                         surface_color=r.get("color",
                                             (0.9, 0.4, 0.2, 1.0)),
@@ -298,6 +323,8 @@ class Scene:
                         intersection_mode=r.get("intersection_mode",
                                                 "bisection"),
                         return_depth=True,
+                        prepared=self._exact_prepared(
+                            vol, field, restricted=rest_sig),
                     )
                 opaque.append((img, depth))
             elif r["type"] == "slice":
@@ -423,6 +450,10 @@ class Scene:
                         # marcher; the shear-warp path composites one
                         # slice per voxel plane by construction.
                         and step_size == 0.1
+                        # quality: "exact" forces the per-pixel
+                        # marcher (Pallas plane-order kernel since
+                        # round 5 — ~0.2-0.4 s at 1080p, not ~40 s).
+                        and r.get("quality") != "exact"
                         and shearwarp_viable(cam, box))
             if use_fast:
                 from correrender_tpu.render.dvr_fast import (
@@ -490,12 +521,20 @@ class Scene:
                 img = dvr_shearwarp(vol, cam, tf, prepared=prep,
                                     depth_limit=scene_depth, **kwargs)
             else:
-                img = dvr_render(vol, cam, tf,
-                                 restriction=restriction,
-                                 model_matrix=model_matrix,
-                                 nan_mode=nan_mode,
-                                 voxel_step=step_size,
-                                 depth_limit=scene_depth, **kwargs)
+                from correrender_tpu.render.raymarch_exact import (
+                    dvr_render_exact,
+                )
+
+                img = dvr_render_exact(
+                    vol, cam, tf,
+                    restriction=restriction,
+                    model_matrix=model_matrix,
+                    nan_mode=nan_mode,
+                    voxel_step=step_size,
+                    depth_limit=scene_depth,
+                    prepared=self._exact_prepared(
+                        vol, field, restricted=None),
+                    **kwargs)
             image = _composite(image, img)
         if image is None:
             image = jnp.zeros(image_size[::-1] + (4,), jnp.float32)

@@ -175,6 +175,44 @@ def iso_composite(
 
     lo = jnp.where(found, t_hit - step_size, 0.0)
     hi = jnp.where(found, t_hit, 1.0)
+    return _refine_and_shade_core(
+        volume, origin, directions, box_min, box_max, iso_value,
+        surface_color, background, lo, hi, found, cap,
+        refine_steps=refine_steps,
+        intersection_mode=intersection_mode,
+        closed_surface=closed_surface,
+        return_depth=return_depth,
+        light_dir=light_dir,
+        t_start=t_start,
+    )
+
+
+def _refine_and_shade_core(
+    volume, origin, directions, box_min, box_max, iso_value,
+    surface_color, background, lo, hi, found, cap,
+    refine_steps: int = 8,
+    intersection_mode: str = "bisection",
+    closed_surface: bool = False,
+    return_depth: bool = False,
+    light_dir=None,
+    t_start=None,
+):
+    """Hit refinement + gradient shading from bracketing intervals.
+
+    Shared tail of the fixed-step marcher above and the Pallas
+    plane-order marcher (ops/pallas/raymarch_kernel.py): ``[lo, hi]``
+    brackets one sign change of ``f = scalar − iso`` per found ray;
+    the configured solver (reference IsoSurfaceRayCastingRenderer
+    IntersectionSolver enum) pins the crossing, then central-difference
+    normals + Blinn-Phong (Lighting.glsl defaults).
+    """
+    extent = box_max - box_min
+    step_size = hi - lo  # per-ray bracket length
+
+    def sample_at(t):
+        p = origin + directions * t[..., None]
+        tex = (p - box_min) / extent
+        return sample_trilinear(volume, tex)
 
     if intersection_mode == "analytic":
         # Closed-form cubic root through 4 samples of the segment.
@@ -237,8 +275,9 @@ def iso_composite(
             0, refine_steps, refine, (lo, hi, f_lo)
         )
         t_surf = 0.5 * (lo + hi)
-    if closed_surface:
+    if closed_surface and t_start is not None:
         t_surf = jnp.where(cap, t_start, t_surf)
+    h, w = directions.shape[:2]
     p_surf = origin + directions * t_surf[..., None]
     tex = (p_surf - box_min) / extent
 

@@ -1,0 +1,239 @@
+"""Exact per-pixel renderers backed by the Pallas plane-order marcher.
+
+``dvr_render_exact`` / ``iso_render_exact`` are the production exact
+paths: per-pixel rays, exact trilinear filtering, the configured
+intersection solver — at 1080p/250³ they run in ~0.2–0.4 s on a v5e
+chip where the fixed-dt XLA marchers (render/dvr.py, render/iso.py)
+need ~40 s row-banded. Frames the kernel cannot express (model
+matrices, render restrictions, shared-depth limits, closed surfaces,
+pole-straddling cameras, footprints beyond the brick buckets, non-TPU
+backends at large sizes) transparently fall back to the XLA marchers,
+so callers keep one entry point.
+
+Sample semantics per step match the reference's DVR/iso shaders; the
+quadrature is plane-anchored with per-ray step Δt = voxel_a/(q·|d_a|)
+(see ops/pallas/raymarch_kernel.py). ``voxel_step`` maps to the
+subsample count q so the sample density matches the fixed-dt marcher's
+(reference default 0.1 ⇒ q=10 along the principal axis).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from correrender_tpu.ops.pallas.common import on_tpu
+from correrender_tpu.ops.pallas.raymarch_kernel import (
+    RaymarchUnsupported,
+    dvr_raymarch,
+    iso_raymarch,
+    plan_raymarch,
+    prepare_raymarch_volume,
+    tf_hinges,
+)
+from correrender_tpu.render.camera import default_render_box
+
+#: Interpret-mode ceiling: the Pallas interpreter walks planes ×
+#: subtiles × substeps in Python — fine for test-sized frames, absurd
+#: for real ones.
+_INTERPRET_MAX_SAMPLES = 3_000_000
+
+
+class ExactPrepared:
+    """Per-(axis, flip, lane) resident marcher layouts of one volume.
+
+    The marcher's volume layout depends on the camera's principal
+    axis; an orbiting camera crosses axis boundaries, so up to six
+    variants can exist. Entries build lazily and persist (Scene's
+    prepared-layout LRU holds one of these per (field, time, member)).
+    """
+
+    def __init__(self, volume):
+        self.volume = volume
+        self._by_key: dict = {}
+
+    def get(self, axis_world: int, flip: bool, lane_axis: int):
+        key = (axis_world, flip, lane_axis)
+        if key not in self._by_key:
+            self._by_key[key] = prepare_raymarch_volume(
+                self.volume, axis_world, flip, lane_axis)
+        return self._by_key[key]
+
+
+def _q_from_voxel_step(plan, voxel_step: float, max_q: int = 16) -> int:
+    """Subsample count matching the fixed-dt marcher's density.
+
+    The reference steps ``voxel_step · min(voxel extent)`` in world
+    units (DvrRenderer.cpp:363-369); along the principal axis that is
+    ``voxel_a / q`` with q below.
+    """
+    voxel = plan["voxel"]
+    ga = abs(float(voxel[plan["axis_world"]]))
+    mn = float(np.min(np.abs(voxel)))
+    q = int(round(ga / max(voxel_step * mn, 1e-12)))
+    return max(1, min(q, max_q))
+
+
+def _kernel_viable(image_size, plan, q) -> bool:
+    if on_tpu():
+        return True
+    width, height = image_size
+    samples = width * height * (plan["planes"] + 1) * q
+    return samples <= _INTERPRET_MAX_SAMPLES
+
+
+def dvr_render_exact(
+    volume,
+    camera,
+    transfer_function,
+    image_size=(512, 512),
+    box=None,
+    voxel_step: float = 0.1,
+    attenuation: float = 100.0,
+    background=(0.0, 0.0, 0.0, 1.0),
+    restriction=None,
+    model_matrix=None,
+    nan_mode: str = "ignore",
+    depth_limit=None,
+    prepared: ExactPrepared | None = None,
+):
+    """Exact DVR frame; Pallas marcher with XLA fallback.
+
+    Same signature/result contract as render/dvr.py::dvr_render
+    (straight-alpha (H, W, 4)); ``prepared`` carries the resident
+    marcher layout across frames (camera orbits included).
+    """
+    from correrender_tpu.render.dvr import dvr_render
+
+    def fallback():
+        return dvr_render(
+            volume, camera, transfer_function, image_size=image_size,
+            box=box, voxel_step=voxel_step, attenuation=attenuation,
+            background=background, restriction=restriction,
+            model_matrix=model_matrix, nan_mode=nan_mode,
+            depth_limit=depth_limit)
+
+    if (restriction is not None or model_matrix is not None
+            or depth_limit is not None
+            or nan_mode not in ("ignore", "yellow")):
+        return fallback()
+    try:
+        plan = plan_raymarch(camera, volume.shape, image_size, box=box)
+        plan["q"] = _q_from_voxel_step(plan, voxel_step)
+        tf_hinges(transfer_function)  # raises if not hinge-able
+        if not _kernel_viable(image_size, plan, plan["q"]):
+            return fallback()
+        prep = prepared or ExactPrepared(volume)
+        vol_p = prep.get(plan["axis_world"], plan["flip"],
+                         plan["lane_axis"])
+        rgb_p, a = dvr_raymarch(
+            vol_p, camera, transfer_function, image_size, plan,
+            attenuation=attenuation, nan_mode=nan_mode)
+    except RaymarchUnsupported:
+        return fallback()
+    return _dvr_epilogue(rgb_p, a, jnp.asarray(background, jnp.float32))
+
+
+@jax.jit
+def _dvr_epilogue(rgb_p, a, bg):
+    """Background blend + un-premultiply (one dispatch — each eager
+    op costs a tunnel round trip on axon)."""
+    rgb_p = rgb_p + (1.0 - a)[..., None] * bg[3] * bg[:3]
+    a = a + (1.0 - a) * bg[3]
+    safe_a = jnp.maximum(a, 1e-6)
+    return jnp.concatenate(
+        [rgb_p / safe_a[..., None], a[..., None]], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("axis", "refine_steps", "intersection_mode",
+                     "return_depth"))
+def _refine_from_brackets(volume, origin, directions, box_min, box_max,
+                          iso_value, surface_color, background, found,
+                          t_hit, dt_scale, axis: int,
+                          refine_steps: int, intersection_mode: str,
+                          return_depth: bool):
+    from correrender_tpu.render.iso import _refine_and_shade_core
+
+    dt = dt_scale / jnp.maximum(jnp.abs(directions[..., axis]), 1e-12)
+    lo = jnp.where(found, t_hit - dt, 0.0)
+    hi = jnp.where(found, t_hit, 1.0)
+    return _refine_and_shade_core(
+        volume, origin, directions, box_min, box_max, iso_value,
+        surface_color, background, lo, hi, found,
+        jnp.zeros_like(found),
+        refine_steps=refine_steps,
+        intersection_mode=intersection_mode,
+        closed_surface=False,
+        return_depth=return_depth,
+    )
+
+
+def iso_render_exact(
+    volume,
+    camera,
+    iso_value: float,
+    surface_color=(0.9, 0.4, 0.2, 1.0),
+    image_size=(512, 512),
+    box=None,
+    voxel_step: float = 0.25,
+    background=(0.0, 0.0, 0.0, 1.0),
+    refine_steps: int = 8,
+    intersection_mode: str = "bisection",
+    model_matrix=None,
+    closed_surface: bool = False,
+    return_depth: bool = False,
+    prepared: ExactPrepared | None = None,
+):
+    """Exact isosurface frame; Pallas first-hit + shared XLA
+    refinement/shading tail (render/iso.py::_refine_and_shade_core —
+    ~16 samples per ray instead of ~1700)."""
+    from correrender_tpu.render.iso import iso_render
+
+    def fallback():
+        return iso_render(
+            volume, camera, iso_value, surface_color=surface_color,
+            image_size=image_size, box=box, voxel_step=voxel_step,
+            background=background, refine_steps=refine_steps,
+            intersection_mode=intersection_mode,
+            model_matrix=model_matrix, closed_surface=closed_surface,
+            return_depth=return_depth)
+
+    if model_matrix is not None or closed_surface:
+        return fallback()
+    try:
+        plan = plan_raymarch(camera, volume.shape, image_size, box=box)
+        plan["q"] = _q_from_voxel_step(plan, voxel_step)
+        if not _kernel_viable(image_size, plan, plan["q"]):
+            return fallback()
+        prep = prepared or ExactPrepared(volume)
+        vol_p = prep.get(plan["axis_world"], plan["flip"],
+                         plan["lane_axis"])
+        found, t_hit, _f_lo, _f_hi = iso_raymarch(
+            vol_p, camera, iso_value, image_size, plan)
+    except RaymarchUnsupported:
+        return fallback()
+
+    zs, ys, xs = volume.shape
+    if box is None:
+        box = default_render_box((zs, ys, xs))
+    width, height = image_size
+    origin, directions = camera.rays(width, height)
+    # Per-ray bracket: [t_hit − Δt, t_hit], Δt = voxel_a/(q·|d_a|).
+    a = plan["axis_world"]
+    ga = abs(float(plan["voxel"][a])) / plan["q"]
+    return _refine_from_brackets(
+        jnp.asarray(volume), origin, directions,
+        jnp.asarray(box[0], jnp.float32),
+        jnp.asarray(box[1], jnp.float32),
+        jnp.float32(iso_value),
+        jnp.asarray(surface_color, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+        found, t_hit, jnp.float32(ga), axis=a,
+        refine_steps=int(refine_steps),
+        intersection_mode=str(intersection_mode),
+        return_depth=bool(return_depth))

@@ -282,3 +282,93 @@ class TestPlan:
         cam2 = make_camera(pos=(0.0, 0.05, 0.62))
         plan2 = rk.plan_raymarch(cam2, (16, 16, 16), (64, 16), q=2)
         assert plan2["flip"] is True
+
+
+class TestExactRenderers:
+    """High-level exact paths (render/raymarch_exact.py)."""
+
+    def test_dvr_exact_matches_marcher(self):
+        from correrender_tpu.render.raymarch_exact import dvr_render_exact
+        from correrender_tpu.render.dvr import dvr_render
+
+        vol = make_volume(zs=16, ys=16, xs=16, seed=7)
+        cam = make_camera()
+        tf = make_tf(domain=(float(vol.min()), float(vol.max())))
+        size = (64, 32)
+        got = np.asarray(dvr_render_exact(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            voxel_step=0.0625, attenuation=60.0,
+            background=(0.1, 0.2, 0.3, 1.0)))
+        want = np.asarray(dvr_render(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            voxel_step=0.0625, attenuation=60.0,
+            background=(0.1, 0.2, 0.3, 1.0)))
+        assert got.shape == want.shape
+        assert np.abs(got - want).mean() < 0.004
+        assert np.abs(got - want).max() < 0.12
+
+    def test_dvr_exact_falls_back_on_restriction(self):
+        from correrender_tpu.render.raymarch_exact import dvr_render_exact
+        from correrender_tpu.render.dvr import dvr_render
+
+        vol = make_volume(zs=10, ys=10, xs=10)
+        cam = make_camera()
+        tf = make_tf(domain=(float(vol.min()), float(vol.max())))
+        size = (64, 16)
+        rest = ((0.0, 0.0, 0.0), 0.1, "Euclidean")
+        got = np.asarray(dvr_render_exact(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            restriction=rest))
+        want = np.asarray(dvr_render(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            restriction=rest))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_iso_exact_matches_marcher(self):
+        from correrender_tpu.render.raymarch_exact import iso_render_exact
+        from correrender_tpu.render.iso import iso_render
+
+        vol = make_volume(zs=16, ys=16, xs=16, seed=9)
+        cam = make_camera()
+        iso = float(np.quantile(vol, 0.6))
+        size = (64, 32)
+        got, gd = iso_render_exact(
+            jnp.asarray(vol), cam, iso, image_size=size,
+            voxel_step=0.25, return_depth=True)
+        want, wd = iso_render(
+            jnp.asarray(vol), cam, iso, image_size=size,
+            voxel_step=0.25, return_depth=True)
+        got, want = np.asarray(got), np.asarray(want)
+        gd, wd = np.asarray(gd), np.asarray(wd)
+        both = np.isfinite(gd) & np.isfinite(wd)
+        # Same surface where both marchers find it; the marchers may
+        # disagree on a handful of grazing/thin-feature pixels.
+        agree = (np.isfinite(gd) == np.isfinite(wd)).mean()
+        assert agree > 0.97, f"hit-mask agreement {agree}"
+        # Bulk of the surface lands on the same crossing; a small tail
+        # of pixels hits a different (thin-feature) crossing because
+        # the two marchers sample different abscissae.
+        dd = np.abs(gd[both] - wd[both])
+        assert np.quantile(dd, 0.98) < 0.02, np.quantile(dd, 0.98)
+        assert np.abs(got[both] - want[both]).mean() < 0.01
+
+    def test_exact_prepared_reuse(self):
+        from correrender_tpu.render.raymarch_exact import (
+            ExactPrepared,
+            dvr_render_exact,
+        )
+
+        vol = make_volume(zs=12, ys=12, xs=12)
+        tf = make_tf(domain=(float(vol.min()), float(vol.max())))
+        prep = ExactPrepared(jnp.asarray(vol))
+        size = (64, 16)
+        a = dvr_render_exact(jnp.asarray(vol), make_camera(), tf,
+                             image_size=size, voxel_step=0.5,
+                             prepared=prep)
+        b = dvr_render_exact(jnp.asarray(vol),
+                             make_camera(pos=(0.62, 0.05, 0.0)), tf,
+                             image_size=size, voxel_step=0.5,
+                             prepared=prep)
+        assert len(prep._by_key) == 2  # two principal-axis layouts
+        assert np.isfinite(np.asarray(a)).all()
+        assert np.isfinite(np.asarray(b)).all()
