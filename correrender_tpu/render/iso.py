@@ -308,6 +308,22 @@ def _refine_and_shade_core(
         )
         n = jnp.where(cap[..., None], face_n, n)
 
+    return shade_surface(n, directions, surface_color, background,
+                         found, t_surf, light_dir=light_dir,
+                         return_depth=return_depth)
+
+
+def shade_surface(n, directions, surface_color, background, found,
+                  t_surf, light_dir=None, return_depth=False):
+    """Blinn-Phong surface shading (reference Lighting.glsl defaults).
+
+    Shared by the XLA refinement tail above and the Pallas marcher's
+    in-kernel refinement (which emits world-space normals directly).
+    ``n``: (H, W, 3) surface normals (need not be normalized).
+    """
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                        1e-9)
+    h, w = directions.shape[:2]
     if light_dir is None:
         light = -directions  # headlight
     else:
@@ -318,7 +334,6 @@ def _refine_and_shade_core(
     n_facing = jnp.where(
         jnp.sum(n * view, axis=-1, keepdims=True) < 0, -n, n
     )
-    # Blinn-Phong (constants from the reference's Lighting.glsl defaults).
     ambient = 0.2
     diffuse = 0.7 * jnp.abs(jnp.sum(n_facing * light, axis=-1))
     half_v = (light + view) / jnp.maximum(

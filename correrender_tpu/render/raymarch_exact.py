@@ -205,6 +205,7 @@ def iso_render_exact(
 
     if model_matrix is not None or closed_surface:
         return fallback()
+    inkernel = intersection_mode == "bisection"
     try:
         plan = plan_raymarch(camera, volume.shape, image_size, box=box)
         plan["q"] = _q_from_voxel_step(plan, voxel_step)
@@ -213,8 +214,9 @@ def iso_render_exact(
         prep = prepared or ExactPrepared(volume)
         vol_p = prep.get(plan["axis_world"], plan["flip"],
                          plan["lane_axis"])
-        found, t_hit, _f_lo, _f_hi = iso_raymarch(
-            vol_p, camera, iso_value, image_size, plan)
+        out = iso_raymarch(
+            vol_p, camera, iso_value, image_size, plan,
+            refine_steps=int(refine_steps) if inkernel else 0)
     except RaymarchUnsupported:
         return fallback()
 
@@ -223,8 +225,28 @@ def iso_render_exact(
         box = default_render_box((zs, ys, xs))
     width, height = image_size
     origin, directions = camera.rays(width, height)
-    # Per-ray bracket: [t_hit − Δt, t_hit], Δt = voxel_a/(q·|d_a|).
     a = plan["axis_world"]
+    if inkernel:
+        # Refinement + gradients happened in-kernel: assemble the
+        # world normal from the (principal, sub, lane)-axis voxel
+        # gradients and shade (elementwise — no volume gathers).
+        found, t_surf, g_a, g_s, g_l = out
+        scale = np.zeros(3, np.float32)
+        scale[a] = (-1.0 if plan["flip"] else 1.0) / abs(
+            float(plan["voxel"][a]))
+        sub, lane = plan["sub_axis"], plan["lane_axis"]
+        sub_s = 1.0 / abs(float(plan["voxel"][sub]))
+        lane_s = 1.0 / abs(float(plan["voxel"][lane]))
+        return _shade_from_kernel(
+            found, t_surf, g_a, g_s, g_l, directions,
+            jnp.asarray(surface_color, jnp.float32),
+            jnp.asarray(background, jnp.float32),
+            jnp.float32(scale[a]), jnp.float32(sub_s),
+            jnp.float32(lane_s),
+            axis=a, sub_axis=sub, lane_axis=lane,
+            return_depth=bool(return_depth))
+    found, t_hit, _f_lo, _f_hi, _ = out
+    # Per-ray bracket: [t_hit − Δt, t_hit], Δt = voxel_a/(q·|d_a|).
     ga = abs(float(plan["voxel"][a])) / plan["q"]
     return _refine_from_brackets(
         jnp.asarray(volume), origin, directions,
@@ -237,3 +259,21 @@ def iso_render_exact(
         refine_steps=int(refine_steps),
         intersection_mode=str(intersection_mode),
         return_depth=bool(return_depth))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("axis", "sub_axis", "lane_axis", "return_depth"))
+def _shade_from_kernel(found, t_surf, g_a, g_s, g_l, directions,
+                       surface_color, background, a_scale, sub_s,
+                       lane_s, axis: int, sub_axis: int,
+                       lane_axis: int, return_depth: bool):
+    from correrender_tpu.render.iso import shade_surface
+
+    comps = [None, None, None]
+    comps[axis] = g_a * a_scale
+    comps[sub_axis] = g_s * sub_s
+    comps[lane_axis] = g_l * lane_s
+    n = jnp.stack(comps, axis=-1)
+    return shade_surface(n, directions, surface_color, background,
+                         found, t_surf, return_depth=return_depth)
