@@ -431,15 +431,32 @@ def cmd_state(args):
 
 
 def cmd_sampling(args):
-    from correrender_tpu.app.sampling_test import run_sampling_test_index
+    if getattr(args, "screened", False):
+        from correrender_tpu.app.sampling_test import (
+            _load_stack,
+            run_screened_sampling_tests,
+        )
 
-    rows = run_sampling_test_index(
-        args.test_index,
-        dataset=getattr(args, "dataset", None),
-        field=getattr(args, "field", None),
-        csv_path=args.output,
-        num_pairs=args.num_pairs, block=args.block,
-    )
+        stack = (None if not getattr(args, "dataset", None)
+                 else _load_stack(args.dataset,
+                                  getattr(args, "field", None)))
+        rows = run_screened_sampling_tests(
+            stack=stack, synthetic=stack is None,
+            num_pairs=max(args.num_pairs, 16), block=args.block,
+            csv_path=args.output,
+        )
+    else:
+        from correrender_tpu.app.sampling_test import (
+            run_sampling_test_index,
+        )
+
+        rows = run_sampling_test_index(
+            args.test_index,
+            dataset=getattr(args, "dataset", None),
+            field=getattr(args, "field", None),
+            csv_path=args.output,
+            num_pairs=args.num_pairs, block=args.block,
+        )
     for row in rows:
         print(row)
     print(f"wrote {args.output}")
@@ -788,6 +805,10 @@ def build_parser():
     sp.add_argument("--field", help="scalar field name (default: first)")
     sp.add_argument("--num-pairs", type=int, default=4)
     sp.add_argument("--block", type=int, default=8)
+    sp.add_argument("--screened", action="store_true",
+                    help="population-level screened-bayesian eval "
+                         "(HEB's screening pipeline vs full GP vs "
+                         "plastic at equal wall budget)")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_sampling)
 

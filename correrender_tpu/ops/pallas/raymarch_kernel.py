@@ -48,10 +48,13 @@ equal-density Riemann sums of the same integral (equality checked in
 tests/test_raymarch.py and on silicon in bench.py).
 
 The iso variant marches the same way, detecting the first sign change
-of ``f = scalar − iso`` between consecutive sub-steps and emitting the
-bracketing interval per ray; the caller refines (bisection / Marmitt /
-analytic-cubic — render/iso.py's existing solvers) and shades on the
-XLA side, which touches ~16 samples per ray instead of ~4000.
+of ``f = scalar − iso`` between consecutive sub-steps; the default
+bisection solver then refines the crossing and takes ±1-voxel
+central-difference gradients IN-KERNEL against the resident plane
+ring (XLA gathers measured ~0.01 G samples/s — seconds per frame),
+emitting (found, t_surf, ∇f) for a gather-free shading epilogue. The
+other solvers (Marmitt / analytic-cubic / linear — render/iso.py)
+receive the raw bracket and refine on the XLA side.
 
 Unsupported inputs (mixed principal-axis direction signs, footprints
 wider than the brick buckets, render restrictions, shared-depth
@@ -375,7 +378,9 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
     """DVR megatile kernel body. Grid = (num_megatiles,).
 
     ``kq`` = hinge count; knot positions/slopes/bases are traced (SMEM
-    ``tfp_ref``) so interactive TF edits do NOT recompile.
+    ``tfp_ref``) so interactive TF edits do NOT recompile. The
+    sub-step loop is a ``fori_loop`` (one traced body) — unrolling it
+    multiplied Mosaic compile time by q.
     """
 
     def kernel(par_ref,  # SMEM (1, 12) f32 scalars
@@ -462,11 +467,16 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                     u0i = pl.multiple_of(u0i, 8)
                     v0i = jnp.maximum(
                         jnp.floor(vlo).astype(jnp.int32) - 1, 0)
-                    rows_lo = slab[pl.ds(lo % 4, 1),
-                                   pl.ds(u0i, bu), :].reshape(bu, lp)
-                    rows_hi = slab[pl.ds(hi % 4, 1),
-                                   pl.ds(u0i, bu), :].reshape(bu, lp)
                     shift = (lp - v0i) % lp
+                    # Roll once, mix per sub-step (roll is linear).
+                    b_lo = pltpu.roll(
+                        slab[pl.ds(lo % 4, 1),
+                             pl.ds(u0i, bu), :].reshape(bu, lp),
+                        shift=shift, axis=1)[:, :bv]
+                    b_hi = pltpu.roll(
+                        slab[pl.ds(hi % 4, 1),
+                             pl.ds(u0i, bu), :].reshape(bu, lp),
+                        shift=shift, axis=1)[:, :bv]
                     u0f = u0i.astype(jnp.float32)
                     v0f = v0i.astype(jnp.float32)
 
@@ -477,17 +487,12 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                     t1 = t1_ref[pl.ds(j, 1)].reshape(8, 128)
                     dt = dt_unit * jnp.abs(invda)
 
-                    acc_r = out_ref[0, pl.ds(j, 1)].reshape(8, 128)
-                    acc_g = out_ref[1, pl.ds(j, 1)].reshape(8, 128)
-                    acc_b = out_ref[2, pl.ds(j, 1)].reshape(8, 128)
-                    a_cur = acc_a
-                    for s in range(q):
-                        wz = jnp.float32((s + 0.5) / q)
-                        brick = (
-                            (1.0 - wz) * rows_lo + wz * rows_hi)
-                        brick = pltpu.roll(
-                            brick, shift=shift, axis=1)[:, :bv]
-                        gamma = g0 + kf * gk + s * gs
+                    def substep(s, carry):
+                        acc_r, acc_g, acc_b, a_cur = carry
+                        sf = s.astype(jnp.float32)
+                        wz = (sf + 0.5) * jnp.float32(1.0 / q)
+                        brick = (1.0 - wz) * b_lo + wz * b_hi
+                        gamma = g0 + kf * gk + sf * gs
                         vals = []
                         for r in range(8):
                             ug = jnp.clip(
@@ -516,8 +521,7 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                             (val - vmin) * inv_vspan, 0.0, 1.0)
                         # Hinge TF: base + Σ slope·relu(u − knot) —
                         # the exact piecewise-linear control-point
-                        # function. relu terms are shared across the
-                        # 4 channels (same knot set).
+                        # function; relus shared across channels.
                         hinges = [jnp.maximum(u - tfp_ref[0, 1 + i],
                                               0.0)
                                   for i in range(kq)]
@@ -540,10 +544,17 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                             -tf_a * dt * atten))
                         alpha = jnp.where(active, alpha, 0.0)
                         w8 = (1.0 - a_cur) * alpha
-                        acc_r = acc_r + w8 * tf_r
-                        acc_g = acc_g + w8 * tf_g
-                        acc_b = acc_b + w8 * tf_b
-                        a_cur = a_cur + w8
+                        return (acc_r + w8 * tf_r,
+                                acc_g + w8 * tf_g,
+                                acc_b + w8 * tf_b,
+                                a_cur + w8)
+
+                    acc_r, acc_g, acc_b, a_cur = jax.lax.fori_loop(
+                        0, q, substep,
+                        (out_ref[0, pl.ds(j, 1)].reshape(8, 128),
+                         out_ref[1, pl.ds(j, 1)].reshape(8, 128),
+                         out_ref[2, pl.ds(j, 1)].reshape(8, 128),
+                         acc_a))
                     out_ref[0, pl.ds(j, 1)] = acc_r.reshape(1, 8, 128)
                     out_ref[1, pl.ds(j, 1)] = acc_g.reshape(1, 8, 128)
                     out_ref[2, pl.ds(j, 1)] = acc_b.reshape(1, 8, 128)
@@ -565,18 +576,24 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
 
     Outputs 5 channels: (found, t_surf, gA, gS, gL) when
     ``refine_steps > 0`` — the crossing is bisected to
-    ``gs/2^refine_steps`` and central-difference gradients (±grad_eps
-    voxels) are taken at the refined point, all against the
-    VMEM-resident plane ring (XLA-side refinement gathers measured
-    ~0.01 G samples/s — 1.7-3.3 s/frame at 1080p; in-kernel it rides
-    the same brick pipeline as the march). With ``refine_steps == 0``
-    channels 2-4 hold the raw bracket (f_prev, f_cur, 0) for the
-    XLA solvers (marmitt / analytic / linear).
+    ``gs/2^refine_steps`` and ±1-voxel central-difference gradients
+    are taken at the refined point, all against the VMEM-resident
+    plane ring (XLA-side refinement gathers measured ~0.01 G
+    samples/s — seconds per frame at 1080p; in-kernel it rides the
+    same brick pipeline as the march). With ``refine_steps == 0``
+    channels 2-4 hold the raw bracket (f_prev, f_cur, 0) for the XLA
+    solvers (marmitt / analytic / linear).
 
-    The plane ring holds SIX slots so planes kk-4..kk+1 stay resident:
-    bisection samples span slabs kk-1..kk and gradients reach ±grad_eps
-    voxels further; prefetch is issued after compute so no live plane
-    is overwritten.
+    The plane ring holds SIX slots and the wait runs one plane ahead
+    (iteration kk waits plane kk+1) so the refinement's 5-plane z-tent
+    {kk-3..kk+1} is resident; all loops (sub-steps, bisection,
+    gradient axes) are fori_loops so each traced body lowers once.
+
+    Mosaic compile of the refined kernel takes ~2-3 min per static
+    configuration on this host (the DVR kernel ~7 s); the persistent
+    XLA compile cache (utils/compile_cache.py, enabled by the CLI and
+    bench) makes it a one-time cost per (volume shape, image size,
+    axis, q) combination.
     """
 
     def kernel(par_ref, bnd_ref, kr_ref,
@@ -606,10 +623,7 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
         if planes > 1:
             dma(1, 1).start()
         # Plane 0 must be resident before iteration 0; thereafter the
-        # wait runs one plane AHEAD (iteration kk waits plane kk+1) so
-        # the ±1-voxel gradient stencil can read plane kk+1. The DMA
-        # it waits on was issued at the end of iteration kk-1 — the
-        # stall is a ~1 µs 384 KB copy against ~100 µs of compute.
+        # wait runs one plane AHEAD (iteration kk waits plane kk+1).
         dma(0, 0).wait()
         for ch in range(5):
             out_ref[ch] = jnp.zeros((ns, 8, 128), jnp.float32)
@@ -701,15 +715,12 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                                 rt * wu, axis=0, keepdims=True))
                         return jnp.concatenate(vals, axis=0)
 
-                    fnd = found
-                    t_hit = out_ref[1, pl.ds(j, 1)].reshape(8, 128)
-                    f_lo = out_ref[2, pl.ds(j, 1)].reshape(8, 128)
-                    f_hi = out_ref[3, pl.ds(j, 1)].reshape(8, 128)
-                    prev = prev_ref[pl.ds(j, 1)].reshape(8, 128)
-                    for s in range(q):
-                        wz = jnp.float32((s + 0.5) / q)
+                    def substep(s, carry):
+                        fnd, t_hit, f_lo, f_hi, prev = carry
+                        sf = s.astype(jnp.float32)
+                        wz = (sf + 0.5) * jnp.float32(1.0 / q)
                         brick = (1.0 - wz) * b_lo + wz * b_hi
-                        gamma = g0 + kf * gk + s * gs
+                        gamma = g0 + kf * gk + sf * gs
                         val = sample_tile(brick, gamma)
                         t = gamma * invda
                         active = ((t >= t0) & (t <= t1)
@@ -724,32 +735,39 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                         f_hi = jnp.where(crossing, f, f_hi)
                         fnd = jnp.where(crossing, 1.0, fnd)
                         prev = jnp.where(active, f, prev)
+                        return fnd, t_hit, f_lo, f_hi, prev
+
+                    fnd, t_hit, f_lo, f_hi, prev = jax.lax.fori_loop(
+                        0, q, substep,
+                        (found,
+                         out_ref[1, pl.ds(j, 1)].reshape(8, 128),
+                         out_ref[2, pl.ds(j, 1)].reshape(8, 128),
+                         out_ref[3, pl.ds(j, 1)].reshape(8, 128),
+                         prev_ref[pl.ds(j, 1)].reshape(8, 128)))
 
                     new_cross = (fnd > 0.5) & ~(found > 0.5)
 
                     if refine_steps > 0:
-                        # Per-ray refinement against the resident
-                        # plane ring: bricks for nominal planes
-                        # kk-3..kk (weight-0 z-tents neutralize the
-                        # clipped/mismatched edge cases).
-                        p_nom = [kk - 3, kk - 2, kk - 1, kk,
-                                 kk + 1]
-                        bricks = [brick_for(
-                            jnp.clip(pn, 0, planes - 1) % 6)
-                            for pn in p_nom]
-                        p_nomf = [pn.astype(jnp.float32)
-                                  for pn in p_nom]
+                        # 5-plane brick stack for the refinement: one
+                        # batched matmul per row covers nominal planes
+                        # kk-3..kk+1 (zero z-tent weight neutralizes
+                        # clipped/mismatched edges).
+                        stack = jnp.concatenate(
+                            [brick_for(jnp.clip(kk - 3 + i, 0,
+                                                planes - 1) % 6)
+                             for i in range(5)], axis=0)  # (5bu, bv)
+                        kf3 = (kk - 3).astype(jnp.float32)
 
                         def sample_ray(gamma_v, du, dv, dz):
                             """Trilinear at per-ray γ (+voxel offsets)
-                            via a 3-wide z-tent over the brick ring."""
+                            via a z-tent over the 5-brick stack."""
                             zg = jnp.clip(
                                 (gamma_v - g0p) * inv_ga + dz,
                                 0.0, float(planes - 1))
                             vals = []
                             for r in range(8):
                                 gr = gamma_v[r:r + 1, :]
-                                zr = zg[r:r + 1, :]
+                                zr = zg[r:r + 1, :] - kf3
                                 ug = jnp.clip(
                                     u0c + gr * su[r:r + 1, :] + du,
                                     0.0, u_max) - u0f
@@ -760,22 +778,26 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                                     1.0 - jnp.abs(vg - iov), 0.0)
                                 wu = jnp.maximum(
                                     1.0 - jnp.abs(ug - iou), 0.0)
+                                rt = jax.lax.dot_general(
+                                    stack, wv,
+                                    dimension_numbers=(
+                                        ((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=(
+                                        jax.lax.Precision.HIGHEST))
+                                # z-tent per plane × u-tent reduction,
+                                # static (bu, 128) slices of the
+                                # stacked matmul result.
                                 acc = jnp.zeros((1, 128), jnp.float32)
-                                for bi in range(5):
+                                for i5 in range(5):
                                     wzp = jnp.maximum(
-                                        1.0 - jnp.abs(zr - p_nomf[bi]),
+                                        1.0 - jnp.abs(
+                                            zr - jnp.float32(i5)),
                                         0.0)
-                                    rt = jax.lax.dot_general(
-                                        bricks[bi], wv,
-                                        dimension_numbers=(
-                                            ((1,), (0,)), ((), ())),
-                                        preferred_element_type=(
-                                            jnp.float32),
-                                        precision=(
-                                            jax.lax.Precision.HIGHEST))
-                                    bl = jnp.sum(rt * wu, axis=0,
-                                                 keepdims=True)
-                                    acc = acc + wzp * bl
+                                    part = jnp.sum(
+                                        rt[i5 * bu:(i5 + 1) * bu]
+                                        * wu, axis=0, keepdims=True)
+                                    acc = acc + wzp * part
                                 vals.append(acc)
                             return jnp.concatenate(vals, axis=0)
 
@@ -783,27 +805,46 @@ def _make_iso_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                             jnp.float32)) > 0.0)
                         def _():
                             da = 1.0 / invda
-                            gam_hi = t_hit * da
-                            gam_lo = gam_hi - gs
-                            fl = f_lo
-                            fh = f_hi
-                            for _i in range(refine_steps):
+                            gam_hi0 = t_hit * da
+                            zero = jnp.float32(0.0)
+
+                            def bisect(_i, st):
+                                gam_lo, gam_hi, fl, fh = st
                                 gm = 0.5 * (gam_lo + gam_hi)
-                                fm = sample_ray(gm, 0.0, 0.0,
-                                                0.0) - iso
+                                fm = sample_ray(gm, zero, zero,
+                                                zero) - iso
                                 same = (fm >= 0.0) == (fl >= 0.0)
-                                gam_lo = jnp.where(same, gm, gam_lo)
-                                fl = jnp.where(same, fm, fl)
-                                gam_hi = jnp.where(same, gam_hi, gm)
-                                fh = jnp.where(same, fh, fm)
+                                return (
+                                    jnp.where(same, gm, gam_lo),
+                                    jnp.where(same, gam_hi, gm),
+                                    jnp.where(same, fm, fl),
+                                    jnp.where(same, fh, fm))
+
+                            gam_lo, gam_hi, _fl, _fh = (
+                                jax.lax.fori_loop(
+                                    0, refine_steps, bisect,
+                                    (gam_hi0 - gs, gam_hi0,
+                                     f_lo, f_hi)))
                             g_star = 0.5 * (gam_lo + gam_hi)
                             e = jnp.float32(grad_eps)
-                            g_s = (sample_ray(g_star, e, 0.0, 0.0)
-                                   - sample_ray(g_star, -e, 0.0, 0.0))
-                            g_l = (sample_ray(g_star, 0.0, e, 0.0)
-                                   - sample_ray(g_star, 0.0, -e, 0.0))
-                            g_a = (sample_ray(g_star, 0.0, 0.0, e)
-                                   - sample_ray(g_star, 0.0, 0.0, -e))
+
+                            def grad_axis(i, acc):
+                                ga_, gs_, gl_ = acc
+                                du = jnp.where(i == 1, e, 0.0)
+                                dv = jnp.where(i == 2, e, 0.0)
+                                dz = jnp.where(i == 0, e, 0.0)
+                                diff = (
+                                    sample_ray(g_star, du, dv, dz)
+                                    - sample_ray(g_star, -du, -dv,
+                                                 -dz))
+                                ga_ = jnp.where(i == 0, diff, ga_)
+                                gs_ = jnp.where(i == 1, diff, gs_)
+                                gl_ = jnp.where(i == 2, diff, gl_)
+                                return ga_, gs_, gl_
+
+                            z8 = jnp.zeros((8, 128), jnp.float32)
+                            g_a, g_s, g_l = jax.lax.fori_loop(
+                                0, 3, grad_axis, (z8, z8, z8))
                             t_srf = g_star * invda
                             out_ref[1, pl.ds(j, 1)] = jnp.where(
                                 new_cross, t_srf,

@@ -172,3 +172,30 @@ def test_continuous_recompute_forces_frame_recompute():
     g1 = app.frame_png()
     assert app.frame_png() is g1  # cache behavior restored
     app.close()
+
+
+class TestScreenedSampling:
+    """Population-level screened-bayesian harness (VERDICT r4 #5)."""
+
+    def test_rows_and_metrics(self, tmp_path):
+        from correrender_tpu.app.sampling_test import (
+            run_screened_sampling_tests,
+        )
+
+        csvp = str(tmp_path / "screened.csv")
+        rows = run_screened_sampling_tests(
+            num_pairs=8, block=6, num_samples=24, num_init=8,
+            csv_path=csvp, synthetic=True, seed=1)
+        names = [r["method"] for r in rows]
+        assert names == ["bayesian_full", "bayesian_screened",
+                         "plastic_budget"]
+        for r in rows:
+            assert 0.0 <= r["error_quantile"] <= 1.0
+            assert np.isfinite(r["error_linear"])
+            assert r["time_us"] > 0
+        # plastic_budget got at least the screened pipeline's samples
+        assert rows[2]["budget_samples"] >= 24
+        import csv as _csv
+
+        with open(csvp) as f:
+            assert len(list(_csv.DictReader(f))) == 3
