@@ -523,6 +523,110 @@ def make_iso_bench():
     return measure, prep_delta, measure_exact_once
 
 
+def make_exact_raymarch_bench():
+    """Exact per-pixel ray-march frame costs at 1080p over 250³ —
+    the Pallas plane-order marchers (round 5; the XLA exact marchers
+    needed ~40 s row-banded). DVR at the reference's 0.1-voxel step
+    density (q=10), iso with in-kernel bisection + gradients at the
+    reference's default 0.25-voxel step (q=4)."""
+    from correrender_tpu.render import Camera, TransferFunction
+    from correrender_tpu.render.raymarch_exact import (
+        ExactPrepared,
+        dvr_render_exact,
+        iso_render_exact,
+    )
+
+    vol = jax.random.uniform(jax.random.key(2), (GRID, GRID, GRID))
+    cam = Camera(position=(0.05, 0.3, 0.85))
+    tf = TransferFunction.from_colormap(
+        "coolwarm", domain=(0.0, 1.0),
+        opacity_points=((0.0, 0.0), (1.0, 0.9)),
+    )
+    prep = ExactPrepared(vol)
+    size = (1920, 1080)
+    _sync(dvr_render_exact(vol, cam, tf, image_size=size,
+                           voxel_step=0.1, prepared=prep))  # compile
+    _sync(iso_render_exact(vol, cam, 0.6, image_size=size,
+                           voxel_step=0.25, prepared=prep))
+
+    def measure():
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _sync(dvr_render_exact(vol, cam, tf, image_size=size,
+                                   voxel_step=0.1, prepared=prep))
+        dvr_ms = (time.perf_counter() - t0) / reps * 1000.0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _sync(iso_render_exact(vol, cam, 0.6, image_size=size,
+                                   voxel_step=0.25, prepared=prep))
+        iso_ms = (time.perf_counter() - t0) / reps * 1000.0
+        return dvr_ms, iso_ms
+
+    return measure
+
+
+def bench_viewer_server_frame():
+    """Warm 1080p fast-path frame time INSIDE the viewer server
+    (VERDICT r4 weak #6): frame_png's own timing split separates the
+    engine from the HTTP/tunnel link — the r4 0.3 s hardware round
+    trips never said which side was slow."""
+    from correrender_tpu.app.state import Scene
+    from correrender_tpu.app.viewer import ViewerApp
+    from correrender_tpu.core import GridMetadata, VolumeData
+    from correrender_tpu.render import Camera
+
+    vol = jax.random.uniform(jax.random.key(2), (GRID, GRID, GRID))
+    vd = VolumeData(GridMetadata(xs=GRID, ys=GRID, zs=GRID, es=1))
+    vol_np = np.asarray(vol)
+    vd.add_field("data", lambda t, e: vol_np)
+    scene = Scene(vd, views=[Camera(position=(0.05, 0.3, 0.85))])
+    scene.add_renderer("dvr", field="data")
+    app = ViewerApp(scene, image_size=(1920, 1080), fast_dvr=True)
+    app.frame_png()  # compile + warm
+    totals, renders, encodes = [], [], []
+    for i in range(5):
+        # Nudge the camera so the frame cache can't serve a stale PNG.
+        app.api({"op": "orbit", "dtheta": 0.002})
+        app.frame_png()
+        t = app.last_frame_timing
+        totals.append(t["total_ms"])
+        renders.append(t["render_ms"])
+        encodes.append(t["encode_ms"])
+    app.close()
+    return {
+        "viewer_server_frame_ms": _summary(totals)["median"],
+        "viewer_server_render_ms": _summary(renders)["median"],
+        "viewer_server_encode_ms": _summary(encodes)["median"],
+    }
+
+
+def bench_screened_sampling():
+    """Screened-bayesian vs full-GP vs plastic-at-equal-budget on the
+    sampling harness (VERDICT r4 #5): the acceptance comparator for
+    keeping screening as the HEB serve default."""
+    from correrender_tpu.app.sampling_test import (
+        run_screened_sampling_tests,
+    )
+
+    rows = run_screened_sampling_tests(
+        num_pairs=32, block=8, num_samples=60, num_init=20,
+        synthetic=True, seed=0)
+    by = {r["method"]: r for r in rows}
+    return {
+        "bayes_full_error_quantile": by["bayesian_full"][
+            "error_quantile"],
+        "bayes_screened_error_quantile": by["bayesian_screened"][
+            "error_quantile"],
+        "bayes_plastic_budget_error_quantile": by["plastic_budget"][
+            "error_quantile"],
+        "bayes_plastic_budget_samples": by["plastic_budget"][
+            "budget_samples"],
+        "bayes_screened_us_per_pair": by["bayesian_screened"][
+            "time_us"],
+    }
+
+
 def pearson_roofline(med):
     """Reconcile the Pearson bandwidth story IN ONE SESSION
     (VERDICT r3 #2: ROUND3.md's 113.5 GB/s probe vs the ~200 GB/s the
@@ -810,6 +914,23 @@ def fast_vs_exact_ssim():
             ssim(iso_ss2_img[..., :3], iso_exact_img[..., :3]), 4
         ),
     }
+    # Pallas exact marchers vs the fixed-dt XLA marchers at matched
+    # step density (round 5): same integral, different quadrature
+    # abscissae — the agreement here is what justifies calling the
+    # kernel path "exact".
+    from correrender_tpu.render.raymarch_exact import (
+        dvr_render_exact,
+        iso_render_exact,
+    )
+
+    dvr_kernel_img = np.asarray(dvr_render_exact(
+        vol, cam, tf, image_size=size))
+    iso_kernel_img = np.asarray(iso_render_exact(
+        vol, cam, 0.55, image_size=size, background=(0, 0, 0, 1)))
+    rows["dvr_kernel_exact_vs_xla_exact"] = round(
+        ssim(dvr_kernel_img[..., :3], dvr_exact_img[..., :3]), 4)
+    rows["iso_kernel_exact_vs_xla_exact"] = round(
+        ssim(iso_kernel_img[..., :3], iso_exact_img[..., :3]), 4)
     # Same exact-marcher XLA program re-run on the host CPU backend —
     # a cross-DEVICE render check (the estimator audit in ROUND3.md
     # found XLA paths bit-identical TPU vs CPU; this row watches the
@@ -999,6 +1120,18 @@ def main():
     heb_bayes_parity = heb_bayes_parity_fn(bayes_chords)
     del heb_bayes, heb_bayes_parity_fn
 
+    exact_march = make_exact_raymarch_bench()
+    dvr_exact_samples, iso_exact_samples = [], []
+    for _ in range(3):
+        d_ms, i_ms = exact_march()
+        dvr_exact_samples.append(d_ms)
+        iso_exact_samples.append(i_ms)
+    del exact_march
+    dvr_exact_1080p_ms = _summary(dvr_exact_samples)["median"]
+    iso_exact_1080p_ms = _summary(iso_exact_samples)["median"]
+
+    screened = bench_screened_sampling()
+
     config4_frame_ms = bench_config4_frame_ms()
     host_profile = cpu_host_profile()
 
@@ -1107,6 +1240,12 @@ def main():
         "iso_exact_640x360_250c_frame_ms": (
             round(iso_exact_ms, 1) if iso_exact_ms is not None
             else "unavailable (worker crash/timeout)"),
+        # Round-5 Pallas exact marchers: per-pixel exact frames at
+        # FULL 1080p (the r4 XLA exact path needed ~40 s row-banded;
+        # the 640x360 XLA row above remains as the old-path yardstick).
+        "dvr_exact_1080p_250c_frame_ms": round(dvr_exact_1080p_ms, 1),
+        "iso_exact_1080p_250c_frame_ms": round(iso_exact_1080p_ms, 1),
+        **screened,
         "heb_512leaf_plastic_serve_ms": round(med["heb_serve_ms"], 1),
         # VERDICT r3 #5: warm bayesian serve (screened default) + the
         # parity row vs the full-GP serve.

@@ -695,3 +695,16 @@ class TestTfColorPoints:
         base, _ = server_url
         reply = _api(base, {"op": "tf_load", "xml": "<NotATF/>"})
         assert reply["ok"] is False
+
+
+def test_timing_op_reports_frame_split():
+    scene = make_scene()
+    from correrender_tpu.app.viewer import ViewerApp
+
+    app = ViewerApp(scene, image_size=(96, 72))
+    app.frame_png()
+    t = app.api({"op": "timing"})
+    assert t["ok"]
+    for k in ("render_ms", "overlay_ms", "encode_ms", "total_ms"):
+        assert t[k] >= 0.0
+    assert t["total_ms"] >= t["render_ms"]
