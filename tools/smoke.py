@@ -147,6 +147,27 @@ def main():
     step("dvr_warm_frame_ms", dvr_frame)
     step("iso_ss2_warm_frame_ms", iso_frame)
 
+    def dvr_exact_frame():
+        # Pallas plane-order exact marcher (round 5): DVR-kernel
+        # compile is ~7 s fresh; the refined iso kernel (~2-3 min) is
+        # deliberately excluded from the <3-min smoke budget.
+        from correrender_tpu.render.raymarch_exact import (
+            dvr_render_exact,
+        )
+
+        img = dvr_render_exact(vol, cam, tf, image_size=(640, 360),
+                               voxel_step=0.25)
+        s = sync(img)
+        t0 = time.time()
+        s += sync(dvr_render_exact(vol, cam, tf,
+                                   image_size=(640, 360),
+                                   voxel_step=0.25))
+        ms = (time.time() - t0) * 1000.0
+        assert np.isfinite(s)
+        return round(ms, 1)
+
+    step("dvr_exact_warm_frame_ms", dvr_exact_frame)
+
     # -- 4. tiny HEB request serve -----------------------------------
     def heb_serve():
         from correrender_tpu.diagrams.heb import HEBChart
