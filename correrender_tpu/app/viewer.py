@@ -1359,7 +1359,19 @@ def _make_handler(app: ViewerApp):
                     self._send(500, "application/json",
                                json.dumps({"error": str(e)}).encode())
                     return
-                self._send(200, "image/png", png)
+                # Server-side cost of THIS response (0.0 when the
+                # frame cache served) — a client subtracts it from
+                # its observed round trip to get the pure link share.
+                t = getattr(app, "last_frame_timing", None)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.send_header("Cache-Control", "no-store")
+                if t:
+                    self.send_header("X-Server-Frame-Ms",
+                                     str(t["total_ms"]))
+                self.end_headers()
+                self.wfile.write(png)
             elif url.path == "/diagram":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 kind = q.pop("kind", "heb")
