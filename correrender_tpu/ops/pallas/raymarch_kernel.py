@@ -374,7 +374,8 @@ def _ray_fields_core(inv_view, inv_proj, box_min, box_max, voxel_asl,
 
 
 def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
-                     lp: int, sp: int, kq: int, nan_mode: str):
+                     lp: int, sp: int, kq: int, nan_mode: str,
+                     has_dlim: bool = False):
     """DVR megatile kernel body. Grid = (num_megatiles,).
 
     ``kq`` = hinge count; knot positions/slopes/bases are traced (SMEM
@@ -390,9 +391,15 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                kr_ref,  # SMEM (ns, 2) i32 slab-index windows
                su_ref, sv_ref, invda_ref, t0_ref, t1_ref,  # VMEM (ns,8,128)
                dead_ref,  # VMEM (ns,8,128): 1 = ray misses the box
-               vol_hbm,  # ANY (planes, sp, lp)
-               out_ref,  # VMEM (4, ns, 8, 128)
-               slab, sem):  # scratch: (4, sp, lp) f32, DMA (4,)
+               *rest):  # [dlim_ref] vol_hbm out_ref slab sem
+        if has_dlim:
+            # Shared per-view depth buffer (world eye distances) —
+            # samples at or beyond it are skipped, the reference's
+            # depth-buffer clip (DvrShader.glsl depth test).
+            dlim_ref, vol_hbm, out_ref, slab, sem = rest
+        else:
+            dlim_ref = None
+            vol_hbm, out_ref, slab, sem = rest
         g0 = par_ref[0, 0]
         gk = par_ref[0, 1]
         gs = par_ref[0, 2]
@@ -485,6 +492,9 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                     invda = invda_ref[pl.ds(j, 1)].reshape(8, 128)
                     t0 = t0_ref[pl.ds(j, 1)].reshape(8, 128)
                     t1 = t1_ref[pl.ds(j, 1)].reshape(8, 128)
+                    if has_dlim:
+                        t1 = jnp.minimum(
+                            t1, dlim_ref[pl.ds(j, 1)].reshape(8, 128))
                     dt = dt_unit * jnp.abs(invda)
 
                     def substep(s, carry):
@@ -961,7 +971,7 @@ def _krange(gmin, gmax, g0, gk, planes):
 
 @functools.lru_cache(maxsize=32)
 def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
-              nan_mode, plan_key, interpret):
+              nan_mode, plan_key, interpret, has_dlim=False):
     """One jitted program per static configuration: ray setup, tile
     padding, the Pallas march, and the image epilogue all fuse into a
     single dispatch — the eager chain costs ~25 ms of tunnel RTT per
@@ -975,19 +985,29 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
     n_mega = tp // ns
 
     kernel = _make_dvr_kernel(ns, planes, bu, bv, q, lp, sp, kq,
-                              nan_mode)
+                              nan_mode, has_dlim=has_dlim)
 
     def core(vol_prepared, inv_view, inv_proj, box_min, box_max,
-             voxel_asl, params, tfp, bounds):
+             voxel_asl, params, tfp, bounds, *maybe_dlim):
         su, sv, invda, t0, t1, dead, gmin, gmax = _ray_fields_core(
             inv_view, inv_proj, box_min, box_max, voxel_asl,
             width, height, plan_key)
         krange = _krange(gmin, gmax, params[0, 0], params[0, 1],
                          planes)
-        (su, sv, invda, t0, t1, dead), bounds_p, krange, _ = \
-            _pad_tiles([(su, 0.0), (sv, 0.0), (invda, 1.0),
-                        (t0, 0.0), (t1, -1.0), (dead, 1.0)],
-                       bounds, krange, ns)
+        tile_arrs = [(su, 0.0), (sv, 0.0), (invda, 1.0),
+                     (t0, 0.0), (t1, -1.0), (dead, 1.0)]
+        if has_dlim:
+            dlim = maybe_dlim[0]
+            hp_, wp_ = round_up(height, 8), round_up(width, 128)
+            dlim = jnp.pad(
+                jnp.asarray(dlim, jnp.float32),
+                ((0, hp_ - height), (0, wp_ - width)),
+                constant_values=jnp.inf)
+            dlim = dlim.reshape(hp_ // 8, 8, wp_ // 128, 128)
+            dlim = dlim.transpose(0, 2, 1, 3).reshape(-1, 8, 128)
+            tile_arrs.append((dlim, jnp.inf))
+        (su, sv, invda, t0, t1, dead, *dl), bounds_p, krange, _ = \
+            _pad_tiles(tile_arrs, bounds, krange, ns)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((4, tp, 8, 128),
@@ -1008,6 +1028,8 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
                 pl.BlockSpec((ns, 8, 128), lambda i: (i, 0, 0)),
                 pl.BlockSpec((ns, 8, 128), lambda i: (i, 0, 0)),
                 pl.BlockSpec((ns, 8, 128), lambda i: (i, 0, 0)),
+            ] + ([pl.BlockSpec((ns, 8, 128), lambda i: (i, 0, 0))]
+                 if has_dlim else []) + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((4, ns, 8, 128),
@@ -1018,7 +1040,7 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
             ],
             interpret=interpret,
         )(params, tfp, bounds_p, krange,
-          su, sv, invda, t0, t1, dead, vol_prepared)
+          su, sv, invda, t0, t1, dead, *dl, vol_prepared)
         hp, wp = round_up(height, 8), round_up(width, 128)
         img = out[:, :tiles_h * tiles_w]
         img = img.reshape(4, hp // 8, wp // 128, 8, 128)
@@ -1045,8 +1067,14 @@ def _marcher_args(vol_prepared, camera, image_size, plan):
 
 def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
                  attenuation=100.0, nan_mode="ignore",
-                 ns: int = 64, interpret: bool | None = None):
-    """Run the DVR kernel. Returns premultiplied (rgb (H,W,3), a (H,W))."""
+                 ns: int = 64, interpret: bool | None = None,
+                 depth_limit=None):
+    """Run the DVR kernel. Returns premultiplied (rgb (H,W,3), a (H,W)).
+
+    ``depth_limit``: optional (H, W) world eye distances — the shared
+    per-view depth buffer; samples at or beyond it are skipped
+    (opaque geometry occludes the volume regardless of render order).
+    """
     if interpret is None:
         interpret = not on_tpu()
     width, height = image_size
@@ -1077,11 +1105,14 @@ def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
     plan_key = (plan["axis_world"], plan["lane_axis"],
                 plan["sub_axis"], plan["flip"])
     core = _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns,
-                     kq, str(nan_mode), plan_key, bool(interpret))
+                     kq, str(nan_mode), plan_key, bool(interpret),
+                     depth_limit is not None)
+    extra = (() if depth_limit is None
+             else (jnp.asarray(depth_limit, jnp.float32),))
     return core(vol_prepared, *_marcher_args(
         vol_prepared, camera, image_size, plan),
         jnp.asarray(params), jnp.asarray(tfp),
-        jnp.asarray(_subtile_bounds(plan)))
+        jnp.asarray(_subtile_bounds(plan)), *extra)
 
 
 @functools.lru_cache(maxsize=32)

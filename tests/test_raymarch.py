@@ -440,3 +440,29 @@ class TestExactRenderers:
         assert len(prep._by_key) == 2  # two principal-axis layouts
         assert np.isfinite(np.asarray(a)).all()
         assert np.isfinite(np.asarray(b)).all()
+
+
+class TestDepthLimit:
+    def test_dvr_exact_respects_depth_limit(self):
+        from correrender_tpu.render.raymarch_exact import dvr_render_exact
+        from correrender_tpu.render.dvr import dvr_render
+
+        vol = make_volume(zs=14, ys=14, xs=14, seed=11)
+        cam = make_camera()
+        tf = make_tf(domain=(float(vol.min()), float(vol.max())))
+        size = (64, 32)
+        # Opaque wall at a fixed eye distance across the lower half.
+        dlim = np.full((32, 64), np.inf, np.float32)
+        dlim[16:, :] = 0.55
+        got = np.asarray(dvr_render_exact(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            voxel_step=0.125, attenuation=60.0,
+            background=(0, 0, 0, 0), depth_limit=jnp.asarray(dlim)))
+        want = np.asarray(dvr_render(
+            jnp.asarray(vol), cam, tf, image_size=size,
+            voxel_step=0.125, attenuation=60.0,
+            background=(0, 0, 0, 0), depth_limit=jnp.asarray(dlim)))
+        # The limited half must accumulate less than the free half and
+        # agree with the fixed-dt marcher to quadrature tolerance.
+        assert got[16:, :, 3].mean() < got[:16, :, 3].mean()
+        assert np.abs(got[..., 3] - want[..., 3]).mean() < 0.01
