@@ -375,7 +375,8 @@ def _ray_fields_core(inv_view, inv_proj, box_min, box_max, voxel_asl,
 
 def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                      lp: int, sp: int, kq: int, nan_mode: str,
-                     has_dlim: bool = False):
+                     has_dlim: bool = False,
+                     restriction: str | None = None):
     """DVR megatile kernel body. Grid = (num_megatiles,).
 
     ``kq`` = hinge count; knot positions/slopes/bases are traced (SMEM
@@ -384,7 +385,7 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
     multiplied Mosaic compile time by q.
     """
 
-    def kernel(par_ref,  # SMEM (1, 12) f32 scalars
+    def kernel(par_ref,  # SMEM (1, 20) f32 scalars
                tfp_ref,  # SMEM (5, 1+kq): r0 = [pad, knots...];
                #            r1..r4 = [base_ch, slopes...]
                bnd_ref,  # SMEM (ns, 4) f32 subtile slope extrema
@@ -411,6 +412,15 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
         vmin = par_ref[0, 8]
         inv_vspan = par_ref[0, 9]
         dt_unit = par_ref[0, 10]  # voxel_a / q (world units)
+        if restriction is not None:
+            # Render-restriction ball: [γ_center, c_sub, c_lane
+            # (voxel coords), radius, voxel_sub, voxel_lane(world)].
+            r_gc = par_ref[0, 11]
+            r_cs = par_ref[0, 12]
+            r_cl = par_ref[0, 13]
+            r_rad = par_ref[0, 14]
+            vox_s = par_ref[0, 15]
+            vox_l = par_ref[0, 16]
 
         iou = jax.lax.broadcasted_iota(
             jnp.int32, (bu, 1), 0).astype(jnp.float32)
@@ -504,13 +514,12 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                         brick = (1.0 - wz) * b_lo + wz * b_hi
                         gamma = g0 + kf * gk + sf * gs
                         vals = []
+                        rmasks = []
                         for r in range(8):
-                            ug = jnp.clip(
-                                u0c + gamma * su[r:r + 1, :],
-                                0.0, u_max) - u0f
-                            vg = jnp.clip(
-                                v0c + gamma * sv[r:r + 1, :],
-                                0.0, v_max) - v0f
+                            raw_u = u0c + gamma * su[r:r + 1, :]
+                            raw_v = v0c + gamma * sv[r:r + 1, :]
+                            ug = jnp.clip(raw_u, 0.0, u_max) - u0f
+                            vg = jnp.clip(raw_v, 0.0, v_max) - v0f
                             wv = jnp.maximum(
                                 1.0 - jnp.abs(vg - iov), 0.0)
                             rt = jax.lax.dot_general(
@@ -523,9 +532,27 @@ def _make_dvr_kernel(ns: int, planes: int, bu: int, bv: int, q: int,
                                 1.0 - jnp.abs(ug - iou), 0.0)
                             vals.append(jnp.sum(
                                 rt * wu, axis=0, keepdims=True))
+                            if restriction is not None:
+                                # Per-sample ball test, world metric
+                                # (RenderRestriction.glsl semantics).
+                                d_a = jnp.abs(gamma - r_gc)
+                                d_s = jnp.abs(raw_u - r_cs) * vox_s
+                                d_l = jnp.abs(raw_v - r_cl) * vox_l
+                                if restriction == "chebyshev":
+                                    dist = jnp.maximum(
+                                        jnp.maximum(d_s, d_l), d_a)
+                                    rmasks.append(dist <= r_rad)
+                                else:
+                                    sq = (d_a * d_a + d_s * d_s
+                                          + d_l * d_l)
+                                    rmasks.append(
+                                        sq <= r_rad * r_rad)
                         val = jnp.concatenate(vals, axis=0)  # (8,128)
                         t = gamma * invda
                         active = (t >= t0) & (t <= t1)
+                        if restriction is not None:
+                            active = active & jnp.concatenate(
+                                rmasks, axis=0)
                         is_nan = val > _NAN_THRESH
                         u = jnp.clip(
                             (val - vmin) * inv_vspan, 0.0, 1.0)
@@ -971,7 +998,8 @@ def _krange(gmin, gmax, g0, gk, planes):
 
 @functools.lru_cache(maxsize=32)
 def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
-              nan_mode, plan_key, interpret, has_dlim=False):
+              nan_mode, plan_key, interpret, has_dlim=False,
+              restriction=None):
     """One jitted program per static configuration: ray setup, tile
     padding, the Pallas march, and the image epilogue all fuse into a
     single dispatch — the eager chain costs ~25 ms of tunnel RTT per
@@ -985,7 +1013,8 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
     n_mega = tp // ns
 
     kernel = _make_dvr_kernel(ns, planes, bu, bv, q, lp, sp, kq,
-                              nan_mode, has_dlim=has_dlim)
+                              nan_mode, has_dlim=has_dlim,
+                              restriction=restriction)
 
     def core(vol_prepared, inv_view, inv_proj, box_min, box_max,
              voxel_asl, params, tfp, bounds, *maybe_dlim):
@@ -1014,7 +1043,7 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
                                            jnp.float32),
             grid=(n_mega,),
             in_specs=[
-                pl.BlockSpec((1, 12), lambda i: (0, 0),
+                pl.BlockSpec((1, 20), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((5, 1 + kq), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -1068,12 +1097,18 @@ def _marcher_args(vol_prepared, camera, image_size, plan):
 def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
                  attenuation=100.0, nan_mode="ignore",
                  ns: int = 64, interpret: bool | None = None,
-                 depth_limit=None):
+                 depth_limit=None, restriction=None):
     """Run the DVR kernel. Returns premultiplied (rgb (H,W,3), a (H,W)).
 
     ``depth_limit``: optional (H, W) world eye distances — the shared
     per-view depth buffer; samples at or beyond it are skipped
     (opaque geometry occludes the volume regardless of render order).
+
+    ``restriction``: optional ``(center_xyz, radius, metric)`` render
+    restriction — per-sample ball test in world space, the semantics
+    of the reference's RenderRestriction.glsl. Center/radius are
+    traced (moving the reference point does not recompile); only the
+    metric is static.
     """
     if interpret is None:
         interpret = not on_tpu()
@@ -1088,14 +1123,37 @@ def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
     g0, gk, gs, u0c, v0c, _g0p = _common_params(plan, camera, q)
 
     vmin, vmax = float(tf.domain[0]), float(tf.domain[1])
+    rest_metric = None
+    rest_vals = [0.0] * 6
+    if restriction is not None:
+        center, radius, metric = restriction
+        rest_metric = ("chebyshev"
+                       if str(metric).lower() == "chebyshev"
+                       else "euclidean")
+        c = np.asarray(center, np.float64)
+        o = np.asarray(camera.position, np.float64)
+        a = plan["axis_world"]
+        sub, lane = plan["sub_axis"], plan["lane_axis"]
+        vox = plan["voxel"]
+        sgn = -1.0 if plan["flip"] else 1.0
+        # γ of the center plane; in-plane center in voxel coords
+        # (same frame as the per-ray raw_u/raw_v positions).
+        rest_vals = [
+            float((c[a] - o[a]) * sgn),
+            float((c[sub] - plan["box_min"][sub]) / vox[sub] - 0.5),
+            float((c[lane] - plan["box_min"][lane]) / vox[lane] - 0.5),
+            float(radius),
+            float(abs(vox[sub])),
+            float(abs(vox[lane])),
+        ]
     params = np.asarray([
         g0, gk, gs,
         plan["sub_extent"] - 1, plan["lane_extent"] - 1,
         u0c, v0c, float(attenuation), vmin,
         1.0 / max(vmax - vmin, 1e-30),
         abs(float(plan["voxel"][plan["axis_world"]])) / q,
-        0.0,
-    ], np.float32).reshape(1, 12)
+        *rest_vals, 0.0, 0.0, 0.0,
+    ], np.float32).reshape(1, 20)
     # (5, 1+kq): row 0 = [pad, knots...]; rows 1-4 = [base, slopes...].
     tfp = np.zeros((5, 1 + kq), np.float32)
     tfp[0, 1:] = knots_np
@@ -1106,7 +1164,7 @@ def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
                 plan["sub_axis"], plan["flip"])
     core = _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns,
                      kq, str(nan_mode), plan_key, bool(interpret),
-                     depth_limit is not None)
+                     depth_limit is not None, rest_metric)
     extra = (() if depth_limit is None
              else (jnp.asarray(depth_limit, jnp.float32),))
     return core(vol_prepared, *_marcher_args(
@@ -1143,7 +1201,7 @@ def _iso_core(width, height, planes, sp, lp, q, bu, bv, ns,
                                            jnp.float32),
             grid=(n_mega,),
             in_specs=[
-                pl.BlockSpec((1, 12), lambda i: (0, 0),
+                pl.BlockSpec((1, 20), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((ns, 4), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
@@ -1201,7 +1259,8 @@ def iso_raymarch(vol_prepared, camera, iso_value, image_size, plan,
         g0, gk, gs,
         plan["sub_extent"] - 1, plan["lane_extent"] - 1,
         u0c, v0c, float(iso_value), g0p, 1.0 / gk, 0.0, 0.0,
-    ], np.float32).reshape(1, 12)
+        0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    ], np.float32).reshape(1, 20)
     plan_key = (plan["axis_world"], plan["lane_axis"],
                 plan["sub_axis"], plan["flip"])
     core = _iso_core(width, height, planes, sp, lp, q, bu, bv, ns,

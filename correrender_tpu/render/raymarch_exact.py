@@ -5,10 +5,10 @@ paths: per-pixel rays, exact trilinear filtering, the configured
 intersection solver — at 1080p/250³ they run in ~0.2–0.4 s on a v5e
 chip where the fixed-dt XLA marchers (render/dvr.py, render/iso.py)
 need ~40 s row-banded. Frames the kernel cannot express (model
-matrices, render restrictions, closed surfaces, pole-straddling
-cameras, footprints beyond the brick buckets, non-TPU backends at
-large sizes) transparently fall back to the XLA marchers, so callers
-keep one entry point; shared-depth limits run in-kernel.
+matrices, closed surfaces, pole-straddling cameras, footprints beyond
+the brick buckets, non-TPU backends at large sizes) transparently
+fall back to the XLA marchers, so callers keep one entry point;
+shared-depth limits and render restrictions run in-kernel.
 
 Sample semantics per step match the reference's DVR/iso shaders; the
 quadrature is plane-anchored with per-ray step Δt = voxel_a/(q·|d_a|)
@@ -116,7 +116,7 @@ def dvr_render_exact(
             model_matrix=model_matrix, nan_mode=nan_mode,
             depth_limit=depth_limit)
 
-    if (restriction is not None or model_matrix is not None
+    if (model_matrix is not None
             or nan_mode not in ("ignore", "yellow")):
         return fallback()
     try:
@@ -131,7 +131,7 @@ def dvr_render_exact(
         rgb_p, a = dvr_raymarch(
             vol_p, camera, transfer_function, image_size, plan,
             attenuation=attenuation, nan_mode=nan_mode,
-            depth_limit=depth_limit)
+            depth_limit=depth_limit, restriction=restriction)
     except RaymarchUnsupported:
         return fallback()
     return _dvr_epilogue(rgb_p, a, jnp.asarray(background, jnp.float32))

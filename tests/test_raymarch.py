@@ -375,22 +375,31 @@ class TestExactRenderers:
         assert np.abs(got - want).mean() < 0.004
         assert np.abs(got - want).max() < 0.12
 
-    def test_dvr_exact_falls_back_on_restriction(self):
+    @pytest.mark.parametrize("metric", ["Euclidean", "Chebyshev"])
+    def test_dvr_exact_restriction_in_kernel(self, metric):
         from correrender_tpu.render.raymarch_exact import dvr_render_exact
         from correrender_tpu.render.dvr import dvr_render
 
-        vol = make_volume(zs=10, ys=10, xs=10)
+        vol = make_volume(zs=12, ys=12, xs=12, seed=4)
         cam = make_camera()
         tf = make_tf(domain=(float(vol.min()), float(vol.max())))
-        size = (64, 16)
-        rest = ((0.0, 0.0, 0.0), 0.1, "Euclidean")
+        size = (64, 32)
+        rest = ((0.02, -0.01, 0.0), 0.12, metric)
         got = np.asarray(dvr_render_exact(
             jnp.asarray(vol), cam, tf, image_size=size,
-            restriction=rest))
+            voxel_step=0.125, attenuation=60.0,
+            background=(0, 0, 0, 0), restriction=rest))
         want = np.asarray(dvr_render(
             jnp.asarray(vol), cam, tf, image_size=size,
-            restriction=rest))
-        np.testing.assert_allclose(got, want, atol=1e-6)
+            voxel_step=0.125, attenuation=60.0,
+            background=(0, 0, 0, 0), restriction=rest))
+        # The ball visibly restricts (most pixels empty) and the
+        # kernel agrees with the fixed-dt marcher to quadrature
+        # tolerance inside it.
+        assert (got[..., 3] > 0.01).mean() < 0.5
+        assert abs((got[..., 3] > 0.01).mean()
+                   - (want[..., 3] > 0.01).mean()) < 0.05
+        assert np.abs(got[..., 3] - want[..., 3]).mean() < 0.01
 
     def test_iso_exact_matches_marcher(self):
         from correrender_tpu.render.raymarch_exact import iso_render_exact
