@@ -475,3 +475,31 @@ class TestDepthLimit:
         # agree with the fixed-dt marcher to quadrature tolerance.
         assert got[16:, :, 3].mean() < got[:16, :, 3].mean()
         assert np.abs(got[..., 3] - want[..., 3]).mean() < 0.01
+
+
+class TestSceneExactIntegration:
+    def test_iso_plus_dvr_exact_scene_depth_clips(self):
+        """Mixed opaque iso + exact-quality DVR: the volume behind the
+        surface must not bleed through (the shared-depth clip now runs
+        in-kernel instead of forcing the XLA fallback)."""
+        from correrender_tpu.app.state import Scene
+        from correrender_tpu.core import GridMetadata, VolumeData
+        from correrender_tpu.render.camera import Camera
+
+        vol = make_volume(zs=14, ys=14, xs=14, seed=2)
+        vd = VolumeData(GridMetadata(xs=14, ys=14, zs=14, es=1))
+        vd.add_field("f", lambda t, e: vol)
+        cam = Camera(position=(0.0, 0.05, 0.62))
+        scene = Scene(vd, views=[cam])
+        iso = float(np.quantile(vol, 0.45))
+        scene.add_renderer("iso_ray", field="f", iso_value=iso)
+        scene.add_renderer("dvr", field="f", quality="exact")
+        img = np.asarray(scene.render_view(image_size=(64, 32)))
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0
+        # Volume-only for comparison: with the opaque surface present
+        # the composited frame must differ (occlusion happened).
+        scene2 = Scene(vd, views=[cam])
+        scene2.add_renderer("dvr", field="f", quality="exact")
+        img2 = np.asarray(scene2.render_view(image_size=(64, 32)))
+        assert np.abs(img - img2).max() > 0.05
