@@ -190,7 +190,8 @@ def tf_hinges(tf, max_knots: int = 24):
 
 
 def _corner_slopes(camera, width, height, axis_world, lane_axis_world,
-                   sub_axis_world, flip, voxel, tile_h=8, tile_w=128):
+                   sub_axis_world, flip, voxel, m_rot=None,
+                   tile_h=8, tile_w=128):
     """Per-subtile slope extrema from tile-corner rays.
 
     ``d_u/d_a`` over a pixel rectangle is a Möbius function of each
@@ -203,6 +204,8 @@ def _corner_slopes(camera, width, height, axis_world, lane_axis_world,
 
     e0, ex, ey = (np.asarray(v, np.float64)
                   for v in ray_dirs_affine(camera, width, height))
+    if m_rot is not None:
+        e0, ex, ey = (m_rot @ e0, m_rot @ ex, m_rot @ ey)
     hp, wp = round_up(height, tile_h), round_up(width, tile_w)
     # Clamp corner coordinates to the real image: padded-region rays
     # are masked inactive in the kernel, and their extrapolated
@@ -232,7 +235,7 @@ def _corner_slopes(camera, width, height, axis_world, lane_axis_world,
 
 
 def plan_raymarch(camera, volume_shape, image_size, box=None, q=4,
-                  max_bu=128, max_bv=256):
+                  max_bu=128, max_bv=256, model_matrix=None):
     """Static plan: axis selection, brick sizes, subtile bounds.
 
     Raises :class:`RaymarchUnsupported` when the frame needs a brick
@@ -248,8 +251,18 @@ def plan_raymarch(camera, volume_shape, image_size, box=None, q=4,
     dims_world = {0: xs, 1: ys, 2: zs}
     voxel = (box_max - box_min) / np.asarray([xs, ys, zs], np.float64)
 
-    a = principal_axis(camera)
-    forward = _forward(camera)
+    # Optional model transform: rays are pulled into model space with
+    # its inverse (render/dvr.py's model_matrix semantics) — the plan,
+    # the per-ray fields, and the march all live in model space.
+    if model_matrix is not None:
+        minv = np.linalg.inv(
+            np.asarray(model_matrix, np.float64).reshape(4, 4))
+        m_rot, m_trans = minv[:3, :3], minv[:3, 3]
+    else:
+        m_rot, m_trans = np.eye(3), np.zeros(3)
+    forward = m_rot @ _forward(camera)
+    forward = forward / np.linalg.norm(forward)
+    a = int(np.argmax(np.abs(forward)))
     flip = bool(forward[a] < 0)
     in_plane = [w for w in range(3) if w != a]
     width, height = image_size
@@ -260,12 +273,14 @@ def plan_raymarch(camera, volume_shape, image_size, box=None, q=4,
         try:
             sumin, sumax, svmin, svmax = _corner_slopes(
                 camera, width, height, a, lane_axis, sub_axis, flip,
-                voxel)
+                voxel, m_rot)
         except RaymarchUnsupported:
             raise
         # γ extremes over the box (world dist along axis a from eye to
         # nearest/farthest plane).
-        o_a = float(np.asarray(camera.position, np.float64)[a])
+        o_model = (m_rot @ np.asarray(camera.position, np.float64)
+                   + m_trans)
+        o_a = float(o_model[a])
         g_ends = np.asarray(
             [box_min[a] - o_a, box_max[a] - o_a], np.float64)
         if flip:
@@ -310,6 +325,8 @@ def plan_raymarch(camera, volume_shape, image_size, box=None, q=4,
         "planes": dims_world[a],
         "sub_extent": dims_world[sub_axis],
         "lane_extent": dims_world[lane_axis],
+        "m_rot": m_rot,
+        "m_trans": m_trans,
     }
 
 
@@ -318,6 +335,7 @@ def plan_raymarch(camera, volume_shape, image_size, box=None, q=4,
 
 
 def _ray_fields_core(inv_view, inv_proj, box_min, box_max, voxel_asl,
+                     m_rot, m_trans,
                      width: int, height: int, plan_key):
     """Per-ray (T, 8, 128) arrays: SU, SV, inv_da, t_start, t_far.
 
@@ -330,6 +348,12 @@ def _ray_fields_core(inv_view, inv_proj, box_min, box_max, voxel_asl,
 
     axis_world, lane_axis, sub_axis, flip = plan_key
     origin, dirs = _rays_core(inv_view, inv_proj, width, height)
+    # Model transform (identity by default): HIGHEST precision — the
+    # TPU bf16 matmul default visibly shifts rays (see dvr_render).
+    origin = jnp.einsum("ij,j->i", m_rot, origin,
+                        precision=jax.lax.Precision.HIGHEST) + m_trans
+    dirs = jnp.einsum("ij,...j->...i", m_rot, dirs,
+                      precision=jax.lax.Precision.HIGHEST)
     t_near, t_far, hit = ray_box_intersect(origin, dirs, box_min, box_max)
     t_start = jnp.maximum(t_near, 0.0)
     t_far = jnp.where(hit, t_far, t_start - 1.0)  # miss: empty range
@@ -941,7 +965,8 @@ def _common_params(plan, camera, q):
     """
     a = plan["axis_world"]
     voxel = plan["voxel"]
-    o = np.asarray(camera.position, np.float64)
+    o = (plan["m_rot"] @ np.asarray(camera.position, np.float64)
+         + plan["m_trans"])
     box_min, box_max = plan["box_min"], plan["box_max"]
     ga = float(abs(voxel[a]))
     if plan["flip"]:
@@ -1017,10 +1042,11 @@ def _dvr_core(width, height, planes, sp, lp, q, bu, bv, ns, kq,
                               restriction=restriction)
 
     def core(vol_prepared, inv_view, inv_proj, box_min, box_max,
-             voxel_asl, params, tfp, bounds, *maybe_dlim):
+             voxel_asl, m_rot, m_trans, params, tfp, bounds,
+             *maybe_dlim):
         su, sv, invda, t0, t1, dead, gmin, gmax = _ray_fields_core(
             inv_view, inv_proj, box_min, box_max, voxel_asl,
-            width, height, plan_key)
+            m_rot, m_trans, width, height, plan_key)
         krange = _krange(gmin, gmax, params[0, 0], params[0, 1],
                          planes)
         tile_arrs = [(su, 0.0), (sv, 0.0), (invda, 1.0),
@@ -1091,6 +1117,8 @@ def _marcher_args(vol_prepared, camera, image_size, plan):
         jnp.asarray([plan["voxel"][plan["axis_world"]],
                      plan["voxel"][plan["sub_axis"]],
                      plan["voxel"][plan["lane_axis"]]], jnp.float32),
+        jnp.asarray(plan["m_rot"], jnp.float32),
+        jnp.asarray(plan["m_trans"], jnp.float32),
     )
 
 
@@ -1131,7 +1159,8 @@ def dvr_raymarch(vol_prepared, camera, tf, image_size, plan,
                        if str(metric).lower() == "chebyshev"
                        else "euclidean")
         c = np.asarray(center, np.float64)
-        o = np.asarray(camera.position, np.float64)
+        o = (plan["m_rot"] @ np.asarray(camera.position, np.float64)
+             + plan["m_trans"])
         a = plan["axis_world"]
         sub, lane = plan["sub_axis"], plan["lane_axis"]
         vox = plan["voxel"]
@@ -1185,10 +1214,10 @@ def _iso_core(width, height, planes, sp, lp, q, bu, bv, ns,
                               refine_steps=refine_steps)
 
     def core(vol_prepared, inv_view, inv_proj, box_min, box_max,
-             voxel_asl, params, bounds):
+             voxel_asl, m_rot, m_trans, params, bounds):
         su, sv, invda, t0, t1, dead, gmin, gmax = _ray_fields_core(
             inv_view, inv_proj, box_min, box_max, voxel_asl,
-            width, height, plan_key)
+            m_rot, m_trans, width, height, plan_key)
         krange = _krange(gmin, gmax, params[0, 0], params[0, 1],
                          planes)
         (su, sv, invda, t0, t1, dead), bounds_p, krange, _ = \

@@ -4,11 +4,11 @@
 paths: per-pixel rays, exact trilinear filtering, the configured
 intersection solver — at 1080p/250³ they run in ~0.2–0.4 s on a v5e
 chip where the fixed-dt XLA marchers (render/dvr.py, render/iso.py)
-need ~40 s row-banded. Frames the kernel cannot express (model
-matrices, closed surfaces, pole-straddling cameras, footprints beyond
-the brick buckets, non-TPU backends at large sizes) transparently
-fall back to the XLA marchers, so callers keep one entry point;
-shared-depth limits and render restrictions run in-kernel.
+need ~40 s row-banded. Frames the kernel cannot express (closed surfaces, pole-straddling
+cameras, footprints beyond the brick buckets, non-TPU backends at
+large sizes) transparently fall back to the XLA marchers, so callers
+keep one entry point; shared-depth limits, render restrictions, and
+model matrices run in-kernel/model-space.
 
 Sample semantics per step match the reference's DVR/iso shaders; the
 quadrature is plane-anchored with per-ray step Δt = voxel_a/(q·|d_a|)
@@ -116,11 +116,11 @@ def dvr_render_exact(
             model_matrix=model_matrix, nan_mode=nan_mode,
             depth_limit=depth_limit)
 
-    if (model_matrix is not None
-            or nan_mode not in ("ignore", "yellow")):
+    if nan_mode not in ("ignore", "yellow"):
         return fallback()
     try:
-        plan = plan_raymarch(camera, volume.shape, image_size, box=box)
+        plan = plan_raymarch(camera, volume.shape, image_size, box=box,
+                             model_matrix=model_matrix)
         plan["q"] = _q_from_voxel_step(plan, voxel_step)
         tf_hinges(transfer_function)  # raises if not hinge-able
         if not _kernel_viable(image_size, plan, plan["q"]):
@@ -203,11 +203,12 @@ def iso_render_exact(
             model_matrix=model_matrix, closed_surface=closed_surface,
             return_depth=return_depth)
 
-    if model_matrix is not None or closed_surface:
+    if closed_surface:
         return fallback()
     inkernel = intersection_mode == "bisection"
     try:
-        plan = plan_raymarch(camera, volume.shape, image_size, box=box)
+        plan = plan_raymarch(camera, volume.shape, image_size, box=box,
+                             model_matrix=model_matrix)
         plan["q"] = _q_from_voxel_step(plan, voxel_step)
         if not _kernel_viable(image_size, plan, plan["q"]):
             return fallback()
@@ -225,6 +226,15 @@ def iso_render_exact(
         box = default_render_box((zs, ys, xs))
     width, height = image_size
     origin, directions = camera.rays(width, height)
+    if model_matrix is not None:
+        rot = jnp.asarray(plan["m_rot"], jnp.float32)
+        trans = jnp.asarray(plan["m_trans"], jnp.float32)
+        origin = jnp.einsum(
+            "ij,j->i", rot, origin,
+            precision=jax.lax.Precision.HIGHEST) + trans
+        directions = jnp.einsum(
+            "ij,...j->...i", rot, directions,
+            precision=jax.lax.Precision.HIGHEST)
     a = plan["axis_world"]
     if inkernel:
         # Refinement + gradients happened in-kernel: assemble the
