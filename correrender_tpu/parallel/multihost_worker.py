@@ -197,7 +197,9 @@ def main(argv=None) -> int:
         if args.out:
             with open(args.out, "w") as f:
                 f.write(text + "\n")
-    loader.close()
+    close = getattr(loader, "close", None)
+    if close is not None:
+        close()
     jax.distributed.shutdown()
     return 0 if (pid != 0 or result["ok"]) else 1
 

@@ -92,3 +92,22 @@ def test_real_multiprocess_end_to_end(tmp_path):
     assert result["num_processes"] == 2
     assert result["reshard_max_delta"] == 0.0
     assert result["pearson_max_delta_vs_f64"] < 1e-5
+
+
+@pytest.mark.skipif(
+    os.environ.get("CORRERENDER_MULTIHOST") != "1",
+    reason="opt-in: spawns 2 OS processes with a gRPC coordinator "
+           "(set CORRERENDER_MULTIHOST=1)")
+def test_real_multiprocess_zarr_store(tmp_path):
+    """Per-host member loading from a Zarr store (the other half of
+    SCALING.md's 'NetCDF/Zarr' input-pipeline claim)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.multihost_run import run
+
+    result = run(processes=2, local_devices=2, space=2,
+                 out=str(tmp_path / "mh.json"),
+                 zs=16, ys=24, xs=24, members_data=8,
+                 store_suffix=".zarr")
+    assert result["ok"]
+    assert result["store"] == "zarr"

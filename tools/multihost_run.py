@@ -35,29 +35,34 @@ def _free_port() -> int:
 
 
 def make_dataset(path: str, zs=32, ys=48, xs=48, members=16) -> str:
-    """Synthetic NetCDF ensemble for the simulation."""
+    """Synthetic NetCDF or Zarr ensemble for the simulation (chosen
+    by the path suffix — both stores support per-member reads, the
+    property the per-host input pipeline relies on)."""
     sys.path.insert(0, REPO)
     from correrender_tpu.io import writers
     from correrender_tpu.utils import fixtures
 
     data = fixtures.synth_box_ensemble(
         xs=xs, ys=ys, zs=zs, members=members)
-    writers.write_netcdf(path, data[:, None])  # (E, T, Z, Y, X)
+    if path.endswith(".zarr"):
+        writers.write_zarr(path, data[:, None])  # (E, T, Z, Y, X)
+    else:
+        writers.write_netcdf(path, data[:, None])
     return path
 
 
 def run(processes=2, local_devices=4, space=2, dataset=None,
         out=None, zs=32, ys=48, xs=48, members_data=16,
-        timeout=900) -> dict:
+        timeout=900, store_suffix=".nc") -> dict:
     members_axis = processes * local_devices // space
     if space * members_axis != processes * local_devices:
         raise SystemExit("space must divide processes*local_devices")
     tmp = None
     if dataset is None:
         tmp = tempfile.mkdtemp(prefix="mh_")
-        dataset = make_dataset(os.path.join(tmp, "ens.nc"),
-                               zs=zs, ys=ys, xs=xs,
-                               members=members_data)
+        dataset = make_dataset(
+            os.path.join(tmp, "ens" + store_suffix),
+            zs=zs, ys=ys, xs=xs, members=members_data)
     port = _free_port()
     out_path = out or os.path.join(tmp or tempfile.gettempdir(),
                                    "multihost.json")
