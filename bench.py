@@ -120,26 +120,41 @@ def make_pearson_bench():
         for c in range(num_chunks)
     ]
 
-    def run(a, b):
+    from correrender_tpu.ops.pallas.moments_kernel import chunk_moments
+
+    @jax.jit
+    def accumulate_onepass(chunk, ref_chunk, acc):
+        # One-pass Pallas moment kernel (round 5): the XLA formulation
+        # above reads the chunk once per reduction — the source of the
+        # r4 roofline's ~1/3-of-pure-read effective bandwidth.
+        s_y, s_yy, s_xy = acc
+        d_y, d_yy, d_xy = chunk_moments(chunk, ref_chunk)
+        return s_y + d_y, s_yy + d_yy, s_xy + d_xy
+
+    def run(a, b, acc_fn=accumulate):
         acc = (zero, zero, zero)
         t0 = time.perf_counter()
         for c in range(num_chunks):
-            acc = accumulate(a if c % 2 == 0 else b, ref_chunks[c], acc)
+            acc = acc_fn(a if c % 2 == 0 else b, ref_chunks[c], acc)
         field = assemble(acc, ref_full)
         _sync(field)  # single end-of-stream drain
         return nvox / (time.perf_counter() - t0)
 
     # Warm up both dtype variants' compiles outside the timed reps.
     for a, b in ((chunk_a, chunk_b), (chunk_ab, chunk_bb)):
-        acc_w = accumulate(a, ref_chunks[0], (zero, zero, zero))
-        _sync(assemble(acc_w, ref_full))
-        del acc_w
+        for fn in (accumulate, accumulate_onepass):
+            acc_w = fn(a, ref_chunks[0], (zero, zero, zero))
+            _sync(assemble(acc_w, ref_full))
+            del acc_w
 
     def measure():
         # fp32 chunks, then bf16 member staging (the catalog's
         # float16 format_cast → bf16 path): halves the HBM-bound
-        # chunk reads; the accumulator stays f32.
-        return run(chunk_a, chunk_b), run(chunk_ab, chunk_bb)
+        # chunk reads; the accumulator stays f32. The one-pass Pallas
+        # accumulator runs interleaved as a third variant.
+        return (run(chunk_a, chunk_b), run(chunk_ab, chunk_bb),
+                run(chunk_a, chunk_b, accumulate_onepass),
+                run(chunk_ab, chunk_bb, accumulate_onepass))
 
     return measure
 
@@ -1078,9 +1093,11 @@ def main():
         add("cpu_pearson_vox_s", cpu_baseline_vox_per_s(threads=1))
         add("cpu_pearson_vox_s_all_t",
             cpu_baseline_vox_per_s(threads=0))
-        p, pb = pearson()
+        p, pb, po, pbo = pearson()
         add("pearson_vox_s", p)
         add("pearson_bf16_vox_s", pb)
+        add("pearson_onepass_vox_s", po)
+        add("pearson_bf16_onepass_vox_s", pbo)
     del pearson  # frees the resident member chunks
 
     mi48 = make_mi48_bench()
@@ -1192,6 +1209,15 @@ def main():
         **host_profile,
         "pearson_bf16_staged_gvoxel_s": round(
             med["pearson_bf16_vox_s"] / 1e9, 6
+        ),
+        # One-pass Pallas moment accumulator (round 5): same streamed
+        # semantics, chunk read once TOTAL instead of once per
+        # reduction — the r4 roofline headroom candidate.
+        "pearson_onepass_gvoxel_s": round(
+            med["pearson_onepass_vox_s"] / 1e9, 6
+        ),
+        "pearson_bf16_onepass_gvoxel_s": round(
+            med["pearson_bf16_onepass_vox_s"] / 1e9, 6
         ),
         "mi_ksg_voxel_s_48c_1000m": round(med["mi48_vox_s"], 1),
         "mi_vs_baseline": round(

@@ -420,3 +420,32 @@ class TestKsgTiedData:
         )
         np.testing.assert_allclose(exact, want, atol=2e-4)
         np.testing.assert_allclose(banded, want, atol=2e-4)
+
+
+class TestChunkMoments:
+    """One-pass streaming moment kernel vs the XLA formulation."""
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_xla_accumulate(self, dtype):
+        from correrender_tpu.ops.pallas.moments_kernel import (
+            chunk_moments,
+        )
+
+        rng = np.random.default_rng(0)
+        chunk = jnp.asarray(
+            rng.normal(size=(10, 6, 7, 9)).astype(np.float32)
+        ).astype(dtype)
+        ref = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+        s_y, s_yy, s_xy = chunk_moments(chunk, ref, tile_v=128,
+                                        interpret=True)
+        c32 = chunk.astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(s_y), np.asarray(jnp.sum(c32, axis=0)),
+            rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(s_yy), np.asarray(jnp.sum(c32 * c32, axis=0)),
+            rtol=2e-6, atol=2e-6)
+        want_xy = np.einsum(
+            "ezyx,e->zyx", np.asarray(c32), np.asarray(ref))
+        np.testing.assert_allclose(np.asarray(s_xy), want_xy,
+                                   rtol=2e-5, atol=2e-5)
