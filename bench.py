@@ -1148,6 +1148,7 @@ def main():
     iso_exact_1080p_ms = _summary(iso_exact_samples)["median"]
 
     screened = bench_screened_sampling()
+    viewer_stats = bench_viewer_server_frame()
 
     config4_frame_ms = bench_config4_frame_ms()
     host_profile = cpu_host_profile()
@@ -1272,6 +1273,7 @@ def main():
         "dvr_exact_1080p_250c_frame_ms": round(dvr_exact_1080p_ms, 1),
         "iso_exact_1080p_250c_frame_ms": round(iso_exact_1080p_ms, 1),
         **screened,
+        **viewer_stats,
         "heb_512leaf_plastic_serve_ms": round(med["heb_serve_ms"], 1),
         # VERDICT r3 #5: warm bayesian serve (screened default) + the
         # parity row vs the full-GP serve.
