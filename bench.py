@@ -59,38 +59,61 @@ def make_pearson_bench():
     Setup (chunk generation, compiles) happens once; the returned
     ``measure()`` runs one timed rep and can be called repeatedly,
     interleaved with the CPU denominator (VERDICT r2 #3).
+
+    All variants stream the SAME resident flat (E_pad, V_pad) member
+    chunks (zero-padded member rows + zero ref entries leave the three
+    sums untouched):
+
+    * one-pass Pallas moment kernel (the round-5 headline path — the
+      chunk crosses HBM once TOTAL; A/B'd at 490 GB/s effective);
+    * the prior XLA formulation (reads the chunk once per reduction —
+      measured 216 GB/s effective), kept as the A/B reference row;
+    * each in fp32 and bf16-staged (catalog format_cast) form.
     """
+    from correrender_tpu.ops.pallas.common import round_up
+    from correrender_tpu.ops.pallas.moments_kernel import (
+        chunk_moments_flat,
+    )
+
     nvox = GRID**3
+    TILE_V = 65536
+    vp = round_up(nvox, TILE_V)
+    e_pad = round_up(MEMBER_CHUNK, 8)
     ref_full = jax.random.normal(jax.random.key(7), (MEMBERS,), jnp.float32)
 
     @jax.jit
-    def gen_chunk(key):
-        # Member-major: one (GRID³) slab per member — the layout the
-        # loaders produce and the Pallas moment kernel consumes.
-        return jax.random.normal(
-            key, (MEMBER_CHUNK, GRID, GRID, GRID), jnp.float32
-        )
+    def gen_flat(key):
+        # Member-major flat: one contiguous (V_pad,) row per member —
+        # the layout the loaders produce once flattened.
+        c = jax.random.normal(
+            key, (MEMBER_CHUNK, GRID, GRID, GRID), jnp.float32)
+        return jnp.pad(
+            c.reshape(MEMBER_CHUNK, nvox),
+            ((0, e_pad - MEMBER_CHUNK), (0, vp - nvox)))
 
     @jax.jit
-    def accumulate(chunk, ref_chunk, acc):
-        # XLA fuses all three member reductions into a single pass over
-        # the chunk (verified: a hand-written Pallas moment kernel was
-        # 5x slower due to sublane striding of the member-major tiles).
-        # The upcast keeps bf16-staged chunks accumulating in f32 (it
-        # fuses into the read — HBM still moves 2 bytes/element).
+    def accumulate_xla(chunk, ref_chunk, acc):
+        # The pre-round-5 formulation: XLA materializes each reduction
+        # as its own pass over the chunk.
         chunk = chunk.astype(jnp.float32)
         s_y, s_yy, s_xy = acc
         s_y = s_y + jnp.sum(chunk, axis=0)
         s_yy = s_yy + jnp.sum(chunk * chunk, axis=0)
         s_xy = s_xy + jnp.einsum(
-            "ezyx,e->zyx", chunk, ref_chunk,
+            "ev,e->v", chunk, ref_chunk,
             preferred_element_type=jnp.float32,
         )
         return s_y, s_yy, s_xy
 
     @jax.jit
-    def assemble(acc, ref):
+    def accumulate_onepass(chunk, ref_chunk, acc):
         s_y, s_yy, s_xy = acc
+        m = chunk_moments_flat(chunk, ref_chunk, tile_v=TILE_V)
+        return s_y + m[0], s_yy + m[1], s_xy + m[2]
+
+    @jax.jit
+    def assemble(acc, ref):
+        s_y, s_yy, s_xy = (a.reshape(-1)[:nvox] for a in acc)
         n = jnp.float32(MEMBERS)
         s_x = jnp.sum(ref)
         s_xx = jnp.sum(ref * ref)
@@ -98,7 +121,7 @@ def make_pearson_bench():
         den = jnp.sqrt((n * s_xx - s_x * s_x) * (n * s_yy - s_y * s_y))
         return num / den
 
-    zero = jnp.zeros((GRID, GRID, GRID), jnp.float32)
+    zero = jnp.zeros((vp,), jnp.float32)
     num_chunks = MEMBERS // MEMBER_CHUNK
 
     # Two resident chunk buffers, alternated: the member stream never
@@ -107,8 +130,8 @@ def make_pearson_bench():
     # chunks back-to-back (round 1 paid 20 forced pipeline drains at
     # ~9% of HBM bandwidth; a single end-of-stream sync is the real
     # steady-state shape of the streaming path).
-    chunk_a = gen_chunk(jax.random.key(0))
-    chunk_b = gen_chunk(jax.random.key(1))
+    chunk_a = gen_flat(jax.random.key(0))
+    chunk_b = gen_flat(jax.random.key(1))
     _sync(chunk_a)
     _sync(chunk_b)
     chunk_ab = chunk_a.astype(jnp.bfloat16)
@@ -116,22 +139,12 @@ def make_pearson_bench():
     _sync(chunk_ab.astype(jnp.float32))
     _sync(chunk_bb.astype(jnp.float32))
     ref_chunks = [
-        ref_full[c * MEMBER_CHUNK:(c + 1) * MEMBER_CHUNK]
+        jnp.pad(ref_full[c * MEMBER_CHUNK:(c + 1) * MEMBER_CHUNK],
+                (0, e_pad - MEMBER_CHUNK))
         for c in range(num_chunks)
     ]
 
-    from correrender_tpu.ops.pallas.moments_kernel import chunk_moments
-
-    @jax.jit
-    def accumulate_onepass(chunk, ref_chunk, acc):
-        # One-pass Pallas moment kernel (round 5): the XLA formulation
-        # above reads the chunk once per reduction — the source of the
-        # r4 roofline's ~1/3-of-pure-read effective bandwidth.
-        s_y, s_yy, s_xy = acc
-        d_y, d_yy, d_xy = chunk_moments(chunk, ref_chunk)
-        return s_y + d_y, s_yy + d_yy, s_xy + d_xy
-
-    def run(a, b, acc_fn=accumulate):
+    def run(a, b, acc_fn):
         acc = (zero, zero, zero)
         t0 = time.perf_counter()
         for c in range(num_chunks):
@@ -140,21 +153,22 @@ def make_pearson_bench():
         _sync(field)  # single end-of-stream drain
         return nvox / (time.perf_counter() - t0)
 
-    # Warm up both dtype variants' compiles outside the timed reps.
-    for a, b in ((chunk_a, chunk_b), (chunk_ab, chunk_bb)):
-        for fn in (accumulate, accumulate_onepass):
+    # Warm up every variant's compiles outside the timed reps.
+    for a in (chunk_a, chunk_ab):
+        for fn in (accumulate_xla, accumulate_onepass):
             acc_w = fn(a, ref_chunks[0], (zero, zero, zero))
             _sync(assemble(acc_w, ref_full))
             del acc_w
 
     def measure():
-        # fp32 chunks, then bf16 member staging (the catalog's
-        # float16 format_cast → bf16 path): halves the HBM-bound
-        # chunk reads; the accumulator stays f32. The one-pass Pallas
-        # accumulator runs interleaved as a third variant.
-        return (run(chunk_a, chunk_b), run(chunk_ab, chunk_bb),
-                run(chunk_a, chunk_b, accumulate_onepass),
-                run(chunk_ab, chunk_bb, accumulate_onepass))
+        # One-pass Pallas (headline) fp32 + bf16-staged, interleaved
+        # with the XLA three-pass A/B reference rows.
+        return (
+            run(chunk_a, chunk_b, accumulate_xla),
+            run(chunk_ab, chunk_bb, accumulate_xla),
+            run(chunk_a, chunk_b, accumulate_onepass),
+            run(chunk_ab, chunk_bb, accumulate_onepass),
+        )
 
     return measure
 
@@ -1093,11 +1107,15 @@ def main():
         add("cpu_pearson_vox_s", cpu_baseline_vox_per_s(threads=1))
         add("cpu_pearson_vox_s_all_t",
             cpu_baseline_vox_per_s(threads=0))
-        p, pb, po, pbo = pearson()
-        add("pearson_vox_s", p)
-        add("pearson_bf16_vox_s", pb)
-        add("pearson_onepass_vox_s", po)
-        add("pearson_bf16_onepass_vox_s", pbo)
+        px, pbx, po, pbo = pearson()
+        # Headline = the one-pass Pallas accumulator (round 5): same
+        # streamed semantics, chunk read once TOTAL; the r5 A/B
+        # measured 490 vs 216 GB/s effective against the XLA
+        # formulation (which reads once per reduction).
+        add("pearson_vox_s", po)
+        add("pearson_bf16_vox_s", pbo)
+        add("pearson_xla3pass_vox_s", px)
+        add("pearson_bf16_xla3pass_vox_s", pbx)
     del pearson  # frees the resident member chunks
 
     mi48 = make_mi48_bench()
@@ -1211,14 +1229,14 @@ def main():
         "pearson_bf16_staged_gvoxel_s": round(
             med["pearson_bf16_vox_s"] / 1e9, 6
         ),
-        # One-pass Pallas moment accumulator (round 5): same streamed
-        # semantics, chunk read once TOTAL instead of once per
-        # reduction — the r4 roofline headroom candidate.
-        "pearson_onepass_gvoxel_s": round(
-            med["pearson_onepass_vox_s"] / 1e9, 6
+        # The prior XLA streaming formulation, kept as the A/B
+        # reference row (reads the chunk once per reduction — the
+        # source of the r4 roofline's ~1/3-of-pure-read bandwidth).
+        "pearson_xla3pass_gvoxel_s": round(
+            med["pearson_xla3pass_vox_s"] / 1e9, 6
         ),
-        "pearson_bf16_onepass_gvoxel_s": round(
-            med["pearson_bf16_onepass_vox_s"] / 1e9, 6
+        "pearson_bf16_xla3pass_gvoxel_s": round(
+            med["pearson_bf16_xla3pass_vox_s"] / 1e9, 6
         ),
         "mi_ksg_voxel_s_48c_1000m": round(med["mi48_vox_s"], 1),
         "mi_vs_baseline": round(
